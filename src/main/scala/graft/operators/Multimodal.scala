@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** A multimodal asset: opaque `binary` content + typed metadata — the
+  * schema shape a 100 TB image/audio/video pipeline uses (content stays
+  * an uninterpreted byte column, exactly like the reference's
+  * `types.Record.Data`, kinesis.go:34; metadata is columnar and
+  * prunable).
+  */
+case class MMAsset(doc_id: Long, modality: String, content: Array[Byte],
+  width: Int, height: Int)
+
+/** Decoded-feature row produced by the (stubbed) decoder. */
+case class MMFeature(doc_id: Long, modality: String, feat_dim: Int,
+  byte_len: Int, checksum: Long)
+
+/** Multimodal-column operators (builder brief): binary content columns
+  * with typed metadata, and a decode/feature-extract stage implemented
+  * as a batched `mapPartitions` — the Scala analog of `mapInPandas`:
+  * one partition = one worker, records micro-batched inside the
+  * partition so a real decoder could amortize model/codec setup.
+  *
+  * The decode itself is a STUB (this container has no image/audio
+  * codecs): [[Multimodal.decodeStub]] produces a deterministic fake
+  * feature vector from the bytes. Everything around it — schema,
+  * partitioning, batch shape, encoders — is real and tested.
+  */
+object Multimodal {
+
+  /** STUB decoder — stands in for JPEG/PCM/H.264 decoding, which needs
+    * codec libraries absent from this environment. Deterministic on
+    * content bytes so tests and the driver's rows-only check are stable.
+    */
+  private def decodeStub(a: MMAsset): MMFeature = {
+    var sum = 0L
+    var i = 0
+    while (i < a.content.length) { sum = sum * 31 + (a.content(i) & 0xff); i += 1 }
+    MMFeature(a.doc_id, a.modality, feat_dim = 8, byte_len = a.content.length,
+      checksum = sum)
+  }
+
+  /** documents → synthetic multimodal assets (binary content + typed
+    * metadata), deterministic.
+    */
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      col("text").cast("binary").as("content"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary-column metadata extraction — fully Catalyst (codegen'd),
+    // oracle-checked: byte length + content digest over the binary col.
+    "m01_binary_meta" -> ((s, dir) => {
+      assets(s, dir)
+        .select(col("doc_id"), col("modality"),
+          octet_length(col("content")).as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          substring(md5(col("content")), 1, 8).as("md5_pfx"))
+        .orderBy("doc_id")
+    }),
+
+    // Batched decode / feature-extract via mapPartitions (mapInPandas
+    // analog). Decoder is a deterministic stub; plumbing is real.
+    // Rows-only driver check; determinism asserted in MultimodalSpec.
+    "m02_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      val ds = assets(s, dir).as[MMAsset]
+      ds.mapPartitions { it =>
+        // Micro-batch inside the partition: a real decoder would load
+        // its codec/model once per batch, not once per record.
+        it.grouped(64).flatMap(batch => batch.iterator.map(decodeStub))
+      }.toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling for "video" assets: every 256-byte block stands in
+    // for a frame; sample every 4th. Shows slicing binary payloads into
+    // per-frame rows without decoding. Rows-only driver check.
+    "m03_frame_sample" -> ((s, dir) => {
+      assets(s, dir)
+        .filter(col("modality") === "video")
+        .withColumn("n_frames", ceil(octet_length(col("content")) / 256.0).cast("int"))
+        .withColumn("frame_idx", explode(expr(
+          "filter(sequence(0, n_frames - 1), i -> i % 4 = 0)")))
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(expr("substring(content, frame_idx * 256 + 1, 256)")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(strlen(text) AS INTEGER) AS n_bytes,
+         md5(text) AS content_md5,
+         substring(md5(text), 1, 8) AS md5_pfx
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,527 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator inventory (SURVEY.md §2.2): the reference
+  * (`/root/reference/kinesis.go`) has no relational layer — payloads are
+  * opaque bytes — so the engine's query surface is supplied by Catalyst
+  * built-ins. Every query here is declarative DataFrame API (or Spark SQL
+  * for grouping sets) so Catalyst gets pushdown/pruning/join-choice for
+  * free, and every query has a DuckDB oracle twin in [[oracles]].
+  *
+  * Determinism rules (FIXTURES.md): UTC session TZ; every double
+  * aggregate is rounded (sum order differs between engines); every
+  * result has a total-order ORDER BY; DuckDB `SUM(int)` is cast to
+  * BIGINT to match Spark's LongType; NULLS FIRST is explicit where
+  * rollup/cube emit nulls.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-scan/filter/agg: TPC-H Q1-style pricing summary. Filter pushes to
+    // parquet scan; partial agg is map-side; 4 groups total.
+    "q01_pricing_summary" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Projection + selective filter: only 4 columns should reach the scan
+    // (ReadSchema) and all three predicates should appear in PushedFilters.
+    "q02_filter_project" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 3-way join + agg + top-k (TPC-H Q3). customer is small → Catalyst
+    // broadcasts it; orders⋈lineitem shuffles on orderkey once.
+    "q03_shipping_priority" -> ((s, dir) => {
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir).filter(col("o_orderdate") < ts("1996-03-15 00:00:00"))
+      val l = lineitem(s, dir).filter(col("l_shipdate") > ts("1996-03-15 00:00:00"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Left-semi join (EXISTS): orders in 1996Q1 having any heavy lineitem.
+    "q04_semi_join" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      val l = lineitem(s, dir).filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "q05_anti_join" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Star-schema join with explicit broadcast of the two tiny dims.
+    "q06_broadcast_join" -> ((s, dir) => {
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("s_acctbal"), 2).as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // Ranking window functions: top-3 parts per brand by price.
+    "q07_window_rank" -> ((s, dir) => {
+      val wTie = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      val wPrice = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc)
+      part(s, dir)
+        .withColumn("rn", row_number().over(wTie))
+        .withColumn("rnk", rank().over(wPrice))
+        .withColumn("drnk", dense_rank().over(wPrice))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("rnk"), col("drnk"),
+          col("p_partkey"), col("p_retailprice"))
+        .orderBy("p_brand", "rn")
+    }),
+
+    // Frame window functions: running total + lag/lead per customer.
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("running_spend",
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("order_seq", row_number().over(w))
+        .select(col("o_custkey"), col("order_seq"), col("o_orderkey"),
+          col("o_totalprice"), col("running_spend"), col("prev_price"), col("next_price"))
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    // DISTINCT operator.
+    "q09_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // COUNT(DISTINCT) (expands to two-phase agg under Catalyst).
+    "q10_count_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ROLLUP hierarchy agg (nulls mark subtotal rows).
+    "q11_rollup" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // CUBE agg over two order dims.
+    "q12_cube" -> ((s, dir) => {
+      orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Global sort + LIMIT (top-k): Spark plans TakeOrderedAndProject —
+    // no full sort materialization.
+    "q13_topk" -> ((s, dir) => {
+      orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT / UNION (distinct semantics).
+    "q14_setops" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val c = customer(s, dir)
+      val bigSpenders = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val finished = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val inDebt = c.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      bigSpenders.intersect(building)
+        .union(finished.except(inDebt)).distinct()
+        .orderBy("custkey")
+    }),
+
+    // Scalar string function library.
+    "q15_string_fns" -> ((s, dir) => {
+      part(s, dir)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 12).as("name_pfx"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").like("%gre%").as("has_gre"),
+          reverse(col("p_brand")).as("rev_brand"),
+          lpad(col("p_brand"), 12, "*").as("pad_brand"),
+          trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"))
+        .orderBy("p_partkey")
+    }),
+
+    // Date/time function library + month-grain agg.
+    "q16_date_fns" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("ord_month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("month_revenue"))
+        .withColumn("yr", year(col("ord_month")))
+        .withColumn("qtr", quarter(col("ord_month")))
+        .withColumn("mth", month(col("ord_month")))
+        .select("ord_month", "yr", "qtr", "mth", "n_orders", "month_revenue")
+        .orderBy("ord_month")
+    }),
+
+    // Math function library (IEEE-deterministic subset: sqrt/abs/ceil/
+    // floor/mod/greatest — no libm-divergent ln/exp/pow).
+    "q17_math_fns" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_orderkey") % 101 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_dev"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          (col("l_orderkey") % 7).as("mod7"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_tax") * 100).as("ls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // JSON schema-on-read: the events.props payload is the analog of the
+    // reference's opaque `Data []byte` (kinesis.go:34) — decoded with an
+    // explicit path, never inference (FIXTURES.md determinism rules).
+    "q18_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("k"), 3).as("avg_k"),
+          round(sum("value"), 3).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Conditional aggregation (CASE WHEN pivot-style).
+    "q19_case_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0)).as("r_qty"),
+          sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0)).as("a_qty"),
+          sum(when(col("l_returnflag") === "N", col("l_quantity")).otherwise(0)).as("n_qty"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("r_share", round(col("r_qty") / (col("r_qty") + col("a_qty") + col("n_qty")), 4))
+        .orderBy("l_linestatus")
+    }),
+
+    // Scalar subquery: parts priced above the global average. The 1-row
+    // agg side is broadcast — no shuffle of `part`.
+    "q20_scalar_subquery" -> ((s, dir) => {
+      val p = part(s, dir)
+      val avgPrice = p.agg(avg("p_retailprice").as("ap"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // GROUPING SETS (Spark SQL surface; same Catalyst Expand as rollup).
+    "q21_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)
+    }),
+
+    // Sessionization (gap-based) over the event stream table — the batch
+    // analog of per-shard ordered processing (kinesis.go:173-212):
+    // partition by key, order by time, stateful segmentation.
+    "q22_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Tumbling event-time window (batch analog of streaming
+    // window(ts, '1 hour') — same grouping keys).
+    "q23_hourly_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 3).as("sum_value"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .orderBy("hr", "event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         ROUND(AVG(l_quantity), 2) AS avg_qty,
+         ROUND(AVG(l_extendedprice), 2) AS avg_price,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS disc_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+         ROUND(SUM(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q06_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q07_window_rank" ->
+      """SELECT p_brand, rn, rnk, drnk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+           FROM part) x
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q08_window_running" ->
+      """SELECT o_custkey, order_seq, o_orderkey, o_totalprice, running_spend, prev_price, next_price FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+             LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+           FROM orders) x
+         ORDER BY o_custkey, order_seq""",
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q10_count_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS nd_parts,
+         COUNT(DISTINCT l_suppkey) AS nd_supps,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+
+    "q14_setops" ->
+      """SELECT custkey FROM (
+           (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           UNION
+           (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+         ) x ORDER BY custkey""",
+
+    "q15_string_fns" ->
+      """SELECT p_partkey,
+         UPPER(p_name) AS up_name,
+         CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+         SUBSTRING(p_name, 1, 12) AS name_pfx,
+         REPLACE(p_type, ' ', '_') AS type_us,
+         CONCAT_WS('|', p_brand, p_type) AS brand_type,
+         p_name LIKE '%gre%' AS has_gre,
+         REVERSE(p_brand) AS rev_brand,
+         LPAD(p_brand, 12, '*') AS pad_brand,
+         TRIM('  ' || p_brand || ' ') AS trimmed
+         FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""",
+
+    "q16_date_fns" ->
+      """SELECT date_trunc('month', o_orderdate) AS ord_month,
+         CAST(year(date_trunc('month', o_orderdate)) AS INTEGER) AS yr,
+         CAST(quarter(date_trunc('month', o_orderdate)) AS INTEGER) AS qtr,
+         CAST(month(date_trunc('month', o_orderdate)) AS INTEGER) AS mth,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS month_revenue
+         FROM orders GROUP BY 1, 2, 3, 4 ORDER BY ord_month""",
+
+    "q17_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+         ABS(l_quantity - 25.0) AS abs_dev,
+         SQRT(l_extendedprice) AS sqrt_price,
+         CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+         l_orderkey % 7 AS mod7,
+         GREATEST(l_quantity, l_discount * 100) AS gr,
+         LEAST(l_quantity, l_tax * 100) AS ls
+         FROM lineitem WHERE l_orderkey % 101 = 0 ORDER BY l_orderkey, l_linenumber""",
+
+    "q18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         ROUND(AVG(k), 3) AS avg_k,
+         ROUND(SUM(value), 3) AS sum_value
+         FROM (SELECT event_type, value,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) x
+         WHERE k > 50 GROUP BY event_type ORDER BY event_type""",
+
+    "q19_case_agg" ->
+      """SELECT l_linestatus, r_qty, a_qty, n_qty, n_rows,
+         ROUND(r_qty / (r_qty + a_qty + n_qty), 4) AS r_share FROM (
+           SELECT l_linestatus,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS r_qty,
+             SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS a_qty,
+             SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS n_qty,
+             COUNT(*) AS n_rows
+           FROM lineitem GROUP BY l_linestatus) x
+         ORDER BY l_linestatus""",
+
+    "q20_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+         ORDER BY p_partkey""",
+
+    "q21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q22_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM x),
+         z AS (
+           SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM y)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q23_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
+         ROUND(SUM(value), 3) AS sum_value,
+         MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for LLM training-data pipelines (builder
+  * brief: language-ID, quality scoring, token counting, fingerprinting)
+  * over the `documents` table. The reference treats payloads as opaque
+  * bytes (kinesis.go:34); these are the content-aware operators a data
+  * engine layered on that ingest path needs. All are pure Catalyst
+  * expression pipelines (codegen'd, no UDFs) so they scale linearly and
+  * partition-parallel at 100 TB.
+  */
+object TextOps {
+
+  // Regex patterns shared verbatim between Spark (Java regex) and DuckDB
+  // (RE2) — restricted to the common-behavior subset: literal classes,
+  // \s, \b, alternation.
+  private val WS = "\\s+"
+  private val ALPHA = "[A-Za-z]+"
+  private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val STOP = "\\b(the|a|of|and|to|in|is|it)\\b"
+  private val PUNCT = "[^A-Za-z0-9\\s]"
+
+  private val langMarkers = Seq(
+    "en" -> "\\b(the|a|of|and|is)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "fr" -> "\\b(le|les|des|et|un)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "zh" -> "(的|是|在)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, alpha tokens, BPE-ish regex
+    // tokens, average token length.
+    "t01_text_tokens" -> ((s, dir) => {
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), WS)).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(ALPHA), lit(0))).as("alpha_tokens"),
+          size(regexp_extract_all(col("text"), lit(BPE), lit(0))).as("bpe_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .withColumn("avg_token_len",
+          round(col("n_chars_calc").cast("double") / col("ws_tokens"), 3))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / stopword / punctuation heuristics — the
+    // standard pre-training corpus filters.
+    "t02_text_quality" -> ((s, dir) => {
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), WS)).as("n_words"),
+          size(regexp_extract_all(lower(col("text")), lit(STOP), lit(0))).as("stop_hits"),
+          size(regexp_extract_all(col("text"), lit(PUNCT), lit(0))).as("punct_hits"),
+          length(col("text")).as("n_chars_calc"))
+        .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_words"), 4))
+        .withColumn("punct_ratio", round(col("punct_hits").cast("double") / col("n_chars_calc"), 4))
+        .withColumn("quality_pass",
+          col("n_words") >= 5 && col("n_words") <= 1000 && col("punct_ratio") < 0.1)
+        .select("doc_id", "n_words", "stop_hits", "punct_hits", "stop_ratio",
+          "punct_ratio", "quality_pass")
+        .orderBy("doc_id")
+    }),
+
+    // Language identification via marker-word n-gram counts with a
+    // deterministic argmax (ties resolve in en>es>fr>de>zh order).
+    "t03_text_langid" -> ((s, dir) => {
+      val withCounts = langMarkers.foldLeft(documents(s, dir)) { case (df, (lg, pat)) =>
+        df.withColumn(s"c_$lg",
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+      }
+      withCounts
+        .withColumn("pred_lang",
+          when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") &&
+            col("c_en") >= col("c_de") && col("c_en") >= col("c_zh"), "en")
+            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de") &&
+              col("c_es") >= col("c_zh"), "es")
+            .when(col("c_fr") >= col("c_de") && col("c_fr") >= col("c_zh"), "fr")
+            .when(col("c_de") >= col("c_zh"), "de")
+            .otherwise("zh"))
+        .withColumn("lang_match", col("pred_lang") === col("lang"))
+        .select("doc_id", "lang", "pred_lang", "lang_match",
+          "c_en", "c_es", "c_fr", "c_de", "c_zh")
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: rolling word-shingle hashes (xxhash64),
+    // winnowed to a min-hash fingerprint + distinct-shingle cardinality.
+    // Not SQL-expressible (hash family) → rows-only driver check; exact
+    // determinism is asserted in TextOpsSpec.
+    "t04_text_fingerprint" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(1, size(tokens)-2), i -> " +
+            "concat_ws(' ', element_at(tokens,i), element_at(tokens,i+1), element_at(tokens,i+2)))")))
+        .select(col("doc_id"),
+          expr("array_min(transform(shingles, sh -> xxhash64(sh)))").as("fingerprint"),
+          size(col("shingles")).as("n_shingles"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t01_text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS alpha_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_calc,
+         ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 3) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "t02_text_quality" ->
+      """SELECT doc_id, n_words, stop_hits, punct_hits,
+         ROUND(CAST(stop_hits AS DOUBLE) / n_words, 4) AS stop_ratio,
+         ROUND(CAST(punct_hits AS DOUBLE) / n_chars_calc, 4) AS punct_ratio,
+         (n_words >= 5 AND n_words <= 1000
+          AND ROUND(CAST(punct_hits AS DOUBLE) / n_chars_calc, 4) < 0.1) AS quality_pass
+         FROM (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS INTEGER) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS punct_hits,
+             CAST(length(text) AS INTEGER) AS n_chars_calc
+           FROM documents) x
+         ORDER BY doc_id""",
+
+    "t03_text_langid" ->
+      """SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match,
+         c_en, c_es, c_fr, c_de, c_zh FROM (
+           SELECT doc_id, lang, c_en, c_es, c_fr, c_de, c_zh,
+             CASE
+               WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en >= c_zh THEN 'en'
+               WHEN c_es >= c_fr AND c_es >= c_de AND c_es >= c_zh THEN 'es'
+               WHEN c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+               WHEN c_de >= c_zh THEN 'de'
+               ELSE 'zh' END AS pred_lang
+           FROM (
+             SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS INTEGER) AS c_en,
+               CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS INTEGER) AS c_es,
+               CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|un)\b')) AS INTEGER) AS c_fr,
+               CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS c_de,
+               CAST(len(regexp_extract_all(lower(text), '(的|是|在)')) AS INTEGER) AS c_zh
+             FROM documents) y) z
+         ORDER BY doc_id"""
+  )
+}

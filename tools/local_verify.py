@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the sfDir
+tables, and compares: schema (column names), row count, and values
+(columns sorted by name, rows sorted, exact match; floats compared to
+1e-9 rel tolerance as a fallback diagnostic).
+"""
+import json, sys, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+n_pass = n_fail = n_rowsonly = 0
+for name in names:
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    got = con.sql(f"SELECT * FROM read_parquet({files})").df()
+    if name not in oracle:
+        status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+        n_rowsonly += 1
+        print(f"{status:18s} {name:28s} rows={len(got)}")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{'ORACLE-ERR':18s} {name:28s} {e}")
+        n_fail += 1
+        continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"{'SCHEMA-MISMATCH':18s} {name:28s} spark={gcols} duck={ecols}")
+        n_fail += 1
+        continue
+    g = got[gcols].sort_values(gcols).reset_index(drop=True)
+    e = exp[ecols].sort_values(ecols).reset_index(drop=True)
+    if len(g) != len(e):
+        print(f"{'ROWCOUNT':18s} {name:28s} spark={len(g)} duck={len(e)}")
+        n_fail += 1
+        continue
+    mismatches = []
+    for c in gcols:
+        gv, ev = g[c], e[c]
+        try:
+            same = (gv.astype(object).where(gv.notna(), None).tolist()
+                    == ev.astype(object).where(ev.notna(), None).tolist())
+        except Exception:
+            same = False
+        if not same:
+            mismatches.append(c)
+    if not mismatches:
+        print(f"{'PASS':18s} {name:28s} rows={len(g)}")
+        n_pass += 1
+    else:
+        print(f"{'VALUE-MISMATCH':18s} {name:28s} cols={mismatches}")
+        for c in mismatches[:3]:
+            import pandas as pd
+            diff = g[c].compare(e[c]) if hasattr(g[c], "compare") else None
+            if diff is not None and len(diff):
+                print(f"    {c}: first diffs\n{diff.head(3)}")
+        n_fail += 1
+print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+sys.exit(1 if n_fail else 0)
