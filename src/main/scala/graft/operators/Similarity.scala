@@ -20,12 +20,13 @@ import graft.Tables._
   */
 object Similarity {
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+  private def dot(a: String, b: String): Column = expr(s"vector_dot($a, $b)")
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDot.register(s)
     embeddings(s, dir).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+  }
 
   // Sign-LSH: 8 tables × 8 seeded ±1 hyperplanes over 64 dims. Multiple
   // short codes trade precision for recall — one 16-bit code almost
@@ -65,7 +66,7 @@ object Similarity {
       // One row per (vector, table): bucket = that table's 8-bit code.
       val e = vecs(s, dir).withColumn("planes", planesCol)
         .withColumn("bits", expr(
-          "transform(planes, p -> CASE WHEN aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z) > 0D THEN 1 ELSE 0 END)"))
+          "transform(planes, p -> CASE WHEN vector_dot(p, v) > 0D THEN 1 ELSE 0 END)"))
         .withColumn("tbl", explode(expr(s"sequence(0, ${LshTables - 1})")))
         .withColumn("bucket", expr(
           s"aggregate(slice(bits, tbl * $BitsPerTable + 1, $BitsPerTable), 0, (acc, b) -> acc * 2 + b)"))
