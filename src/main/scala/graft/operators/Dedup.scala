@@ -134,7 +134,7 @@ object Dedup {
         .dropDuplicates("doc_a", "doc_b")
       cand
         .withColumn("est_jaccard", expr(
-          s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / ${NumPerms}.0"))
+          s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))
         .filter(col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")

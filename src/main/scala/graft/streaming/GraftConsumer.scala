@@ -1,0 +1,148 @@
+package graft.streaming
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.LongAccumulator
+
+/** Connection/config options — mirror of the reference's `Option`
+  * builder (option.go:10-34): stream name, region, STS toggle.
+  */
+case class GraftOption(streamName: String = "", region: String = "", sts: Boolean = false) {
+  def withStreamName(n: String): GraftOption = copy(streamName = n) // option.go:27-30
+  def withRegion(r: String): GraftOption = copy(region = r)         // option.go:22-25
+  def withSts(b: Boolean): GraftOption = copy(sts = b)              // option.go:17-20
+}
+
+/** What to do when the user handler throws — SURVEY.md §2.1: the
+  * reference logs and *continues past* a failing record, advancing the
+  * checkpoint anyway (kinesis.go:194-201). That is weaker than Spark's
+  * default (fail the query), so the policy is explicit here.
+  */
+sealed trait ErrorPolicy
+object ErrorPolicy {
+  /** Reference behavior: count + log, keep going (kinesis.go:194-197). */
+  case object SkipAndLog extends ErrorPolicy
+  /** Spark-native behavior: task failure → query failure. */
+  case object Fail extends ErrorPolicy
+}
+
+/** The consumer facade — the Spark re-expression of the reference's
+  * `Iterator` lifecycle (`NewIteratorWithOpt → Handle → SetSaver →
+  * SetSleepLimit → Run → Shutdown`, kinesis.go:252-263, 143-154,
+  * 242-250, 221-236; usage in README.md:33-59).
+  *
+  * Built on Structured Streaming: the poll ticker (kinesis.go:172-179)
+  * is `Trigger.ProcessingTime(sleepLimit)`; the goroutine-per-shard
+  * loop (kinesis.go:131-139) is the per-partition task; per-shard
+  * in-order delivery (kinesis.go:173-212) is reproduced by
+  * repartition-by-shard + sort-within-partition; batch-granularity
+  * checkpointing (kinesis.go:198-201) is the per-batch saver write of
+  * each shard's max sequence.
+  *
+  * Run it on any streaming DataFrame with the [[KinesisRecord.schema]]
+  * envelope — the DSv2 source (graft.sources), a file-replay stream,
+  * or a MemoryStream in tests.
+  */
+class GraftConsumer(val option: GraftOption) {
+
+  private var sleep: FiniteDuration = 10.seconds // default, kinesis.go:257
+  private var saverOpt: Option[SequenceSaver] = None
+  private var handlerOpt: Option[KinesisRecord => Unit] = None
+  private var policy: ErrorPolicy = ErrorPolicy.SkipAndLog
+  private var checkpointLoc: Option[String] = None
+  @volatile private var queryOpt: Option[StreamingQuery] = None
+  @volatile private var errorsAcc: LongAccumulator = _
+
+  /** ≈ SetSleepLimit (kinesis.go:247-250). */
+  def sleepLimit(d: FiniteDuration): this.type = { sleep = d; this }
+  /** ≈ Handle (kinesis.go:143-145). */
+  def handle(h: KinesisRecord => Unit): this.type = { handlerOpt = Some(h); this }
+  /** ≈ SetSaver (kinesis.go:242-245). */
+  def setSaver(s: SequenceSaver): this.type = { saverOpt = Some(s); this }
+  def errorPolicy(p: ErrorPolicy): this.type = { policy = p; this }
+  def checkpointLocation(path: String): this.type = { checkpointLoc = Some(path); this }
+
+  /** Handler errors skipped so far (only counts under SkipAndLog) —
+    * the observability the reference only gets via its Logger
+    * (kinesis.go:195-196).
+    */
+  def errorCount: Long = Option(errorsAcc).map(_.value.longValue()).getOrElse(0L)
+
+  def query: Option[StreamingQuery] = queryOpt
+
+  /** ≈ Run (kinesis.go:147-154): validates the handler (the reference
+    * errors with HandlerIsNil, kinesis.go:148-150) and starts the
+    * streaming query.
+    */
+  def run(stream: DataFrame): StreamingQuery = {
+    val h = handlerOpt.getOrElse(
+      throw new IllegalStateException("handler is nil")) // kinesis.go:148-150
+    val spark = stream.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.handler.errors")
+    errorsAcc = acc
+    val pol = policy
+    val saver = saverOpt
+    val streamName = option.streamName
+
+    import spark.implicits._
+    val writer = stream.writeStream
+      .queryName(s"graft-consumer-$streamName")
+      .trigger(Trigger.ProcessingTime(sleep.toMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ds: Dataset[KinesisRecord] = batch
+          .select(KinesisRecord.schema.fieldNames.map(col).toSeq: _*)
+          .as[KinesisRecord]
+        // Per-shard order: hash all of a shard's records into one
+        // partition, sort by sequence inside it (kinesis.go:173-212
+        // guarantees the same via one goroutine per shard).
+        ds.repartition(col("shardId"))
+          .sortWithinPartitions(col("shardId"), length(col("sequenceNumber")), col("sequenceNumber"))
+          .foreachPartition { (it: Iterator[KinesisRecord]) =>
+            it.foreach { rec =>
+              try h(rec)
+              catch {
+                case e: Throwable => pol match {
+                  case ErrorPolicy.SkipAndLog => acc.add(1) // kinesis.go:194-197
+                  case ErrorPolicy.Fail => throw e
+                }
+              }
+            }
+          }
+        // Batch-granularity checkpoint (kinesis.go:198-201): one write
+        // per shard with the batch's last sequence. (length, value)
+        // ordering = numeric order for digit-string sequences.
+        saver.foreach { sv =>
+          batch.groupBy("streamName", "shardId")
+            .agg(max(struct(length(col("sequenceNumber")).as("l"),
+              col("sequenceNumber").as("s"))).as("m"))
+            .select(col("streamName"), col("shardId"), col("m.s").as("seq"))
+            .collect()
+            .foreach(r => sv.set(r.getString(0), r.getString(1), r.getString(2)))
+        }
+      }
+    checkpointLoc.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    queryOpt = Some(q)
+    q
+  }
+
+  /** ≈ Shutdown(timeout) (kinesis.go:221-236): stop, then wait up to
+    * `timeout`. Returns true on clean termination, false if the wait
+    * timed out (the reference returns an error in that case).
+    */
+  def shutdown(timeout: FiniteDuration): Boolean = queryOpt match {
+    case None => true
+    case Some(q) =>
+      q.stop()
+      try q.awaitTermination(timeout.toMillis)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+  }
+}
+
+object GraftConsumer {
+  /** ≈ NewIteratorWithOpt (kinesis.go:252-263). */
+  def apply(option: GraftOption): GraftConsumer = new GraftConsumer(option)
+}
