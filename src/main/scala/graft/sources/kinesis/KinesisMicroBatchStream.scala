@@ -1,0 +1,245 @@
+package graft.sources.kinesis
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.SequenceSaver
+
+/** Test/DI registry for savers and clients referenced by name in
+  * DataSource options (reflection can't carry constructor args).
+  */
+object KinesisRegistry {
+  val savers: TrieMap[String, SequenceSaver] = TrieMap.empty
+  val clients: TrieMap[String, KinesisLikeClient] = TrieMap.empty
+}
+
+/** One micro-batch work unit: a shard slice (start, end] by sequence. */
+case class KinesisInputPartition(
+    streamName: String,
+    shardId: String,
+    afterSequence: Option[String],
+    endSequence: String,
+    fetchSize: Int) extends InputPartition
+
+/** The micro-batch stream — the Spark re-expression of the reference's
+  * whole runtime (SURVEY.md §2 operator map):
+  *
+  *  - O1 shard discovery + O9 reshard recovery → [[latestOffset]]
+  *    re-lists shards every batch (no monitor thread needed; children
+  *    are gated until their parent is drained, preserving Kinesis
+  *    parent-before-child order — stronger than the reference, which
+  *    pauses the whole stream until all parents close, kinesis.go:84-93)
+  *  - O3/O7 start-position resolution → [[initialOffset]]: saved
+  *    sequence from the SequenceSaver if present (AFTER_SEQUENCE_NUMBER),
+  *    else TRIM_HORIZON (sequence.go:74-89, 26-36)
+  *  - O2/O11 per-shard poll + iterator refresh → [[KinesisPartitionReader]]
+  *  - O5 batch-granularity checkpoint → [[commit]] writes each shard's
+  *    last sequence to the saver (kinesis.go:198-201)
+  *  - O8 closed-shard checkpoint delete → [[commit]]/[[latestOffset]]
+  *    (kinesis.go:203-210, sequence.go:51-53)
+  *  - O10 admission control → per-shard maxRecordsPerFetch cap
+  *    (kinesis.go:182's Limit: 1000), integrated with Spark's
+  *    ReadLimit/maxRows
+  */
+class KinesisMicroBatchStream(
+    streamName: String,
+    client: KinesisLikeClient,
+    saver: Option[SequenceSaver],
+    maxRecordsPerFetch: Int)
+  extends MicroBatchStream with SupportsAdmissionControl with Logging {
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRecordsPerFetch.toLong)
+
+  /** O3/O7: resolve each live shard's start position. */
+  override def initialOffset(): Offset = {
+    val shards = client.listShards(streamName)
+    val positions = shards.map { sh =>
+      val saved = saver.flatMap(_.get(streamName, sh.shardId))
+      sh.shardId -> saved.getOrElse("") // "" = TRIM_HORIZON (sequence.go:83-86)
+    }.toMap
+    KinesisOffset(gateChildren(positions, shards))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
+  /** O1 + O9 + O10: discover shards, advance each shard's end position
+    * by at most the per-shard cap, drop drained closed shards.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startPos = start.asInstanceOf[KinesisOffset].positions
+    // `start` is the last WAL-committed offset: mirror it into the
+    // user-visible saver now. (Spark only calls commit() when a LATER
+    // batch completes, so a trailing batch would otherwise never reach
+    // the saver — the reference writes after every batch,
+    // kinesis.go:198-201.)
+    syncSaver(startPos)
+    val shards = client.listShards(streamName)
+    val perShard = limit match {
+      case r: ReadMaxRows =>
+        math.max(1, (r.maxRows() / math.max(1, shards.size)).toInt)
+      case _ => maxRecordsPerFetch
+    }
+    val shardsById = shards.map(s => s.shardId -> s).toMap
+    val known = startPos.keySet ++ shardsById.keySet
+    val positions = known.map { shardId =>
+      val pos = startPos.get(shardId)
+      val after = pos.filter(_.nonEmpty)
+      val (lastOpt, _) = client.sequenceAfter(streamName, shardId, after, perShard)
+      // Drained closed shards KEEP their final position in the offset
+      // map — dropping them would let the next shard discovery
+      // resurrect them at TRIM_HORIZON and re-read the whole shard.
+      // (Their saver entry is still deleted in commit(), O8.)
+      shardId -> lastOpt.getOrElse("")
+    }.toMap
+    KinesisOffset(gateChildren(positions, shards))
+  }
+
+  /** Kinesis ordering: a child shard enters the offset map only once
+    * its parent is gone from it (drained + dropped).
+    */
+  private def gateChildren(positions: Map[String, String],
+      shards: Seq[ShardInfo]): Map[String, String] = {
+    val byId = shards.map(s => s.shardId -> s).toMap
+    positions.filter { case (shardId, _) =>
+      byId.get(shardId).flatMap(_.parentShardId) match {
+        case Some(parent) => !positions.contains(parent) || {
+          // parent still listed: allow child only if parent is drained
+          // (closed and its position is at its end)
+          val pp = positions.get(parent)
+          val (lastOpt, closed) =
+            client.sequenceAfter(streamName, parent, pp.filter(_.nonEmpty), 1)
+          closed && pp.exists(p => lastOpt.forall(_ <= p))
+        }
+        case None => true
+      }
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KinesisOffset].positions
+    val e = end.asInstanceOf[KinesisOffset].positions
+    e.toSeq.sorted.flatMap { case (shardId, endSeq) =>
+      val startSeq = s.get(shardId).filter(_.nonEmpty)
+      if (endSeq.nonEmpty && !startSeq.contains(endSeq))
+        Some(KinesisInputPartition(streamName, shardId, startSeq, endSeq, maxRecordsPerFetch))
+      else None // nothing new in this shard this batch
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KinesisPartitionReaderFactory(client)
+
+  /** O5 + O8: batch-granularity saver maintenance. Open (or partially
+    * read) shards get their last sequence written (kinesis.go:198-201);
+    * a closed shard that is fully drained gets its entry *deleted*
+    * (kinesis.go:203-210, sequence.go:51-53) — so a saver-only restart
+    * re-enters only live shards, with closed parents replayed from
+    * TRIM_HORIZON exactly like the reference's at-least-once restart.
+    */
+  override def commit(end: Offset): Unit =
+    syncSaver(end.asInstanceOf[KinesisOffset].positions)
+
+  // Last (sequence, drained) state pushed to the saver per shard —
+  // dedupes saver writes across triggers. Drained-ness is part of the
+  // key: a shard's sequence stops moving when it closes, but the
+  // set→del transition (O8) must still fire.
+  private var lastSynced: Map[String, (String, Boolean)] = Map.empty
+
+  private def syncSaver(positions: Map[String, String]): Unit = saver.foreach { sv =>
+    positions.foreach { case (shardId, seq) =>
+      if (seq.nonEmpty) {
+        val (lastOpt, closed) =
+          client.sequenceAfter(streamName, shardId, Some(seq), 1)
+        val drained = closed && lastOpt.forall(_ <= seq)
+        if (!lastSynced.get(shardId).contains((seq, drained))) {
+          if (drained) sv.del(streamName, shardId)
+          else sv.set(streamName, shardId, seq)
+          lastSynced += (shardId -> ((seq, drained)))
+        }
+      }
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = KinesisOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+class KinesisPartitionReaderFactory(client: KinesisLikeClient)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KinesisPartitionReader(partition.asInstanceOf[KinesisInputPartition], client)
+}
+
+/** O2: the per-shard poll loop (kinesis.go:156-214) as a partition
+  * reader. Reads (afterSequence, endSequence] exactly: records past the
+  * batch's end offset are not emitted (they belong to the next batch,
+  * keeping replay deterministic). O11: on iterator expiry the reader
+  * re-acquires from the last consumed sequence and continues —
+  * the reference's refresh (kinesis.go:184-191) without its ignored
+  * error/nil-deref.
+  */
+class KinesisPartitionReader(p: KinesisInputPartition, client: KinesisLikeClient)
+  extends PartitionReader[InternalRow] with Logging {
+
+  private var iterator: Option[String] =
+    Some(client.getShardIterator(p.streamName, p.shardId, p.afterSequence))
+  private var lastConsumed: Option[String] = p.afterSequence
+  private var buffer: Iterator[ClientRecord] = Iterator.empty
+  private var current: ClientRecord = _
+  private var done = false
+
+  private val stream = UTF8String.fromString(p.streamName)
+  private val shard = UTF8String.fromString(p.shardId)
+
+  override def next(): Boolean = {
+    while (!done) {
+      if (buffer.hasNext) {
+        val rec = buffer.next()
+        if (rec.sequenceNumber <= p.endSequence) {
+          current = rec
+          lastConsumed = Some(rec.sequenceNumber)
+          if (rec.sequenceNumber == p.endSequence) done = true
+          return true
+        } else { done = true; return false }
+      }
+      if (lastConsumed.contains(p.endSequence)) { done = true; return false }
+      iterator match {
+        case None => done = true; return false // shard closed mid-slice
+        case Some(it) =>
+          try {
+            val res = client.getRecords(it, p.fetchSize)
+            buffer = res.records.iterator
+            iterator = res.nextIterator
+            if (res.records.isEmpty && res.nextIterator.isEmpty) done = true
+          } catch {
+            case e: ExpiredIteratorException =>
+              logInfo(s"refreshing expired iterator for ${p.shardId}: ${e.getMessage}")
+              iterator = Some(client.getShardIterator(p.streamName, p.shardId, lastConsumed))
+          }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val r = new GenericInternalRow(6)
+    r.update(0, current.data)
+    r.update(1, UTF8String.fromString(current.partitionKey))
+    r.update(2, UTF8String.fromString(current.sequenceNumber))
+    r.setLong(3, DateTimeUtils.fromJavaTimestamp(current.arrival))
+    r.update(4, stream)
+    r.update(5, shard)
+    r
+  }
+
+  override def close(): Unit = ()
+}

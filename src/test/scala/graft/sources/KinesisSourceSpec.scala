@@ -1,0 +1,152 @@
+package graft.sources
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+import graft.sources.kinesis._
+import graft.streaming.InMemorySequenceSaver
+
+class KinesisSourceSpec extends SparkSuite {
+
+  private def freshStream(name: String, nShards: Int): Unit = {
+    FakeKinesisService.createStream(name, nShards)
+    KinesisRegistry.clients.put("fake", new FakeKinesisClient())
+  }
+
+  private def readSource(stream: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format("kinesis-graft")
+      .option("streamName", stream)
+      .option("clientName", extra.getOrElse("clientName", "fake"))
+    (extra - "clientName").foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  /** Spark commits a batch's source offsets while constructing the
+    * *next* batch, so saver state lags processAllAvailable by up to one
+    * trigger — poll briefly instead of asserting immediately.
+    */
+  private def eventually(timeoutMs: Long = 5000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(50)
+    }
+    cond
+  }
+
+  private def runToMemory(df: DataFrame, queryName: String) = {
+    val q = df.writeStream.format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("reads all shards with envelope schema and per-shard sequence order") {
+    freshStream("s1", 2)
+    (1 to 5).foreach(i => FakeKinesisService.push("s1", "shardId-000000000000", s"pk$i", s"a$i".getBytes))
+    (1 to 3).foreach(i => FakeKinesisService.push("s1", "shardId-000000000001", s"pk$i", s"b$i".getBytes))
+    val q = runToMemory(readSource("s1"), "t_basic")
+    try {
+      val rows = spark.sql("SELECT * FROM t_basic").collect()
+      assert(rows.length == 8)
+      assert(rows.head.schema.fieldNames.toSeq ==
+        Seq("data", "partitionKey", "sequenceNumber", "approximateArrivalTimestamp", "streamName", "shardId"))
+      val byShard = rows.groupBy(_.getAs[String]("shardId"))
+      assert(byShard.keySet == Set("shardId-000000000000", "shardId-000000000001"))
+      byShard.values.foreach { rs =>
+        val seqs = rs.map(_.getAs[String]("sequenceNumber")).toSeq
+        assert(seqs == seqs.sorted, "per-shard order broken")
+      }
+      assert(rows.forall(_.getAs[String]("streamName") == "s1"))
+      val payloads = rows.map(r => new String(r.getAs[Array[Byte]]("data"))).toSet
+      assert(payloads == Set("a1", "a2", "a3", "a4", "a5", "b1", "b2", "b3"))
+    } finally q.stop()
+  }
+
+  test("admission control: maxRecordsPerFetch caps each micro-batch (kinesis.go:182)") {
+    freshStream("s2", 1)
+    (1 to 10).foreach(i => FakeKinesisService.push("s2", "shardId-000000000000", "pk", s"r$i".getBytes))
+    val q = runToMemory(readSource("s2", Map("maxRecordsPerFetch" -> "3")), "t_cap")
+    try {
+      assert(spark.sql("SELECT count(*) FROM t_cap").head.getLong(0) == 10)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.forall(_ <= 3), s"batch exceeded cap: ${batches.mkString(",")}")
+      assert(batches.length >= 4) // 10 rows at <=3/batch
+    } finally q.stop()
+  }
+
+  test("resume from saver: AFTER_SEQUENCE_NUMBER start (sequence.go:74-89)") {
+    freshStream("s3", 1)
+    val seqs = (1 to 6).map(i =>
+      FakeKinesisService.push("s3", "shardId-000000000000", "pk", s"r$i".getBytes))
+    val saver = new InMemorySequenceSaver
+    saver.set("s3", "shardId-000000000000", seqs(3)) // consumed through r4
+    KinesisRegistry.savers.put("sv3", saver)
+    val q = runToMemory(readSource("s3", Map("saverName" -> "sv3")), "t_resume")
+    try {
+      val got = spark.sql("SELECT data FROM t_resume").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+      assert(got == Set("r5", "r6"), s"expected only post-checkpoint records, got $got")
+      // commit advanced the saver to the last consumed sequence (O5)
+      assert(eventually()(saver.get("s3", "shardId-000000000000").contains(seqs.last)))
+    } finally q.stop()
+  }
+
+  test("no saver: fresh start reads TRIM_HORIZON (sequence.go:27-29)") {
+    freshStream("s4", 1)
+    (1 to 3).foreach(i => FakeKinesisService.push("s4", "shardId-000000000000", "pk", s"r$i".getBytes))
+    val q = runToMemory(readSource("s4"), "t_trim")
+    try assert(spark.sql("SELECT count(*) FROM t_trim").head.getLong(0) == 3)
+    finally q.stop()
+  }
+
+  test("reshard: parent drains first, checkpoint deleted, children then read (kinesis.go:203-210, O8/O9)") {
+    freshStream("s5", 1)
+    (1 to 4).foreach(i => FakeKinesisService.push("s5", "shardId-000000000000", "pk", s"p$i".getBytes))
+    val saver = new InMemorySequenceSaver
+    KinesisRegistry.savers.put("sv5", saver)
+    val q = runToMemory(readSource("s5", Map("saverName" -> "sv5")), "t_reshard")
+    try {
+      assert(spark.sql("SELECT count(*) FROM t_reshard").head.getLong(0) == 4)
+      // reshard mid-stream
+      val (c1, c2) = FakeKinesisService.splitShard("s5", "shardId-000000000000")
+      FakeKinesisService.push("s5", c1, "pk", "x1".getBytes)
+      FakeKinesisService.push("s5", c2, "pk", "y1".getBytes)
+      FakeKinesisService.push("s5", c1, "pk", "x2".getBytes)
+      q.processAllAvailable()
+      // run one more planning cycle so the drained parent is dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT data FROM t_reshard").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+      assert(got == Set("p1", "p2", "p3", "p4", "x1", "x2", "y1"))
+      // O8: closed+drained parent's checkpoint deleted; children tracked
+      assert(eventually()(saver.get("s5", "shardId-000000000000").isEmpty),
+        "parent checkpoint should be deleted after drain")
+      assert(eventually()(saver.get("s5", c1).isDefined))
+      assert(eventually()(saver.get("s5", c2).isDefined))
+    } finally q.stop()
+  }
+
+  test("iterator expiry is survived without loss or duplication (kinesis.go:184-191, O11)") {
+    FakeKinesisService.createStream("s6", 1)
+    KinesisRegistry.clients.put("flaky", new FakeKinesisClient(expireEvery = 3))
+    (1 to 20).foreach(i => FakeKinesisService.push("s6", "shardId-000000000000", "pk", s"r$i".getBytes))
+    val q = runToMemory(
+      readSource("s6", Map("clientName" -> "flaky", "maxRecordsPerFetch" -> "4")), "t_expiry")
+    try {
+      val got = spark.sql("SELECT data FROM t_expiry").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0)))
+      assert(got.length == 20, s"expected 20 records exactly once, got ${got.length}")
+      assert(got.toSet == (1 to 20).map(i => s"r$i").toSet)
+    } finally q.stop()
+  }
+
+  test("offset json round-trips") {
+    val o = KinesisOffset(Map("shardId-000000000000" -> f"${7}%021d", "shardId-000000000001" -> ""))
+    assert(KinesisOffset.fromJson(o.json()) == o)
+    assert(KinesisOffset.fromJson(KinesisOffset(Map.empty).json()) == KinesisOffset(Map.empty))
+  }
+}
