@@ -1,0 +1,80 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming transforms over the record envelope — the event-time
+  * operator set the reference cannot express (its payloads are opaque
+  * and it never compares timestamps, SURVEY.md §2.2) but a Spark-native
+  * engine gets from Structured Streaming. All operators take and
+  * return streaming DataFrames so they compose with the kinesis-graft
+  * source and the GraftConsumer sink side.
+  *
+  * State sizing at scale: every operator here bounds its state with a
+  * watermark — without one, streaming dedup/windows grow state forever
+  * at 100 TB/day ingest.
+  */
+object StreamOps {
+
+  /** Streaming exact dedup: keeps the first record per key, with state
+    * bounded by the watermark horizon (late duplicates beyond it are
+    * not caught — the standard trade).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Tumbling event-time window counts per key (append mode capable —
+    * emits only finalized windows once the watermark passes).
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, watermark: String,
+      windowDuration: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based session windows per key (the streaming twin of the
+    * batch q22_sessionize operator).
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, watermark: String,
+      gap: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+}
+
+/** O13 observability — the Spark-native replacement for the
+  * reference's shard registry + pluggable Logger (kinesis.go:100-108,
+  * 16-19, 79-83): a StreamingQueryListener that tracks per-query
+  * progress (rows/sec, batch sizes) in a queryable registry, the
+  * way the reference's monitor logs running shards every 20s.
+  */
+class GraftQueryListener extends StreamingQueryListener {
+  case class QueryStats(name: String, batches: Long, inputRows: Long,
+      lastInputRows: Long, running: Boolean)
+
+  private val stats = TrieMap.empty[java.util.UUID, QueryStats]
+
+  def snapshot: Map[String, QueryStats] =
+    stats.values.map(s => s.name -> s).toMap
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    stats.put(e.id, QueryStats(Option(e.name).getOrElse(e.id.toString), 0, 0, 0, running = true))
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    stats.updateWith(p.id) {
+      case Some(s) => Some(s.copy(batches = s.batches + 1,
+        inputRows = s.inputRows + p.numInputRows, lastInputRows = p.numInputRows))
+      case None => Some(QueryStats(Option(p.name).getOrElse(p.id.toString),
+        1, p.numInputRows, p.numInputRows, running = true))
+    }
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    stats.updateWith(e.id)(_.map(_.copy(running = false)))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan regression tests: at 100 TB these plan shapes are the
+  * difference between a working job and a dead cluster. Failures here
+  * mean a refactor silently broke pushdown/broadcast/top-k planning
+  * even though results are still correct.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = sf("sf0.01")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  test("q02: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), "no pushdown section")
+    assert(p.contains("LessThan(l_quantity,24.0)"), s"quantity filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    // only the referenced columns are read (no l_returnflag etc.)
+    assert(!p.contains("l_returnflag"), "scan reads unused columns")
+  }
+
+  test("q06: small dims are broadcast, never shuffled") {
+    val p = plan("q06_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dims should not sort-merge")
+  }
+
+  test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q03: join pipeline has no cartesian product") {
+    val p = plan("q03_shipping_priority")
+    assert(!p.contains("CartesianProduct"), s"accidental cross join:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    // HashAggregate appears at least twice: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side partial agg:\n$p")
+  }
+
+  test("scalar subquery broadcasts the 1-row aggregate side") {
+    val p = plan("q20_scalar_subquery")
+    assert(p.contains("Broadcast"), s"agg side should broadcast:\n$p")
+  }
+
+  test("dedup exact is a single hash aggregate, no join") {
+    val p = plan("d01_dedup_exact")
+    assert(!p.contains("Join"), s"dedup should be agg-only:\n$p")
+  }
+}

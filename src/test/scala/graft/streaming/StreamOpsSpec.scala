@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+class StreamOpsSpec extends SparkSuite {
+
+  private def rec(shard: String, n: Int, tsSec: Long, key: String): KinesisRecord =
+    KinesisRecord(s"d$n".getBytes, key, f"$n%09d",
+      new Timestamp(tsSec * 1000), "st", shard)
+
+  test("streaming dedup within watermark keeps first per key") {
+    import spark.implicits._
+    val mem = MemoryStream[KinesisRecord](spark)
+    val deduped = StreamOps.dedupWithinWatermark(
+      mem.toDF(), "approximateArrivalTimestamp", "10 minutes", Seq("partitionKey"))
+    val q = deduped.writeStream.format("memory").queryName("so_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(rec("s0", 1, 1000, "a"), rec("s0", 2, 1010, "a"),
+        rec("s0", 3, 1020, "b"), rec("s0", 4, 1030, "a"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT partitionKey FROM so_dedup").collect().map(_.getString(0))
+      assert(keys.sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("tumbling window counts finalize when watermark passes") {
+    import spark.implicits._
+    val mem = MemoryStream[KinesisRecord](spark)
+    val counts = StreamOps.tumblingCounts(
+      mem.toDF(), "approximateArrivalTimestamp", "1 minute", "1 minute", Seq("partitionKey"))
+    val q = counts.writeStream.format("memory").queryName("so_win")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // window [0,60): 2 of a, 1 of b; then advance event time past
+      // watermark so the window closes
+      mem.addData(rec("s0", 1, 10, "a"), rec("s0", 2, 20, "a"), rec("s0", 3, 30, "b"))
+      q.processAllAvailable()
+      mem.addData(rec("s0", 4, 300, "a"))
+      q.processAllAvailable()
+      mem.addData(rec("s0", 5, 301, "a")) // nudges watermark commit
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT partitionKey, n FROM so_win").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)),
+        s"expected finalized first-minute windows, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("session windows split on gap") {
+    import spark.implicits._
+    val mem = MemoryStream[KinesisRecord](spark)
+    val sessions = StreamOps.sessionCounts(
+      mem.toDF(), "approximateArrivalTimestamp", "1 minute", "30 seconds", Seq("partitionKey"))
+    val q = sessions.writeStream.format("memory").queryName("so_sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // two bursts for key a separated by > gap, then advance watermark
+      mem.addData(rec("s0", 1, 10, "a"), rec("s0", 2, 15, "a"),
+        rec("s0", 3, 100, "a"))
+      q.processAllAvailable()
+      mem.addData(rec("s0", 4, 500, "a"))
+      q.processAllAvailable()
+      mem.addData(rec("s0", 5, 501, "a"))
+      q.processAllAvailable()
+      val ns = spark.sql("SELECT n FROM so_sess").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ns.take(2) == Seq(1L, 2L), s"expected sessions of 2 and 1, got $ns")
+    } finally q.stop()
+  }
+
+  test("query listener tracks progress like the reference's registry (O13)") {
+    import spark.implicits._
+    val listener = new GraftQueryListener
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[KinesisRecord](spark)
+      val q = mem.toDF().writeStream.format("memory").queryName("so_listener")
+        .trigger(Trigger.ProcessingTime(50)).start()
+      mem.addData(rec("s0", 1, 10, "a"), rec("s0", 2, 20, "b"))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(10000)
+      val deadline = System.currentTimeMillis() + 5000
+      var s = listener.snapshot.get("so_listener")
+      while ((s.isEmpty || s.exists(_.running)) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50); s = listener.snapshot.get("so_listener")
+      }
+      assert(s.isDefined, "listener missed the query")
+      assert(s.get.inputRows == 2, s"expected 2 input rows, got ${s.get}")
+      assert(!s.get.running, "termination not recorded")
+    } finally spark.streams.removeListener(listener)
+  }
+}
