@@ -34,6 +34,9 @@ object Similarity {
   private val LshTables = 8
   private val BitsPerTable = 8
   private val Dim = 64
+  // IVF: 16 cells, probe the 4 nearest (unit vectors → max dot = nearest).
+  private val IvfCells = 16
+  private val IvfNProbe = 4
   private val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(LshTables * BitsPerTable)(
@@ -79,6 +82,44 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .dropDuplicates("qid", "cid")
         .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("qid", "cid", "rnk", "score")
+        .orderBy("qid", "rnk")
+    }),
+
+    // IVF (inverted-file) ANN: KMeans coarse quantizer (seeded,
+    // deterministic), vectors bucketed by nearest centroid, probes
+    // search only their nprobe closest cells. The clustered-partition
+    // scale path complementing s02's hash-bucket path: at 100 TB the
+    // cell assignment is a write-time partition key, so a probe reads
+    // nprobe partitions instead of the corpus. Rows-only driver check;
+    // recall vs s01 asserted in DedupSimilaritySpec.
+    "s04_sim_ivf" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = vecs(s, dir).withColumn("fv", array_to_vector(col("v")))
+      val model = new KMeans().setK(IvfCells).setSeed(42).setFeaturesCol("fv")
+        .setPredictionCol("cell").fit(e)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq
+      val cents = s.createDataFrame(centroids).toDF("cell", "cv")
+        .withColumn("cv", col("cv").cast("array<double>"))
+      val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+      // each probe ranks centroids and keeps its nprobe closest cells
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell"))
+      val probeCells = q.crossJoin(broadcast(cents))
+        .withColumn("cdist", dot("qv", "cv"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= IvfNProbe)
+        .select(col("qid"), col("qv"), col("cell"))
+      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"), dot("qv", "v").as("score"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)

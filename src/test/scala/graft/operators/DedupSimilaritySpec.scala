@@ -76,6 +76,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(hits >= 1, "ANN found no overlap with brute-force top-5 at all")
   }
 
+  test("ivf finds mostly the same neighbors as brute force (recall sanity)") {
+    val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("s04_sim_ivf")(spark, dir)
+      .select("qid", "cid", "rnk").collect()
+    assert(ivf.nonEmpty)
+    // every query produced results, none self-matches
+    assert(ivf.map(_.getLong(0)).toSet.size == 10)
+    assert(ivf.forall(r => r.getLong(0) != r.getLong(1)))
+    // nprobe=4/16 cells should still recover a fair share of true top-5
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= ivf.length / 4, s"IVF recall collapsed: $hits/${ivf.length}")
+  }
+
   test("vector_dot matches an independent fold") {
     import spark.implicits._
     graft.functions.VectorDot.register(spark)
