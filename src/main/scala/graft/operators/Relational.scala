@@ -308,6 +308,29 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
+    // PIVOT: event_type values become columns (explicit value list for
+    // a deterministic schema).
+    "q24_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum("value"), 3))
+        .orderBy("day")
+    }),
+
+    // UNPIVOT (melt): wide measures back to long form.
+    "q25_unpivot" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_orderkey") % 501 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -517,6 +540,27 @@ object Relational {
          SELECT user_id, session_id, COUNT(*) AS n_events,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q24_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+         ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 3) AS click,
+         ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 3) AS view,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 3) AS purchase,
+         ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 3) AS signup,
+         ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 3) AS error
+         FROM events GROUP BY 1 ORDER BY day""",
+
+    "q25_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+           FROM lineitem WHERE l_orderkey % 501 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem WHERE l_orderkey % 501 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+           FROM lineitem WHERE l_orderkey % 501 = 0) x
+         ORDER BY l_orderkey, l_linenumber, measure""",
 
     "q23_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
