@@ -331,6 +331,38 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
 
+    // As-of join: each purchase paired with the user's most recent
+    // click at-or-before it. Composed from built-ins (union + running
+    // `last` over an event-time window) per the custom-operator ladder
+    // — no custom plan node needed; one shuffle on user_id. Oracle is
+    // DuckDB's native ASOF JOIN.
+    "q26_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+        .withColumn("prior_click_ts", last("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("prior_click_ts"))
+        .orderBy("purchase_id")
+    }),
+
+    // Sketch aggregates (HLL distinct, t-digest-style percentile):
+    // approximate by construction, so no cross-engine oracle —
+    // rows-only driver check; accuracy bounds asserted in
+    // SketchAccuracySpec.
+    "q27_sketches" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("acd_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -561,6 +593,13 @@ object Relational {
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
            FROM lineitem WHERE l_orderkey % 501 = 0) x
          ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "q26_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.ts AS prior_click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY purchase_id""",
 
     "q23_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,

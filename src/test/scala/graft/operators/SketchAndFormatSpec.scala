@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Accuracy bounds for the sketch aggregates (no oracle possible — HLL
+  * and percentile sketches differ across engines) and source/sink
+  * round-trips for the file formats the engine reads and writes.
+  */
+class SketchAndFormatSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("approx_count_distinct within 10% of exact; percentiles bracket the true median") {
+    val approx = SparkEntry.queries("q27_sketches")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("nd"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (nd, p50)) =>
+      val (acd, ap50, ap99) = approx(flag)
+      assert(math.abs(acd - nd).toDouble / nd < 0.10, s"$flag HLL off: $acd vs $nd")
+      assert(math.abs(ap50 - p50) / p50 < 0.10, s"$flag p50 off: $ap50 vs $p50")
+      assert(ap99 > ap50, s"$flag p99 <= p50")
+    }
+  }
+
+  test("csv/json/orc sinks round-trip the data (engine source+sink surface)") {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+    val expected = base.collect().toSeq
+    val tmp = Files.createTempDirectory("fmt").toString
+    // csv (header + explicit schema on read)
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val csv = spark.read.option("header", "true")
+      .schema(base.schema).csv(s"$tmp/csv").orderBy("o_orderkey")
+    assert(csv.collect().toSeq == expected, "csv round-trip mismatch")
+    // json
+    base.write.mode("overwrite").json(s"$tmp/json")
+    val json = spark.read.schema(base.schema).json(s"$tmp/json").orderBy("o_orderkey")
+    assert(json.collect().toSeq == expected, "json round-trip mismatch")
+    // orc
+    base.write.mode("overwrite").orc(s"$tmp/orc")
+    val orc = spark.read.orc(s"$tmp/orc").orderBy("o_orderkey")
+    assert(orc.collect().toSeq == expected, "orc round-trip mismatch")
+    // partitioned parquet write prunes on read
+    base.withColumn("bucket", (col("o_orderkey") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/part")
+    val pruned = spark.read.parquet(s"$tmp/part").filter(col("bucket") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == expected.count(r => r.getLong(0) % 4 == 1))
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket") ||
+      plan.contains("PartitionFilters: [(bucket"),
+      s"partition filter missing from scan:\n$plan")
+  }
+}
