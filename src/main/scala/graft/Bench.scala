@@ -11,9 +11,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JIT/codegen/classloading otherwise lands on
-    // whichever query happens to run first.
+    // whichever query happens to run first (incl. MLlib's one-time
+    // BLAS/class init, which the IVF query would otherwise absorb).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    locally {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(16).select(
+        array_to_vector(array(col("id").cast("double"), lit(0.0))).as("fv"))
+      new KMeans().setK(2).setSeed(1).setMaxIter(1).setFeaturesCol("fv").fit(tiny)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

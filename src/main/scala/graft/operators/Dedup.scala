@@ -148,12 +148,15 @@ object Dedup {
       val toks = documents(s, dir)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), WS)).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
+      // Branchless: count set bits per position; bit j of the simhash
+      // is 1 iff more than half the token hashes set it
+      // (sum of ±1 > 0  ⇔  2*ones > total).
       val bitSums: Seq[Column] = (0 until 64).map { j =>
-        sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
-      }
+        sum(expr(s"(h >> $j) & 1")).as(s"s$j")
+      } :+ count(lit(1)).as("n_toks")
       val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val simhash = (0 until 64).map { j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        when(col(s"s$j") * 2 > col("n_toks"), lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = perDoc.select(col("doc_id"), simhash.as("simhash"))
       val bands = sigs.select(col("doc_id"), col("simhash"),

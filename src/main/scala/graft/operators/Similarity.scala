@@ -100,8 +100,10 @@ object Similarity {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = vecs(s, dir).withColumn("fv", array_to_vector(col("v")))
-      val model = new KMeans().setK(IvfCells).setSeed(42).setFeaturesCol("fv")
-        .setPredictionCol("cell").fit(e)
+      // few iterations: the quantizer only needs rough cells, and
+      // training cost is per-query here
+      val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
       val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.toSeq)
       }.toSeq
