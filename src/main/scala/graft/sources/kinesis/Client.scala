@@ -54,6 +54,11 @@ trait KinesisLikeClient extends Serializable {
       afterSequence: Option[String]): String
   /** ≈ GetRecords with Limit (kinesis.go:180-183). */
   def getRecords(iterator: String, limit: Int): GetRecordsResult
+  /** ≈ PutRecord: append to the shard the partition key routes to;
+    * returns the assigned sequence number. (Producer side — beyond the
+    * consume-only reference, but expected of the engine's sink.)
+    */
+  def putRecord(streamName: String, partitionKey: String, data: Array[Byte]): String
   /** Planning helper: the sequence of the record `maxRecords` after
     * `afterSequence` (or the shard's last sequence if fewer remain),
     * plus whether the shard is closed. Lets the micro-batch planner cut
@@ -182,6 +187,14 @@ class FakeKinesisClient(expireEvery: Int = 0) extends KinesisLikeClient {
         else Some(s"$streamName|$shardId|$end|${FakeKinesisClient.epoch.get()}")
       GetRecordsResult(recs, next)
     }
+
+  override def putRecord(streamName: String, partitionKey: String,
+      data: Array[Byte]): String = FakeKinesisService.synchronized {
+    val open = stream(streamName).shards.values.filterNot(_.closed).toSeq
+    require(open.nonEmpty, s"stream $streamName has no open shards")
+    val shard = open(math.floorMod(partitionKey.hashCode, open.size))
+    FakeKinesisService.push(streamName, shard.shardId, partitionKey, data)
+  }
 
   override def sequenceAfter(streamName: String, shardId: String,
       afterSequence: Option[String], maxRecords: Int): (Option[String], Boolean) =

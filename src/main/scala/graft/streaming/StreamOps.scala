@@ -45,6 +45,29 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
+
+  /** Custom arbitrary state via flatMapGroupsWithState: per-key running
+    * totals emitted on every update — the API surface for state that
+    * windows/dedup can't express (the Spark analog of what a reference
+    * user would hand-roll inside their Handler with an external store).
+    * State per key is two longs; keys scale horizontally.
+    */
+  def runningTotals(ds: org.apache.spark.sql.Dataset[KinesisRecord]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.partitionKey)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: String, records: Iterator[KinesisRecord], state: GroupState[(Long, Long)]) =>
+          val (n0, bytes0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var bytes = bytes0
+          records.foreach { r => n += 1; bytes += r.data.length }
+          state.update((n, bytes))
+          Iterator.single((key, n, bytes))
+      }
+      .toDF("partitionKey", "n_records", "n_bytes")
+  }
 }
 
 /** O13 observability — the Spark-native replacement for the

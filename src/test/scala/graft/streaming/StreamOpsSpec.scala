@@ -73,6 +73,50 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[KinesisRecord](spark)
+    val totals = StreamOps.runningTotals(mem.toDS())
+    val q = totals.writeStream.format("memory").queryName("so_state")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(rec("s0", 1, 10, "a"), rec("s0", 2, 20, "a"), rec("s0", 3, 30, "b"))
+      q.processAllAvailable()
+      mem.addData(rec("s0", 4, 40, "a"))
+      q.processAllAvailable()
+      // latest emission per key reflects the full running total
+      val last = spark.sql(
+        "SELECT partitionKey, max(n_records) AS n FROM so_state GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == Map("a" -> 3L, "b" -> 1L), s"got $last")
+    } finally q.stop()
+  }
+
+  test("kinesis sink round-trips through the source (produce then consume)") {
+    import graft.sources.kinesis._
+    import spark.implicits._
+    FakeKinesisService.createStream("sink-rt", 2)
+    KinesisRegistry.clients.put("sink-fake", new FakeKinesisClient())
+    val mem = MemoryStream[(Array[Byte], String)](spark)
+    val wq = mem.toDF().toDF("data", "partitionKey")
+      .writeStream.foreach(new KinesisSink("sink-rt", "sink-fake"))
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(("one".getBytes, "k1"), ("two".getBytes, "k2"), ("three".getBytes, "k3"))
+      wq.processAllAvailable()
+    } finally wq.stop()
+    val rq = spark.readStream.format("kinesis-graft")
+      .option("streamName", "sink-rt").option("clientName", "sink-fake").load()
+      .writeStream.format("memory").queryName("so_sink_rt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      rq.processAllAvailable()
+      val got = spark.sql("SELECT data FROM so_sink_rt").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+      assert(got == Set("one", "two", "three"))
+    } finally rq.stop()
+  }
+
   test("query listener tracks progress like the reference's registry (O13)") {
     import spark.implicits._
     val listener = new GraftQueryListener
