@@ -148,15 +148,24 @@ object Dedup {
       val toks = documents(s, dir)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), WS)).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
-      // Branchless: count set bits per position; bit j of the simhash
-      // is 1 iff more than half the token hashes set it
-      // (sum of ±1 > 0  ⇔  2*ones > total).
-      val bitSums: Seq[Column] = (0 until 64).map { j =>
-        sum(expr(s"(h >> $j) & 1")).as(s"s$j")
+      // Packed bit voting: the 64 per-position counters are carried as
+      // 8 longs with 8-bit fields (8 positions each), so the aggregate
+      // is 8 sums + a count instead of 64 sums. Safe while every doc
+      // has < 256 tokens (documents cap at ~100); bit j of the simhash
+      // is 1 iff more than half the token hashes set it.
+      val packed: Seq[Column] = (0 until 8).map { k =>
+        val fields = (0 until 8).map { f =>
+          val j = k * 8 + f
+          s"(((h >> $j) & 1) << ${8 * f})"
+        }.mkString(" + ")
+        sum(expr(fields)).as(s"p$k")
       } :+ count(lit(1)).as("n_toks")
-      val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val perDoc = toks.groupBy("doc_id").agg(packed.head, packed.tail: _*)
       val simhash = (0 until 64).map { j =>
-        when(col(s"s$j") * 2 > col("n_toks"), lit(1L << j)).otherwise(lit(0L))
+        val k = j / 8
+        val f = j % 8
+        when(expr(s"(p$k >> ${8 * f}) & 255") * 2 > col("n_toks"), lit(1L << j))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = perDoc.select(col("doc_id"), simhash.as("simhash"))
       val bands = sigs.select(col("doc_id"), col("simhash"),
