@@ -349,6 +349,23 @@ object Relational {
         .orderBy("purchase_id")
     }),
 
+    // Collection (array) scalar functions — build, probe, sort, slice;
+    // scalar outputs only (array-valued result columns are not
+    // comparable across the oracle boundary).
+    "q28_collection_fns" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_orderkey") % 211 === 0)
+        .withColumn("arr", array(col("l_quantity"), col("l_discount"), col("l_tax")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          size(col("arr")).as("n_items"),
+          array_contains(col("arr"), 0.0).as("has_zero"),
+          element_at(sort_array(col("arr"), asc = false), 1).as("biggest"),
+          element_at(sort_array(col("arr")), 1).as("smallest"),
+          element_at(slice(sort_array(col("arr")), 2, 1), 1).as("middle"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Sketch aggregates (HLL distinct, t-digest-style percentile):
     // approximate by construction, so no cross-engine oracle —
     // rows-only driver check; accuracy bounds asserted in
@@ -593,6 +610,18 @@ object Relational {
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
            FROM lineitem WHERE l_orderkey % 501 = 0) x
          ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "q28_collection_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(len(arr) AS INTEGER) AS n_items,
+         list_contains(arr, 0.0) AS has_zero,
+         list_sort(arr)[3] AS biggest,
+         list_sort(arr)[1] AS smallest,
+         list_sort(arr)[2] AS middle
+         FROM (SELECT l_orderkey, l_linenumber,
+                 [l_quantity, l_discount, l_tax] AS arr
+               FROM lineitem WHERE l_orderkey % 211 = 0) x
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q26_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.ts AS prior_click_ts

@@ -129,6 +129,10 @@ object Similarity {
         .orderBy("qid", "rnk")
     }),
 
+    // Per-label centroid via the typed VectorAvg Aggregator (UDAF
+    // surface); long-form output for the oracle.
+    "s05_label_centroid" -> ((s, dir) => labelCentroid(s, dir)),
+
     // Embedding-cosine near-duplicate pairs above a threshold — the
     // embedding-space variant of Dedup. Exact all-pairs here (correct
     // baseline); at scale the LSH bucket join of s02 prunes candidates.
@@ -143,6 +147,22 @@ object Similarity {
     })
   )
 
+  /** queries entry: per-label centroid via the typed [[graft.functions.VectorAvg]]
+    * Aggregator (UDAF surface), emitted long-form for the oracle.
+    */
+  private def labelCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir).select(col("label"), col("v")).as[(Int, Array[Double])]
+    e.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAvg.toColumn)
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(col("col"), 6).as("cval"))
+      .orderBy("label", "dim")
+  }
+
   def oracles: Map[String, String] = Map(
     "s01_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -154,6 +174,14 @@ object Similarity {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
                FROM d)
          SELECT qid, cid, rnk, score FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+
+    "s05_label_centroid" ->
+      """SELECT label, CAST(dim AS INTEGER) AS dim, ROUND(AVG(v), 6) AS cval
+         FROM (SELECT label,
+                 unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+               FROM embeddings) x
+         GROUP BY label, dim ORDER BY label, dim""",
 
     "s03_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -53,6 +53,7 @@ class GraftConsumer(val option: GraftOption) {
   private var handlerOpt: Option[KinesisRecord => Unit] = None
   private var policy: ErrorPolicy = ErrorPolicy.SkipAndLog
   private var checkpointLoc: Option[String] = None
+  private var onErrorOpt: Option[(KinesisRecord, Throwable) => Unit] = None
   @volatile private var queryOpt: Option[StreamingQuery] = None
   @volatile private var errorsAcc: LongAccumulator = _
 
@@ -63,6 +64,12 @@ class GraftConsumer(val option: GraftOption) {
   /** ≈ SetSaver (kinesis.go:242-245). */
   def setSaver(s: SequenceSaver): this.type = { saverOpt = Some(s); this }
   def errorPolicy(p: ErrorPolicy): this.type = { policy = p; this }
+  /** Dead-letter hook under SkipAndLog: sees each skipped record and
+    * its error (e.g. route to a DLQ sink). Runs on executors — must be
+    * serializable; its own failures are swallowed so it cannot block
+    * progress (the property SkipAndLog exists to guarantee).
+    */
+  def onError(f: (KinesisRecord, Throwable) => Unit): this.type = { onErrorOpt = Some(f); this }
   def checkpointLocation(path: String): this.type = { checkpointLoc = Some(path); this }
 
   /** Handler errors skipped so far (only counts under SkipAndLog) —
@@ -85,6 +92,7 @@ class GraftConsumer(val option: GraftOption) {
     errorsAcc = acc
     val pol = policy
     val saver = saverOpt
+    val onErr = onErrorOpt
     val streamName = option.streamName
 
     import spark.implicits._
@@ -105,7 +113,9 @@ class GraftConsumer(val option: GraftOption) {
               try h(rec)
               catch {
                 case e: Throwable => pol match {
-                  case ErrorPolicy.SkipAndLog => acc.add(1) // kinesis.go:194-197
+                  case ErrorPolicy.SkipAndLog => // kinesis.go:194-197
+                    acc.add(1)
+                    onErr.foreach(f => try f(rec, e) catch { case _: Throwable => () })
                   case ErrorPolicy.Fail => throw e
                 }
               }

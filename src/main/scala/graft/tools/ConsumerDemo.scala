@@ -13,6 +13,7 @@ import graft.streaming._
   */
 object ConsumerDemo {
   @volatile var processed = 0L
+  @volatile var deadLettered = 0L
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -40,6 +41,7 @@ object ConsumerDemo {
       .sleepLimit(200.millis)
       .setSaver(new RetryingSaver(saver))
       .errorPolicy(ErrorPolicy.SkipAndLog)
+      .onError((_, _) => ConsumerDemo.deadLettered += 1)
       .handle { r =>
         if (new String(r.data, "UTF-8").contains("\"k\": 13")) sys.error("poison record")
         processed += 1
@@ -48,6 +50,7 @@ object ConsumerDemo {
     q.processAllAvailable()
     println("PROCESSED=" + processed)
     println("SKIPPED=" + consumer.errorCount)
+    println("DEAD_LETTERED=" + deadLettered)
     (0 until 4).foreach(i =>
       println(s"CKPT shardId-$i = " + saver.get("replay-stream", s"shardId-$i")))
     println("CLEAN_SHUTDOWN=" + consumer.shutdown(30.seconds))

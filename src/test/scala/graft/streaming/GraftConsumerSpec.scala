@@ -10,10 +10,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSuite
 
 object HandlerSink {
-  // Handler closures run in executor threads (local mode: same JVM) —
-  // collect observations in a static concurrent queue.
+  // Handler closures run in executor threads (local mode: same JVM),
+  // but task closures are still SERIALIZED — captured locals become
+  // copies. Statics resolve at deserialization, so observations land
+  // in the original.
   val seen = new ConcurrentLinkedQueue[(String, String)]() // (shardId, seq)
-  def clear(): Unit = seen.clear()
+  val dlq = new ConcurrentLinkedQueue[(String, String)]() // (payload, error)
+  def clear(): Unit = { seen.clear(); dlq.clear() }
 }
 
 class GraftConsumerSpec extends SparkSuite {
@@ -80,6 +83,31 @@ class GraftConsumerSpec extends SparkSuite {
       assert(seqs == List(f"${1}%09d", f"${3}%09d")) // 2 skipped, order kept
       // checkpoint advanced past the failing record — reference semantics
       assert(saver.get("test-stream", "shard-0").contains(f"${3}%09d"))
+    } finally assert(consumer.shutdown(30.seconds))
+  }
+
+  test("onError dead-letter hook sees skipped records; its own failures don't block") {
+    import spark.implicits._
+    HandlerSink.clear()
+    val mem = MemoryStream[KinesisRecord](spark)
+    val consumer = GraftConsumer(GraftOption().withStreamName("test-stream"))
+      .sleepLimit(100.millis)
+      .errorPolicy(ErrorPolicy.SkipAndLog)
+      .onError { (r, e) =>
+        HandlerSink.dlq.add((new String(r.data, "UTF-8"), e.getMessage))
+        sys.error("dlq also broken") // must be swallowed
+      }
+      .handle { r =>
+        if (new String(r.data, "UTF-8") == "payload-2") sys.error("boom")
+        HandlerSink.seen.add((r.shardId, r.sequenceNumber))
+      }
+    val q = consumer.run(mem.toDF())
+    try {
+      mem.addData(rec("shard-0", 1), rec("shard-0", 2), rec("shard-0", 3))
+      q.processAllAvailable()
+      assert(consumer.errorCount == 1)
+      assert(HandlerSink.dlq.asScala.toList == List(("payload-2", "boom")))
+      assert(HandlerSink.seen.size() == 2) // others still processed
     } finally assert(consumer.shutdown(30.seconds))
   }
 
