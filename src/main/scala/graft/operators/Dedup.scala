@@ -30,19 +30,19 @@ object Dedup {
     * join/blocking key; collision odds are ~2^-64 so results match the
     * string-shingle DuckDB oracle.
     */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
-      .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), WS)))
-      .toDF("doc_id", "pos", "tok")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    toks
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("tok"), col("t1"), col("t2")).as("h"))
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("toks"))
+      .withColumn("t1s", expr("slice(toks, 2, size(toks))"))
+      .withColumn("t2s", expr("slice(toks, 3, size(toks))"))
+      // arrays_zip + slice are plain expressions (not lambda HOFs), so
+      // the generator stays in codegen and pays no shuffle — unlike the
+      // window-lead formulation (one exchange+sort per use) or
+      // explode(transform(...)) (per-output-row lambda re-evaluation).
+      .select(col("doc_id"), explode(arrays_zip(col("toks"), col("t1s"), col("t2s"))).as("z"))
+      .filter(col("z.t2s").isNotNull)
+      .select(col("doc_id"), xxhash64(col("z.toks"), col("z.t1s"), col("z.t2s")).as("h"))
       .dropDuplicates("doc_id", "h")
-  }
 
   /** Exact pairwise Jaccard over a candidate pair set (doc_a, doc_b). */
   private def withJaccard(pairsInter: DataFrame, counts: DataFrame): DataFrame = {
