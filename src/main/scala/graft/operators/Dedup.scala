@@ -140,6 +140,39 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Near-dup clusters: connected components over the d03 pair graph,
+    // labels = min doc_id per component — the "keep one canonical doc
+    // per duplicate group" primitive. Iterative min-label propagation
+    // (converges in <= diameter rounds; at 100 TB the same loop runs
+    // as alternating star contractions). Oracle: recursive-CTE
+    // transitive closure in DuckDB.
+    "d06_dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("d03_dedup_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val propagated = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
+        val changed = propagated.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        labels = propagated
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: 64-bit signature from token hashes; pairs
     // with Hamming distance <= 3. Blocking on 4 × 16-bit bands is
     // LOSSLESS for distance <= 3 (pigeonhole: 3 flipped bits touch at
@@ -212,6 +245,34 @@ object Dedup {
          JOIN counts ca ON ca.doc_id = doc_a
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         good AS (
+           SELECT doc_a, doc_b FROM prs
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM good
+               UNION SELECT doc_b, doc_a FROM good),
+         tc(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a)
+         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM tc GROUP BY a ORDER BY doc_id"""
   )
 }
