@@ -59,6 +59,10 @@ object Dedup {
   private val NumPerms = 64
   private val Bands = 16
   private val RowsPerBand = NumPerms / Bands
+  // SimHash samples at most this many leading tokens per document —
+  // bounds the packed 16-bit vote counters (capacity 65535) and the
+  // per-doc work at any document length.
+  private val SimHashMaxToks = 4096
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on the raw text. One shuffle; at 100 TB the
@@ -149,18 +153,26 @@ object Dedup {
     "d06_dedup_clusters" -> ((s, dir) => {
       val pairs = queries("d03_dedup_ngram_jaccard")(s, dir)
         .select(col("doc_a"), col("doc_b"))
+      // Materialize the pair graph once (localCheckpoint truncates
+      // lineage, so iterations don't re-run the d03 shingle join, and
+      // each round's plan stays flat instead of nesting). On a real
+      // cluster this would be a reliable checkpoint dir.
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
+        .localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
+        .localCheckpoint()
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIters = 50
+      while (!converged && iter < maxIters) {
         val propagated = edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("label"))
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint()
         val changed = propagated.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .filter(col("n.label") =!= col("o.label"))
@@ -169,6 +181,9 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      require(converged,
+        s"d06 label propagation did not converge in $maxIters iterations " +
+          "(component diameter too large) — refusing to emit split clusters")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -179,25 +194,28 @@ object Dedup {
     // most 3 of 4 bands), so the result is exact. Rows-only check.
     "d05_dedup_simhash" -> ((s, dir) => {
       val toks = documents(s, dir)
-        .select(col("doc_id"), explode(split(trim(lower(col("text"))), WS)).as("tok"))
+        .select(col("doc_id"), explode(
+          slice(split(trim(lower(col("text"))), WS), 1, SimHashMaxToks)).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       // Packed bit voting: the 64 per-position counters are carried as
-      // 8 longs with 8-bit fields (8 positions each), so the aggregate
-      // is 8 sums + a count instead of 64 sums. Safe while every doc
-      // has < 256 tokens (documents cap at ~100); bit j of the simhash
-      // is 1 iff more than half the token hashes set it.
-      val packed: Seq[Column] = (0 until 8).map { k =>
-        val fields = (0 until 8).map { f =>
-          val j = k * 8 + f
-          s"(((h >> $j) & 1) << ${8 * f})"
+      // 16 longs with 16-bit fields (4 positions each), so the
+      // aggregate is 16 sums + a count instead of 64 sums. Fields hold
+      // counts up to 65535; the signature samples at most SimHashMaxToks
+      // tokens per doc (standard practice — the prefix fingerprints the
+      // doc) so a field can never overflow into its neighbor. Bit j of
+      // the simhash is 1 iff more than half the sampled hashes set it.
+      val packed: Seq[Column] = (0 until 16).map { k =>
+        val fields = (0 until 4).map { f =>
+          val j = k * 4 + f
+          s"(((h >> $j) & 1) << ${16 * f})"
         }.mkString(" + ")
         sum(expr(fields)).as(s"p$k")
       } :+ count(lit(1)).as("n_toks")
       val perDoc = toks.groupBy("doc_id").agg(packed.head, packed.tail: _*)
       val simhash = (0 until 64).map { j =>
-        val k = j / 8
-        val f = j % 8
-        when(expr(s"(p$k >> ${8 * f}) & 255") * 2 > col("n_toks"), lit(1L << j))
+        val k = j / 4
+        val f = j % 4
+        when(expr(s"(p$k >> ${16 * f}) & 65535") * 2 > col("n_toks"), lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = perDoc.select(col("doc_id"), simhash.as("simhash"))

@@ -337,11 +337,15 @@ object Relational {
     // — no custom plan node needed; one shuffle on user_id. Oracle is
     // DuckDB's native ASOF JOIN.
     "q26_asof_join" -> ((s, dir) => {
+      // kind sorts clicks before purchases at equal timestamps so a
+      // same-ts click is visible to the purchase, matching ASOF's
+      // `p.ts >= c.ts` (inclusive) semantics regardless of event ids.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
         .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
         .withColumn("prior_click_ts", last("click_ts", ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase")

@@ -160,7 +160,7 @@ class FakeKinesisClient(expireEvery: Int = 0) extends KinesisLikeClient {
     val sh = stream(streamName).shards(shardId)
     val idx = afterSequence match {
       case None => 0
-      case Some(seq) => sh.records.indexWhere(_.sequenceNumber > seq) match {
+      case Some(seq) => sh.records.indexWhere(r => !SequenceOrder.leq(r.sequenceNumber, seq)) match {
         case -1 => sh.records.length
         case i => i
       }
@@ -202,7 +202,7 @@ class FakeKinesisClient(expireEvery: Int = 0) extends KinesisLikeClient {
       val sh = stream(streamName).shards(shardId)
       val from = afterSequence match {
         case None => 0
-        case Some(seq) => sh.records.indexWhere(_.sequenceNumber > seq) match {
+        case Some(seq) => sh.records.indexWhere(r => !SequenceOrder.leq(r.sequenceNumber, seq)) match {
           case -1 => sh.records.length
           case i => i
         }

@@ -20,6 +20,16 @@ object KinesisRegistry {
   val clients: TrieMap[String, KinesisLikeClient] = TrieMap.empty
 }
 
+/** Numeric order for opaque digit-string sequence numbers of any
+  * length: (length, value) — "99" < "100". AWS sequences are
+  * fixed-width so plain string order would happen to work, but custom
+  * clients (clientClass option) may not pad.
+  */
+object SequenceOrder {
+  def leq(a: String, b: String): Boolean =
+    a.length < b.length || (a.length == b.length && a <= b)
+}
+
 /** One micro-batch work unit: a shard slice (start, end] by sequence. */
 case class KinesisInputPartition(
     streamName: String,
@@ -64,7 +74,8 @@ class KinesisMicroBatchStream(
       val saved = saver.flatMap(_.get(streamName, sh.shardId))
       sh.shardId -> saved.getOrElse("") // "" = TRIM_HORIZON (sequence.go:83-86)
     }.toMap
-    KinesisOffset(gateChildren(positions, shards))
+    // gate against the same (pre-batch) positions: nothing consumed yet
+    KinesisOffset(gateChildren(positions, shards, basis = positions))
   }
 
   override def latestOffset(): Offset =
@@ -83,9 +94,19 @@ class KinesisMicroBatchStream(
     // kinesis.go:198-201.)
     syncSaver(startPos)
     val shards = client.listShards(streamName)
+    // Admission cap divides over shards that can still produce rows —
+    // closed shards linger in listShards forever after resharding and
+    // must not dilute live shards' share.
+    val producing = shards.count { sh =>
+      !sh.closed || {
+        val pos = startPos.get(sh.shardId).filter(_.nonEmpty)
+        val (lastOpt, _) = client.sequenceAfter(streamName, sh.shardId, pos, 1)
+        lastOpt.exists(l => !pos.exists(p => seqLeq(l, p))) // undrained remainder
+      }
+    }
     val perShard = limit match {
       case r: ReadMaxRows =>
-        math.max(1, (r.maxRows() / math.max(1, shards.size)).toInt)
+        math.max(1, (r.maxRows() / math.max(1, producing)).toInt)
       case _ => maxRecordsPerFetch
     }
     val shardsById = shards.map(s => s.shardId -> s).toMap
@@ -100,25 +121,33 @@ class KinesisMicroBatchStream(
       // (Their saver entry is still deleted in commit(), O8.)
       shardId -> lastOpt.getOrElse("")
     }.toMap
-    KinesisOffset(gateChildren(positions, shards))
+    // Children are gated against the START positions: a child may only
+    // enter the offset map once its parent was fully consumed by a
+    // PREVIOUS (committed) batch — never in the same batch that reads
+    // the parent's tail, which would let a downstream observer see
+    // child records before the parent's final ones.
+    KinesisOffset(gateChildren(positions, shards, basis = startPos))
   }
 
-  /** Kinesis ordering: a child shard enters the offset map only once
-    * its parent is gone from it (drained + dropped).
+  private def seqLeq(a: String, b: String): Boolean = SequenceOrder.leq(a, b)
+
+  /** Kinesis ordering: a child shard enters the offset map only when
+    * its parent — judged by the `basis` positions (what has already
+    * been consumed) — is fully drained.
     */
   private def gateChildren(positions: Map[String, String],
-      shards: Seq[ShardInfo]): Map[String, String] = {
+      shards: Seq[ShardInfo], basis: Map[String, String]): Map[String, String] = {
     val byId = shards.map(s => s.shardId -> s).toMap
     positions.filter { case (shardId, _) =>
       byId.get(shardId).flatMap(_.parentShardId) match {
-        case Some(parent) => !positions.contains(parent) || {
-          // parent still listed: allow child only if parent is drained
-          // (closed and its position is at its end)
-          val pp = positions.get(parent)
+        case Some(parent) =>
+          val pp = basis.get(parent)
           val (lastOpt, closed) =
             client.sequenceAfter(streamName, parent, pp.filter(_.nonEmpty), 1)
-          closed && pp.exists(p => lastOpt.forall(_ <= p))
-        }
+          val parentEmpty = closed && pp.forall(_.isEmpty) && lastOpt.isEmpty
+          val parentDrained = closed &&
+            pp.exists(p => p.nonEmpty && lastOpt.forall(l => seqLeq(l, p)))
+          parentEmpty || parentDrained || !byId.contains(parent)
         case None => true
       }
     }
@@ -159,7 +188,7 @@ class KinesisMicroBatchStream(
       if (seq.nonEmpty) {
         val (lastOpt, closed) =
           client.sequenceAfter(streamName, shardId, Some(seq), 1)
-        val drained = closed && lastOpt.forall(_ <= seq)
+        val drained = closed && lastOpt.forall(l => seqLeq(l, seq))
         if (!lastSynced.get(shardId).contains((seq, drained))) {
           if (drained) sv.del(streamName, shardId)
           else sv.set(streamName, shardId, seq)
@@ -204,7 +233,7 @@ class KinesisPartitionReader(p: KinesisInputPartition, client: KinesisLikeClient
     while (!done) {
       if (buffer.hasNext) {
         val rec = buffer.next()
-        if (rec.sequenceNumber <= p.endSequence) {
+        if (SequenceOrder.leq(rec.sequenceNumber, p.endSequence)) {
           current = rec
           lastConsumed = Some(rec.sequenceNumber)
           if (rec.sequenceNumber == p.endSequence) done = true

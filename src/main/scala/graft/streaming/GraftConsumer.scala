@@ -96,42 +96,51 @@ class GraftConsumer(val option: GraftOption) {
     val streamName = option.streamName
 
     import spark.implicits._
+    val runBatch: DataFrame => Unit = { batch =>
+      val ds: Dataset[KinesisRecord] = batch
+        .select(KinesisRecord.schema.fieldNames.map(col).toSeq: _*)
+        .as[KinesisRecord]
+      // Per-shard order: hash all of a shard's records into one
+      // partition, sort by sequence inside it (kinesis.go:173-212
+      // guarantees the same via one goroutine per shard).
+      ds.repartition(col("shardId"))
+        .sortWithinPartitions(col("shardId"), length(col("sequenceNumber")), col("sequenceNumber"))
+        .foreachPartition { (it: Iterator[KinesisRecord]) =>
+          it.foreach { rec =>
+            try h(rec)
+            catch {
+              case e: Throwable => pol match {
+                case ErrorPolicy.SkipAndLog => // kinesis.go:194-197
+                  acc.add(1)
+                  onErr.foreach(f => try f(rec, e) catch { case _: Throwable => () })
+                case ErrorPolicy.Fail => throw e
+              }
+            }
+          }
+        }
+      // Batch-granularity checkpoint (kinesis.go:198-201): one write
+      // per shard with the batch's last sequence. (length, value)
+      // ordering = numeric order for digit-string sequences.
+      saver.foreach { sv =>
+        batch.groupBy("streamName", "shardId")
+          .agg(max(struct(length(col("sequenceNumber")).as("l"),
+            col("sequenceNumber").as("s"))).as("m"))
+          .select(col("streamName"), col("shardId"), col("m.s").as("seq"))
+          .collect()
+          .foreach(r => sv.set(r.getString(0), r.getString(1), r.getString(2)))
+      }
+    }
     val writer = stream.writeStream
       .queryName(s"graft-consumer-$streamName")
       .trigger(Trigger.ProcessingTime(sleep.toMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ds: Dataset[KinesisRecord] = batch
-          .select(KinesisRecord.schema.fieldNames.map(col).toSeq: _*)
-          .as[KinesisRecord]
-        // Per-shard order: hash all of a shard's records into one
-        // partition, sort by sequence inside it (kinesis.go:173-212
-        // guarantees the same via one goroutine per shard).
-        ds.repartition(col("shardId"))
-          .sortWithinPartitions(col("shardId"), length(col("sequenceNumber")), col("sequenceNumber"))
-          .foreachPartition { (it: Iterator[KinesisRecord]) =>
-            it.foreach { rec =>
-              try h(rec)
-              catch {
-                case e: Throwable => pol match {
-                  case ErrorPolicy.SkipAndLog => // kinesis.go:194-197
-                    acc.add(1)
-                    onErr.foreach(f => try f(rec, e) catch { case _: Throwable => () })
-                  case ErrorPolicy.Fail => throw e
-                }
-              }
-            }
-          }
-        // Batch-granularity checkpoint (kinesis.go:198-201): one write
-        // per shard with the batch's last sequence. (length, value)
-        // ordering = numeric order for digit-string sequences.
-        saver.foreach { sv =>
-          batch.groupBy("streamName", "shardId")
-            .agg(max(struct(length(col("sequenceNumber")).as("l"),
-              col("sequenceNumber").as("s"))).as("m"))
-            .select(col("streamName"), col("shardId"), col("m.s").as("seq"))
-            .collect()
-            .foreach(r => sv.set(r.getString(0), r.getString(1), r.getString(2)))
-        }
+        // Two actions follow (handler pass + checkpoint aggregation):
+        // persist so the micro-batch is fetched from the source once,
+        // not re-planned per action (a real service would otherwise
+        // see double the GetRecords traffic).
+        batch.persist()
+        try runBatch(batch)
+        finally batch.unpersist()
       }
     checkpointLoc.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()

@@ -12,8 +12,8 @@ import graft.streaming._
   * (README.md:33-59): option → handler → saver → run → shutdown.
   */
 object ConsumerDemo {
-  @volatile var processed = 0L
-  @volatile var deadLettered = 0L
+  val processed = new java.util.concurrent.atomic.AtomicLong(0)
+  val deadLettered = new java.util.concurrent.atomic.AtomicLong(0)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -41,16 +41,16 @@ object ConsumerDemo {
       .sleepLimit(200.millis)
       .setSaver(new RetryingSaver(saver))
       .errorPolicy(ErrorPolicy.SkipAndLog)
-      .onError((_, _) => ConsumerDemo.deadLettered += 1)
+      .onError((_, _) => ConsumerDemo.deadLettered.incrementAndGet())
       .handle { r =>
         if (new String(r.data, "UTF-8").contains("\"k\": 13")) sys.error("poison record")
-        processed += 1
+        processed.incrementAndGet()
       }
     val q = consumer.run(src)
     q.processAllAvailable()
-    println("PROCESSED=" + processed)
+    println("PROCESSED=" + processed.get())
     println("SKIPPED=" + consumer.errorCount)
-    println("DEAD_LETTERED=" + deadLettered)
+    println("DEAD_LETTERED=" + deadLettered.get())
     (0 until 4).foreach(i =>
       println(s"CKPT shardId-$i = " + saver.get("replay-stream", s"shardId-$i")))
     println("CLEAN_SHUTDOWN=" + consumer.shutdown(30.seconds))

@@ -70,10 +70,10 @@ object SourceProbe {
     val consumer = graft.streaming.GraftConsumer(
         graft.streaming.GraftOption().withStreamName("probe"))
       .sleepLimit(scala.concurrent.duration.Duration(100, "ms"))
-      .handle(r => SourceDemo.synchronized { ConsumerDemo.processed += 1 })
+      .handle(r => SourceDemo.synchronized { ConsumerDemo.processed.incrementAndGet() })
     val q3 = consumer.run(src)
     q3.processAllAvailable()
-    println("PIPELINE_PROCESSED=" + ConsumerDemo.processed)
+    println("PIPELINE_PROCESSED=" + ConsumerDemo.processed.get())
     consumer.shutdown(scala.concurrent.duration.Duration(30, "s"))
     spark.stop()
   }

@@ -130,6 +130,36 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("children never enter a batch before the parent's final records are committed") {
+    freshStream("s7", 1)
+    val pSeqs = (1 to 6).map(i =>
+      FakeKinesisService.push("s7", "shardId-000000000000", "pk", s"p$i".getBytes))
+    val (c1, c2) = FakeKinesisService.splitShard("s7", "shardId-000000000000")
+    FakeKinesisService.push("s7", c1, "pk", "x1".getBytes)
+    FakeKinesisService.push("s7", c2, "pk", "y1".getBytes)
+    // parent needs 3 batches at 2 records each — children must wait
+    val q = runToMemory(readSource("s7", Map("maxRecordsPerFetch" -> "2")), "t_gate")
+    try {
+      val got = spark.sql("SELECT data FROM t_gate").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+      assert(got == Set("p1", "p2", "p3", "p4", "p5", "p6", "x1", "y1"))
+      val offsets = q.recentProgress.toSeq
+        .flatMap(p => Option(p.sources.head.endOffset))
+        .distinct.map(KinesisOffset.fromJson)
+      // every offset that admits a child has the parent at its final
+      // sequence — i.e. the parent's tail was planned in an EARLIER batch
+      offsets.foreach { o =>
+        val hasChild = o.positions.contains(c1) || o.positions.contains(c2)
+        if (hasChild)
+          assert(o.positions.get("shardId-000000000000").contains(pSeqs.last),
+            s"child admitted before parent drained: ${o.positions}")
+      }
+      assert(offsets.exists(o => !o.positions.contains(c1) &&
+        o.positions.get("shardId-000000000000").contains(pSeqs.last)),
+        "expected an intermediate batch that drains the parent without children")
+    } finally q.stop()
+  }
+
   test("iterator expiry is survived without loss or duplication (kinesis.go:184-191, O11)") {
     FakeKinesisService.createStream("s6", 1)
     KinesisRegistry.clients.put("flaky", new FakeKinesisClient(expireEvery = 3))
