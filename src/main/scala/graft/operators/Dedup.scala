@@ -164,21 +164,26 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
+      // Min-label propagation only ever DECREASES labels, so the label
+      // sum is strictly monotone until fixpoint — one cheap aggregate
+      // per round detects convergence without a join.
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      def propagate(l: org.apache.spark.sql.DataFrame) =
+        edges.join(l, edges("src") === l("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(l)
+          .groupBy("id").agg(min("label").as("label"))
       var converged = false
       var iter = 0
       val maxIters = 50
+      var prevSum = labelSum(labels)
       while (!converged && iter < maxIters) {
-        val propagated = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-          .union(labels)
-          .groupBy("id").agg(min("label").as("label"))
-          .localCheckpoint()
-        val changed = propagated.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
+        val propagated = propagate(labels).localCheckpoint()
+        val newSum = labelSum(propagated)
         labels = propagated
-        converged = changed == 0
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
         iter += 1
       }
       require(converged,

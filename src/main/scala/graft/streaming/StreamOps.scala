@@ -46,6 +46,27 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval join: each left record matched to right
+    * records with the same key whose event time falls in
+    * [left.ts, left.ts + within]. Both sides carry watermarks so the
+    * join state is bounded (Spark drops buffered rows once the
+    * watermark passes the interval). Output columns are prefixed
+    * l_/r_ to avoid envelope-name collisions.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, within: String, watermark: String): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+      col("sequenceNumber").as("l_seq"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(
+      col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+      col("sequenceNumber").as("r_seq"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+  }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-key running
     * totals emitted on every update — the API surface for state that
     * windows/dedup can't express (the Spark analog of what a reference

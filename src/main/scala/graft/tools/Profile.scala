@@ -13,8 +13,9 @@ object Profile {
       println(s"TIMER $label: ${(System.nanoTime() - t0) / 1e9}"); r
     }
     for (name <- args) {
-      val q = graft.SparkEntry.queries(name)(spark, dir)
-      time(name) { q.count() }
+      // time construction too: iterative operators (d06) run driver-
+      // coordinated actions while the query is being built
+      time(name) { graft.SparkEntry.queries(name)(spark, dir).count() }
     }
     spark.stop()
   }

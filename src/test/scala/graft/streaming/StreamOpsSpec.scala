@@ -73,6 +73,28 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, drops outside") {
+    import spark.implicits._
+    val lmem = MemoryStream[KinesisRecord](spark)
+    val rmem = MemoryStream[KinesisRecord](spark)
+    val joined = StreamOps.intervalJoin(lmem.toDF(), rmem.toDF(),
+      "partitionKey", "approximateArrivalTimestamp",
+      within = "30 seconds", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("so_ij")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      lmem.addData(rec("s0", 1, 100, "a"), rec("s0", 2, 100, "b"))
+      rmem.addData(
+        rec("s1", 10, 110, "a"), // within 30s of a@100 -> match
+        rec("s1", 11, 200, "a"), // outside -> no match
+        rec("s1", 12, 90, "b"))  // before left ts -> no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_key, l_seq, r_seq FROM so_ij").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(("a", f"${1}%09d", f"${10}%09d")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     val mem = MemoryStream[KinesisRecord](spark)
