@@ -19,16 +19,13 @@ object Dedup {
 
   private val WS = "\\s+"
 
-  /** One row per (doc_id, distinct 3-word-shingle hash).
-    *
-    * Deliberately avoids `explode(transform(...))`: a generator over a
-    * lambda-HOF array falls out of whole-stage codegen and re-evaluates
-    * the lambda per emitted row (measured 9.5s vs 0.3s at sf0.1).
-    * Instead: posexplode tokens (codegen'd generator over a plain
-    * array), window `lead` to form trigrams, xxhash64 them directly —
-    * no intermediate shingle strings, no HOFs. The 64-bit hash is the
-    * join/blocking key; collision odds are ~2^-64 so results match the
-    * string-shingle DuckDB oracle.
+  /** One row per (doc_id, distinct 3-word-shingle hash): trigrams via
+    * slice + arrays_zip (each token zipped with its two successors),
+    * hashed directly — no intermediate shingle strings. The inputs to
+    * the generator are plain expressions, keeping it inside whole-stage
+    * codegen with no shuffle; see the inline comment for the rejected
+    * alternatives. The 64-bit hash is the join/blocking key; collision
+    * odds are ~2^-64 so results match the string-shingle DuckDB oracle.
     */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -43,6 +40,24 @@ object Dedup {
       .filter(col("z.t2s").isNotNull)
       .select(col("doc_id"), xxhash64(col("z.toks"), col("z.t1s"), col("z.t2s")).as("h"))
       .dropDuplicates("doc_id", "h")
+
+  /** Unsorted core of d03: exact n-gram Jaccard near-dup pairs via
+    * LOSSLESS shared-shingle blocking — any pair with J >= t shares at
+    * least one shingle, so the shingle equi-join yields a superset and
+    * the exact Jaccard filter finishes it. No cross join anywhere.
+    * (d06 consumes this directly to avoid paying d03's global sort.)
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleHashes(s, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, counts)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** Exact pairwise Jaccard over a candidate pair set (doc_a, doc_b). */
   private def withJaccard(pairsInter: DataFrame, counts: DataFrame): DataFrame = {
@@ -90,18 +105,8 @@ object Dedup {
     // blocking: any pair with J >= t shares at least one shingle, so the
     // shingle equi-join produces a superset of the answer and the exact
     // Jaccard filter finishes it. No cross join anywhere.
-    "d03_dedup_ngram_jaccard" -> ((s, dir) => {
-      val ex = shingleHashes(s, dir)
-      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = ex.as("a").join(ex.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      withJaccard(inter, counts)
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "d03_dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // MinHash + LSH banding: 64 perms, 16 bands × 4 rows. Candidates
     // come from band-bucket equi-joins; exact Jaccard verifies. The
@@ -151,8 +156,7 @@ object Dedup {
     // as alternating star contractions). Oracle: recursive-CTE
     // transitive closure in DuckDB.
     "d06_dedup_clusters" -> ((s, dir) => {
-      val pairs = queries("d03_dedup_ngram_jaccard")(s, dir)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       // Materialize the pair graph once (localCheckpoint truncates
       // lineage, so iterations don't re-run the d03 shingle join, and
       // each round's plan stays flat instead of nesting). On a real
@@ -166,21 +170,24 @@ object Dedup {
         .localCheckpoint()
       // Min-label propagation only ever DECREASES labels, so the label
       // sum is strictly monotone until fixpoint — one cheap aggregate
-      // per round detects convergence without a join.
+      // per round detects convergence without a join. (Zero for the
+      // empty graph: a corpus with no near-dup pairs is legitimate.)
       def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
       def propagate(l: org.apache.spark.sql.DataFrame) =
         edges.join(l, edges("src") === l("id"))
           .select(col("dst").as("id"), col("label"))
           .union(l)
           .groupBy("id").agg(min("label").as("label"))
-      var converged = false
+      var converged = labels.isEmpty // empty graph is already a fixpoint
       var iter = 0
       val maxIters = 50
       var prevSum = labelSum(labels)
       while (!converged && iter < maxIters) {
         val propagated = propagate(labels).localCheckpoint()
         val newSum = labelSum(propagated)
+        labels.unpersist() // superseded generation's checkpoint blocks
         labels = propagated
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
@@ -189,6 +196,7 @@ object Dedup {
       require(converged,
         s"d06 label propagation did not converge in $maxIters iterations " +
           "(component diameter too large) — refusing to emit split clusters")
+      edges.unpersist() // final labels are checkpointed; graph not needed
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -94,15 +94,17 @@ class KinesisMicroBatchStream(
     // kinesis.go:198-201.)
     syncSaver(startPos)
     val shards = client.listShards(streamName)
-    // Admission cap divides over shards that can still produce rows —
-    // closed shards linger in listShards forever after resharding and
-    // must not dilute live shards' share.
+    val byId = shards.map(s => s.shardId -> s).toMap
+    // Admission cap divides over shards that can actually produce rows
+    // THIS batch: closed drained parents linger in listShards forever,
+    // and fresh children are gated until their parent drains — neither
+    // may dilute live shards' share.
     val producing = shards.count { sh =>
-      !sh.closed || {
+      !blockedByParent(sh, startPos, byId) && (!sh.closed || {
         val pos = startPos.get(sh.shardId).filter(_.nonEmpty)
         val (lastOpt, _) = client.sequenceAfter(streamName, sh.shardId, pos, 1)
         lastOpt.exists(l => !pos.exists(p => seqLeq(l, p))) // undrained remainder
-      }
+      })
     }
     val perShard = limit match {
       case r: ReadMaxRows =>
@@ -131,25 +133,33 @@ class KinesisMicroBatchStream(
 
   private def seqLeq(a: String, b: String): Boolean = SequenceOrder.leq(a, b)
 
+  /** True when `sh` is a child whose parent — judged by the `basis`
+    * positions (what has already been consumed) — is not yet fully
+    * drained, so the child must wait to preserve Kinesis
+    * parent-before-child order.
+    */
+  private def blockedByParent(sh: ShardInfo, basis: Map[String, String],
+      byId: Map[String, ShardInfo]): Boolean =
+    sh.parentShardId.exists { parent =>
+      byId.contains(parent) && {
+        val pp = basis.get(parent)
+        val (lastOpt, closed) =
+          client.sequenceAfter(streamName, parent, pp.filter(_.nonEmpty), 1)
+        val parentEmpty = closed && pp.forall(_.isEmpty) && lastOpt.isEmpty
+        val parentDrained = closed &&
+          pp.exists(p => p.nonEmpty && lastOpt.forall(l => seqLeq(l, p)))
+        !(parentEmpty || parentDrained)
+      }
+    }
+
   /** Kinesis ordering: a child shard enters the offset map only when
-    * its parent — judged by the `basis` positions (what has already
-    * been consumed) — is fully drained.
+    * its parent — judged by the `basis` positions — is fully drained.
     */
   private def gateChildren(positions: Map[String, String],
       shards: Seq[ShardInfo], basis: Map[String, String]): Map[String, String] = {
     val byId = shards.map(s => s.shardId -> s).toMap
     positions.filter { case (shardId, _) =>
-      byId.get(shardId).flatMap(_.parentShardId) match {
-        case Some(parent) =>
-          val pp = basis.get(parent)
-          val (lastOpt, closed) =
-            client.sequenceAfter(streamName, parent, pp.filter(_.nonEmpty), 1)
-          val parentEmpty = closed && pp.forall(_.isEmpty) && lastOpt.isEmpty
-          val parentDrained = closed &&
-            pp.exists(p => p.nonEmpty && lastOpt.forall(l => seqLeq(l, p)))
-          parentEmpty || parentDrained || !byId.contains(parent)
-        case None => true
-      }
+      byId.get(shardId).forall(sh => !blockedByParent(sh, basis, byId))
     }
   }
 

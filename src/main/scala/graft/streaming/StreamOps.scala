@@ -50,21 +50,19 @@ object StreamOps {
     * records with the same key whose event time falls in
     * [left.ts, left.ts + within]. Both sides carry watermarks so the
     * join state is bounded (Spark drops buffered rows once the
-    * watermark passes the interval). Output columns are prefixed
-    * l_/r_ to avoid envelope-name collisions.
+    * watermark passes the interval). Works on any pair of streams
+    * sharing `keyCol`/`tsCol`; ALL columns of both sides are carried
+    * through, prefixed l_/r_ to avoid name collisions.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, within: String, watermark: String): DataFrame = {
-    val l = left.select(
-      col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
-      col("sequenceNumber").as("l_seq"))
-      .withWatermark("l_ts", watermark)
-    val r = right.select(
-      col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
-      col("sequenceNumber").as("r_seq"))
-      .withWatermark("r_ts", watermark)
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(p + c)).toSeq: _*)
+    val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
+    val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
     l.join(r, expr(
-      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+      s"l_$keyCol = r_$keyCol AND r_$tsCol >= l_$tsCol " +
+        s"AND r_$tsCol <= l_$tsCol + interval $within"))
   }
 
   /** Custom arbitrary state via flatMapGroupsWithState: per-key running

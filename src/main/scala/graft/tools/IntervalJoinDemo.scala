@@ -32,7 +32,7 @@ object IntervalJoinDemo {
     val q = joined.writeStream.format("memory").queryName("ij_out")
       .trigger(Trigger.ProcessingTime(50)).start()
     q.processAllAvailable()
-    spark.sql("SELECT l_key, l_seq, r_seq FROM ij_out ORDER BY l_key").collect()
+    spark.sql("SELECT l_partitionKey AS k, l_sequenceNumber AS ls, r_sequenceNumber AS rs FROM ij_out ORDER BY k").collect()
       .foreach(r => println(s"JOINED ${r.getString(0)} ${r.getString(1)} -> ${r.getString(2)}"))
     println("N_JOINED=" + spark.sql("SELECT count(*) FROM ij_out").head.getLong(0))
     q.stop()

@@ -70,7 +70,7 @@ object SourceProbe {
     val consumer = graft.streaming.GraftConsumer(
         graft.streaming.GraftOption().withStreamName("probe"))
       .sleepLimit(scala.concurrent.duration.Duration(100, "ms"))
-      .handle(r => SourceDemo.synchronized { ConsumerDemo.processed.incrementAndGet() })
+      .handle(_ => ConsumerDemo.processed.incrementAndGet())
     val q3 = consumer.run(src)
     q3.processAllAvailable()
     println("PIPELINE_PROCESSED=" + ConsumerDemo.processed.get())

@@ -89,7 +89,7 @@ class StreamOpsSpec extends SparkSuite {
         rec("s1", 11, 200, "a"), // outside -> no match
         rec("s1", 12, 90, "b"))  // before left ts -> no match
       q.processAllAvailable()
-      val rows = spark.sql("SELECT l_key, l_seq, r_seq FROM so_ij").collect()
+      val rows = spark.sql("SELECT l_partitionKey, l_sequenceNumber, r_sequenceNumber FROM so_ij").collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
       assert(rows == Set(("a", f"${1}%09d", f"${10}%09d")), s"got $rows")
     } finally q.stop()
