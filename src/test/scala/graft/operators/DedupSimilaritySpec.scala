@@ -90,6 +90,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(hits >= ivf.length / 4, s"IVF recall collapsed: $hits/${ivf.length}")
   }
 
+  test("d06 returns an empty cluster set (not a crash) when no near-dup pairs exist") {
+    import spark.implicits._
+    // corpus of fully distinct docs -> d03 pair graph is empty
+    val tmp = java.nio.file.Files.createTempDirectory("uniqdocs").toString
+    val words = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "red orange yellow green blue indigo violet black white gray",
+      "one two three four five six seven eight nine ten")
+    words.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val clusters = SparkEntry.queries("d06_dedup_clusters")(spark, tmp)
+    assert(clusters.count() == 0)
+  }
+
   test("vector_dot matches an independent fold") {
     import spark.implicits._
     graft.functions.VectorDot.register(spark)
