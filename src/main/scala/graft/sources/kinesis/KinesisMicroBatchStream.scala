@@ -21,13 +21,22 @@ object KinesisRegistry {
 }
 
 /** Numeric order for opaque digit-string sequence numbers of any
-  * length: (length, value) — "99" < "100". AWS sequences are
-  * fixed-width so plain string order would happen to work, but custom
-  * clients (clientClass option) may not pad.
+  * length: leading zeros are stripped before the (length, value)
+  * compare, so "100" vs "0099" orders numerically (100 > 99). AWS
+  * sequences are fixed-width so plain string order would happen to
+  * work, but custom clients (clientClass option) may pad
+  * inconsistently — the exact case this ordering exists to handle.
   */
 object SequenceOrder {
-  def leq(a: String, b: String): Boolean =
-    a.length < b.length || (a.length == b.length && a <= b)
+  private def canon(s: String): String = {
+    val i = s.indexWhere(_ != '0')
+    if (i < 0) "0" else if (i == 0) s else s.substring(i)
+  }
+  def leq(a: String, b: String): Boolean = {
+    val ca = canon(a)
+    val cb = canon(b)
+    ca.length < cb.length || (ca.length == cb.length && ca <= cb)
+  }
 }
 
 /** One micro-batch work unit: a shard slice (start, end] by sequence. */
@@ -75,7 +84,7 @@ class KinesisMicroBatchStream(
       sh.shardId -> saved.getOrElse("") // "" = TRIM_HORIZON (sequence.go:83-86)
     }.toMap
     // gate against the same (pre-batch) positions: nothing consumed yet
-    KinesisOffset(gateChildren(positions, shards, basis = positions))
+    KinesisOffset(gateChildren(positions, shards, basis = positions, new SeqCache))
   }
 
   override def latestOffset(): Offset =
@@ -92,7 +101,18 @@ class KinesisMicroBatchStream(
     // batch completes, so a trailing batch would otherwise never reach
     // the saver — the reference writes after every batch,
     // kinesis.go:198-201.)
-    syncSaver(startPos)
+    val cache = new SeqCache
+    syncSaver(startPos, cache)
+    // O9 (status half): while the stream is not ACTIVE (UPDATING /
+    // DELETING / CREATING), hold the offsets — an empty batch, no new
+    // admission — and resume from the same positions once ACTIVE again.
+    // The reference's monitor stops all readers while the stream is not
+    // active and restarts them when it is (kinesis.go:84-93, README.md:6).
+    val status = client.streamStatus(streamName)
+    if (status != "ACTIVE") {
+      logInfo(s"stream $streamName status=$status: holding offsets (no admission)")
+      return KinesisOffset(startPos)
+    }
     val shards = client.listShards(streamName)
     val byId = shards.map(s => s.shardId -> s).toMap
     // Admission cap divides over shards that can actually produce rows
@@ -100,9 +120,9 @@ class KinesisMicroBatchStream(
     // and fresh children are gated until their parent drains — neither
     // may dilute live shards' share.
     val producing = shards.count { sh =>
-      !blockedByParent(sh, startPos, byId) && (!sh.closed || {
+      !blockedByParent(sh, startPos, byId, cache) && (!sh.closed || {
         val pos = startPos.get(sh.shardId).filter(_.nonEmpty)
-        val (lastOpt, _) = client.sequenceAfter(streamName, sh.shardId, pos, 1)
+        val (lastOpt, _) = cache(sh.shardId, pos, 1)
         lastOpt.exists(l => !pos.exists(p => seqLeq(l, p))) // undrained remainder
       })
     }
@@ -111,12 +131,11 @@ class KinesisMicroBatchStream(
         math.max(1, (r.maxRows() / math.max(1, producing)).toInt)
       case _ => maxRecordsPerFetch
     }
-    val shardsById = shards.map(s => s.shardId -> s).toMap
-    val known = startPos.keySet ++ shardsById.keySet
+    val known = startPos.keySet ++ byId.keySet
     val positions = known.map { shardId =>
       val pos = startPos.get(shardId)
       val after = pos.filter(_.nonEmpty)
-      val (lastOpt, _) = client.sequenceAfter(streamName, shardId, after, perShard)
+      val (lastOpt, _) = cache(shardId, after, perShard)
       // Drained closed shards KEEP their final position in the offset
       // map — dropping them would let the next shard discovery
       // resurrect them at TRIM_HORIZON and re-read the whole shard.
@@ -128,10 +147,24 @@ class KinesisMicroBatchStream(
     // PREVIOUS (committed) batch — never in the same batch that reads
     // the parent's tail, which would let a downstream observer see
     // child records before the parent's final ones.
-    KinesisOffset(gateChildren(positions, shards, basis = startPos))
+    KinesisOffset(gateChildren(positions, shards, basis = startPos, cache))
   }
 
   private def seqLeq(a: String, b: String): Boolean = SequenceOrder.leq(a, b)
+
+  /** Memoizes `sequenceAfter` per (shard, position, limit) within one
+    * planning round. `latestOffset` consults the same (shard, position)
+    * up to three times (producing count, child gating, saver sync) — on
+    * an AWS-backed client each probe is a metadata RPC, so without the
+    * cache every trigger costs ~3× the per-shard scan actually needed.
+    */
+  private final class SeqCache {
+    private val m = scala.collection.mutable.HashMap
+      .empty[(String, Option[String], Int), (Option[String], Boolean)]
+    def apply(shardId: String, after: Option[String], limit: Int): (Option[String], Boolean) =
+      m.getOrElseUpdate((shardId, after, limit),
+        client.sequenceAfter(streamName, shardId, after, limit))
+  }
 
   /** True when `sh` is a child whose parent — judged by the `basis`
     * positions (what has already been consumed) — is not yet fully
@@ -139,12 +172,11 @@ class KinesisMicroBatchStream(
     * parent-before-child order.
     */
   private def blockedByParent(sh: ShardInfo, basis: Map[String, String],
-      byId: Map[String, ShardInfo]): Boolean =
+      byId: Map[String, ShardInfo], cache: SeqCache): Boolean =
     sh.parentShardId.exists { parent =>
       byId.contains(parent) && {
         val pp = basis.get(parent)
-        val (lastOpt, closed) =
-          client.sequenceAfter(streamName, parent, pp.filter(_.nonEmpty), 1)
+        val (lastOpt, closed) = cache(parent, pp.filter(_.nonEmpty), 1)
         val parentEmpty = closed && pp.forall(_.isEmpty) && lastOpt.isEmpty
         val parentDrained = closed &&
           pp.exists(p => p.nonEmpty && lastOpt.forall(l => seqLeq(l, p)))
@@ -156,10 +188,11 @@ class KinesisMicroBatchStream(
     * its parent — judged by the `basis` positions — is fully drained.
     */
   private def gateChildren(positions: Map[String, String],
-      shards: Seq[ShardInfo], basis: Map[String, String]): Map[String, String] = {
+      shards: Seq[ShardInfo], basis: Map[String, String],
+      cache: SeqCache): Map[String, String] = {
     val byId = shards.map(s => s.shardId -> s).toMap
     positions.filter { case (shardId, _) =>
-      byId.get(shardId).forall(sh => !blockedByParent(sh, basis, byId))
+      byId.get(shardId).forall(sh => !blockedByParent(sh, basis, byId, cache))
     }
   }
 
@@ -185,7 +218,7 @@ class KinesisMicroBatchStream(
     * TRIM_HORIZON exactly like the reference's at-least-once restart.
     */
   override def commit(end: Offset): Unit =
-    syncSaver(end.asInstanceOf[KinesisOffset].positions)
+    syncSaver(end.asInstanceOf[KinesisOffset].positions, new SeqCache)
 
   // Last (sequence, drained) state pushed to the saver per shard —
   // dedupes saver writes across triggers. Drained-ness is part of the
@@ -193,11 +226,11 @@ class KinesisMicroBatchStream(
   // set→del transition (O8) must still fire.
   private var lastSynced: Map[String, (String, Boolean)] = Map.empty
 
-  private def syncSaver(positions: Map[String, String]): Unit = saver.foreach { sv =>
+  private def syncSaver(positions: Map[String, String], cache: SeqCache): Unit =
+    saver.foreach { sv =>
     positions.foreach { case (shardId, seq) =>
       if (seq.nonEmpty) {
-        val (lastOpt, closed) =
-          client.sequenceAfter(streamName, shardId, Some(seq), 1)
+        val (lastOpt, closed) = cache(shardId, Some(seq), 1)
         val drained = closed && lastOpt.forall(l => seqLeq(l, seq))
         if (!lastSynced.get(shardId).contains((seq, drained))) {
           if (drained) sv.del(streamName, shardId)
@@ -235,6 +268,12 @@ class KinesisPartitionReader(p: KinesisInputPartition, client: KinesisLikeClient
   private var buffer: Iterator[ClientRecord] = Iterator.empty
   private var current: ClientRecord = _
   private var done = false
+  // Consecutive expiry refreshes without a successful fetch. A
+  // permanently invalid iterator (e.g. a slice aged past the stream's
+  // retention) must fail the task for Spark to retry/surface it —
+  // not busy-spin the refresh loop forever.
+  private var refreshes = 0
+  private val maxRefreshes = 10
 
   private val stream = UTF8String.fromString(p.streamName)
   private val shard = UTF8String.fromString(p.shardId)
@@ -256,12 +295,21 @@ class KinesisPartitionReader(p: KinesisInputPartition, client: KinesisLikeClient
         case Some(it) =>
           try {
             val res = client.getRecords(it, p.fetchSize)
+            refreshes = 0
             buffer = res.records.iterator
             iterator = res.nextIterator
             if (res.records.isEmpty && res.nextIterator.isEmpty) done = true
           } catch {
             case e: ExpiredIteratorException =>
-              logInfo(s"refreshing expired iterator for ${p.shardId}: ${e.getMessage}")
+              refreshes += 1
+              if (refreshes > maxRefreshes)
+                throw new IllegalStateException(
+                  s"shard ${p.shardId}: iterator still expired after $maxRefreshes refreshes", e)
+              logInfo(s"refreshing expired iterator for ${p.shardId} " +
+                s"(attempt $refreshes/$maxRefreshes): ${e.getMessage}")
+              // Linear backoff: expiry right after a refresh means the
+              // service keeps invalidating us; don't hammer it.
+              if (refreshes > 1) Thread.sleep(50L * refreshes)
               iterator = Some(client.getShardIterator(p.streamName, p.shardId, lastConsumed))
           }
       }

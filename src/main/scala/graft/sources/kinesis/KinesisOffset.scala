@@ -26,37 +26,25 @@ object KinesisOffset {
       case c => c.toString
     } + "\""
 
-  /** Minimal parser for the flat string→string JSON object emitted by
-    * [[KinesisOffset.json]] (shard ids and sequences never need full
-    * JSON generality).
+  /** Parses the flat string→string JSON object emitted by
+    * [[KinesisOffset.json]]. This is the checkpoint-recovery path
+    * (`deserializeOffset`), so it must accept every serializable offset —
+    * including empty-string positions ("" = TRIM_HORIZON) at any key
+    * position — hence a real JSON parser (json4s, already on Spark's
+    * classpath) rather than string splitting.
     */
   def fromJson(json: String): KinesisOffset = {
-    val s = json.trim.stripPrefix("{").stripSuffix("}")
-    if (s.isEmpty) return KinesisOffset(Map.empty)
-    val pairs = s.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\""))
-    val m = pairs.map { p =>
-      val i = p.indexOf("\":\"")
-      val k = p.substring(0, i)
-      val v = p.substring(i + 3)
-      unq(k) -> unq(v)
-    }.toMap
-    KinesisOffset(m)
-  }
-
-  private def unq(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case '"' => sb += '"'; i += 2
-          case '\\' => sb += '\\'; i += 2
-          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => sb += other; i += 2
-        }
-      } else { sb += c; i += 1 }
+    import org.json4s._
+    jackson.JsonMethods.parse(json) match {
+      case JObject(fields) =>
+        KinesisOffset(fields.map {
+          case (k, JString(v)) => k -> v
+          case (k, other) =>
+            throw new IllegalArgumentException(
+              s"KinesisOffset: shard '$k' has non-string position $other in: $json")
+        }.toMap)
+      case other =>
+        throw new IllegalArgumentException(s"KinesisOffset: not a JSON object: $json")
     }
-    sb.toString
   }
 }

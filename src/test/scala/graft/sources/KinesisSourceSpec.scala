@@ -179,4 +179,54 @@ class KinesisSourceSpec extends SparkSuite {
     assert(KinesisOffset.fromJson(o.json()) == o)
     assert(KinesisOffset.fromJson(KinesisOffset(Map.empty).json()) == KinesisOffset(Map.empty))
   }
+
+  test("offset json round-trips with empty positions at every key position") {
+    // "" = TRIM_HORIZON is routine for multi-shard streams (shards with
+    // no data yet); checkpoint recovery must parse it wherever it falls
+    // in sorted key order — including before non-empty entries.
+    val shards = (0 to 3).map(i => f"shardId-$i%012d")
+    for (emptySubset <- shards.toSet.subsets()) {
+      val m = shards.map(s => s -> (if (emptySubset(s)) "" else f"${s.hashCode.abs}%021d")).toMap
+      val o = KinesisOffset(m)
+      assert(KinesisOffset.fromJson(o.json()) == o, s"failed for empty=$emptySubset json=${o.json()}")
+    }
+    // escapes survive too
+    val weird = KinesisOffset(Map("sh\"ard\\1" -> "", "shard2" -> "42"))
+    assert(KinesisOffset.fromJson(weird.json()) == weird)
+  }
+
+  test("sequence order is numeric across inconsistent zero padding") {
+    assert(SequenceOrder.leq("0099", "100"))
+    assert(!SequenceOrder.leq("100", "0099"))
+    assert(SequenceOrder.leq("100", "100"))
+    assert(SequenceOrder.leq("000", "0"))
+    assert(SequenceOrder.leq("0", "000"))
+    assert(SequenceOrder.leq("007", "7"))
+    assert(SequenceOrder.leq("7", "0007"))
+    assert(!SequenceOrder.leq("10", "0009"))
+  }
+
+  test("stream-status gating: not-ACTIVE holds offsets, ACTIVE resumes (kinesis.go:84-93, O9)") {
+    freshStream("s8", 1)
+    (1 to 3).foreach(i => FakeKinesisService.push("s8", "shardId-000000000000", "pk", s"a$i".getBytes))
+    val q = runToMemory(readSource("s8"), "t_status")
+    try {
+      assert(spark.sql("SELECT count(*) FROM t_status").head.getLong(0) == 3)
+      // stream enters UPDATING (e.g. a reshard in progress): new records
+      // must NOT be admitted while not ACTIVE
+      FakeKinesisService.setStatus("s8", "UPDATING")
+      (1 to 2).foreach(i => FakeKinesisService.push("s8", "shardId-000000000000", "pk", s"b$i".getBytes))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM t_status").head.getLong(0) == 3,
+        "records admitted while stream not ACTIVE")
+      // back to ACTIVE: consumption resumes from the held offsets —
+      // exactly the new records, no replay
+      FakeKinesisService.setStatus("s8", "ACTIVE")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT data FROM t_status").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+      assert(got == Set("a1", "a2", "a3", "b1", "b2"))
+    } finally q.stop()
+  }
 }
