@@ -66,9 +66,15 @@ case class VectorDot(left: Expression, right: Expression)
 
 object VectorDot {
   /** Register `vector_dot` in the session's function registry so it is
-    * usable from `expr(...)` / SQL. Idempotent.
+    * usable from `expr(...)` / SQL. Idempotent AND quiet: replacing an
+    * existing entry logs a registry WARN per call, so skip when already
+    * registered (query builders call this once per query construction).
     */
-  def register(s: SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+  def register(s: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot")
+    if (!s.sessionState.functionRegistry.functionExists(id)) {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }

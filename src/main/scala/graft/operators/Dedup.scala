@@ -28,7 +28,10 @@ object Dedup {
     * odds are ~2^-64 so results match the string-shingle DuckDB oracle.
     */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    shingleHashesOf(documents(s, dir))
+
+  private[operators] def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("toks"))
       .withColumn("t1s", expr("slice(toks, 2, size(toks))"))
       .withColumn("t2s", expr("slice(toks, 3, size(toks))"))
@@ -41,19 +44,62 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("z.toks"), col("z.t1s"), col("z.t2s")).as("h"))
       .dropDuplicates("doc_id", "h")
 
+  // Document-frequency cap for blocking (SCALE.md): a shingle shared by
+  // more than this many documents is excluded from CANDIDATE GENERATION
+  // only — one boilerplate sentence shared by 10⁶ docs would otherwise
+  // contribute 10¹² candidate pairs (Σ df² blowup). Jaccard stays exact
+  // for every candidate pair: capped-common shingles still count toward
+  // the intersection via the per-doc common-shingle arrays below. The
+  // only semantic change is that a pair sharing NO rare (df ≤ cap)
+  // shingle is not discovered — at the current SFs no shingle df exceeds
+  // 25, so results are unchanged; DedupSimilaritySpec proves the cap
+  // bounds candidates on an adversarial corpus.
+  private val ShingleDfCap = 100
+
   /** Unsorted core of d03: exact n-gram Jaccard near-dup pairs via
-    * LOSSLESS shared-shingle blocking — any pair with J >= t shares at
-    * least one shingle, so the shingle equi-join yields a superset and
-    * the exact Jaccard filter finishes it. No cross join anywhere.
+    * shared-shingle blocking — any pair with J >= t sharing at least one
+    * rare shingle comes out of the shingle equi-join, and the exact
+    * Jaccard filter finishes it. No cross join anywhere.
     * (d06 consumes this directly to avoid paying d03's global sort.)
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleHashes(s, dir)
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = ex.as("a").join(ex.as("b"),
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(shingleHashes(s, dir), ShingleDfCap)
+
+  /** Candidate pairs from rare-shingle blocking with their rare-shingle
+    * intersection count. Exposed for the DF-cap spec.
+    */
+  private[operators] def blockingCandidates(exDf: DataFrame, dfCap: Int): DataFrame = {
+    val rare = exDf.filter(col("df") <= dfCap)
+    rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter_rare"))
+  }
+
+  private[operators] def jaccardPairsOf(ex: DataFrame, dfCap: Int): DataFrame = {
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // df per shingle hash via aggregate + join-back. The df table is one
+    // row per DISTINCT shingle — orders of magnitude smaller than ex —
+    // so AQE broadcasts it at small SF; at 100 TB it becomes a shuffled
+    // join on h, the same exchange the blocking self-join needs anyway.
+    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val exDf = ex.join(dfTab, "h")
+    val interRare = blockingCandidates(exDf, dfCap)
+    // Exact intersection correction: per-doc arrays of its capped-common
+    // shingles (globally few distinct hashes can exceed the cap, and the
+    // array is bounded by doc length). Left-joined onto candidates so
+    // jaccard counts ALL shared shingles, rare and common alike.
+    val commonPerDoc = exDf.filter(col("df") > dfCap)
+      .groupBy("doc_id").agg(collect_list(col("h")).as("ch"))
+    val inter = interRare
+      .join(commonPerDoc.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")),
+        Seq("doc_a"), "left")
+      .join(commonPerDoc.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") +
+        when(col("ch_a").isNotNull && col("ch_b").isNotNull,
+          size(array_intersect(col("ch_a"), col("ch_b")))).otherwise(lit(0)))
+      .select(col("doc_a"), col("doc_b"), col("inter"))
     withJaccard(inter, counts)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
@@ -101,10 +147,11 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
-    // Exact n-gram Jaccard near-dup pairs via LOSSLESS shared-shingle
-    // blocking: any pair with J >= t shares at least one shingle, so the
-    // shingle equi-join produces a superset of the answer and the exact
-    // Jaccard filter finishes it. No cross join anywhere.
+    // Exact n-gram Jaccard near-dup pairs via DF-capped shared-shingle
+    // blocking: any pair sharing at least one rare shingle comes out of
+    // the shingle equi-join, and the exact Jaccard (counting ALL shared
+    // shingles) finishes it. No cross join anywhere; candidate volume is
+    // bounded by cap × shingle count even on boilerplate-heavy corpora.
     "d03_dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
@@ -151,10 +198,9 @@ object Dedup {
 
     // Near-dup clusters: connected components over the d03 pair graph,
     // labels = min doc_id per component — the "keep one canonical doc
-    // per duplicate group" primitive. Iterative min-label propagation
-    // (converges in <= diameter rounds; at 100 TB the same loop runs
-    // as alternating star contractions). Oracle: recursive-CTE
-    // transitive closure in DuckDB.
+    // per duplicate group" primitive. Min-label propagation with pointer
+    // jumping (~log₂(diameter) materialized rounds). Oracle:
+    // recursive-CTE transitive closure in DuckDB.
     "d06_dedup_clusters" -> ((s, dir) => {
       val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       // Materialize the pair graph once (localCheckpoint truncates
@@ -180,15 +226,30 @@ object Dedup {
           .select(col("dst").as("id"), col("label"))
           .union(l)
           .groupBy("id").agg(min("label").as("label"))
+      // Pointer jumping: l(id) ← l(l(id)). Every label is itself a node
+      // id present in the label map (labels start as self-pointers and
+      // only ever move to other nodes' mins), so the parent lookup is a
+      // plain equi-join. Composing one propagate with one jump per round
+      // spreads labels along 2-hop paths — round count drops from the
+      // component diameter to ~log₂(diameter).
+      def pointerJump(l: org.apache.spark.sql.DataFrame) = {
+        val parent = l.select(col("id").as("pid"), col("label").as("plabel"))
+        l.join(parent, col("label") === col("pid"))
+          .select(col("id"), col("plabel").as("label"))
+      }
       var converged = labels.isEmpty // empty graph is already a fixpoint
       var iter = 0
       val maxIters = 50
       var prevSum = labelSum(labels)
       while (!converged && iter < maxIters) {
-        val propagated = propagate(labels).localCheckpoint()
-        val newSum = labelSum(propagated)
+        // one materialization + one scalar action per (propagate ∘ jump)
+        // double-step — the convergence probe is paid every 2 logical
+        // rounds, and equality of the strictly-decreasing label sum
+        // across the double-step still implies fixpoint exactly.
+        val stepped = pointerJump(propagate(labels)).localCheckpoint()
+        val newSum = labelSum(stepped)
         labels.unpersist() // superseded generation's checkpoint blocks
-        labels = propagated
+        labels = stepped
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         iter += 1

@@ -57,4 +57,21 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("d01_dedup_exact")
     assert(!p.contains("Join"), s"dedup should be agg-only:\n$p")
   }
+
+  test("s03: embedding near-dup is bucket-blocked — no nested-loop or cartesian join") {
+    val p = plan("s03_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"s03 fell back to an all-pairs nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s03 plans a cartesian product:\n$p")
+  }
+
+  test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
+    // Building the plan must not train: the index is cached per
+    // (session, dataset). Constructing the query twice must reuse it.
+    val d1 = SparkEntry.queries("s04_sim_ivf")(spark, dir)
+    val d2 = SparkEntry.queries("s04_sim_ivf")(spark, dir)
+    assert(d1.queryExecution.explainString(FormattedMode).contains("InMemory") ||
+      d2.queryExecution.explainString(FormattedMode).contains("InMemory"),
+      "s04 does not read the cached IVF index")
+  }
 }
