@@ -83,7 +83,8 @@ object Multimodal {
 
     // Frame sampling for "video" assets: every 256-byte block stands in
     // for a frame; sample every 4th. Shows slicing binary payloads into
-    // per-frame rows without decoding. Rows-only driver check.
+    // per-frame rows without decoding. Oracle-checked (the text corpus
+    // is ASCII, so DuckDB's char offsets equal Spark's byte offsets).
     "m03_frame_sample" -> ((s, dir) => {
       assets(s, dir)
         .filter(col("modality") === "video")
@@ -105,6 +106,19 @@ object Multimodal {
          CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5,
          substring(md5(text), 1, 8) AS md5_pfx
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "m03_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text,
+                      CAST(ceil(strlen(text)/256.0) AS INTEGER) AS n_frames
+                    FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT doc_id,
+                 CAST(unnest(list_filter(generate_series(0, n_frames-1),
+                   i -> i % 4 = 0)) AS INTEGER) AS frame_idx,
+                 text
+               FROM v)
+         SELECT doc_id, frame_idx,
+           CAST(strlen(substring(text, frame_idx*256+1, 256)) AS INTEGER) AS frame_bytes
+         FROM f ORDER BY doc_id, frame_idx"""
   )
 }

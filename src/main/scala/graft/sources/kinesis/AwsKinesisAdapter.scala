@@ -1,0 +1,64 @@
+package graft.sources.kinesis
+
+/** Documentation-only sketch of the production AWS adapter.
+  *
+  * The AWS SDK is deliberately NOT a dependency of this build (the
+  * engine is tested against [[FakeKinesisClient]]); this object records
+  * how a production `AwsKinesisClient extends ConfigurableKinesisClient`
+  * maps onto the AWS SDK for Java v2 (`software.amazon.awssdk.services
+  * .kinesis`), the same API surface the Go reference drives through
+  * `aws-sdk-go-v2` (kinesis.go:45-52).
+  *
+  * == Construction (configure) ==
+  *
+  * `configure(options)` receives the DSv2 source options (lower-cased
+  * keys). The reference's `Option.GetConfig` (option.go:36-43) maps as:
+  *
+  *  - `region`  → `KinesisClient.builder().region(Region.of(region))`
+  *    (option.go:38 `config.WithRegion`)
+  *  - `sts=true` → resolve credentials through the configured profile /
+  *    STS assume-role provider chain instead of the default chain
+  *    (option.go:39-41 `config.WithSharedConfigProfile` — the Go
+  *    reference toggles a shared-config STS profile; the v2 Java
+  *    equivalent is `ProfileCredentialsProvider` or
+  *    `StsAssumeRoleCredentialsProvider` on the client builder)
+  *  - one client per executor, cached — the reference constructs a new
+  *    client per call site (kinesis.go:60, 115, 159), an anti-pattern
+  *    SURVEY.md §4 explicitly does not replicate.
+  *
+  * == Method mapping ==
+  *
+  * See [[methodMapping]]. `sequenceAfter` is the only method without a
+  * 1:1 RPC: it is a bounded metadata scan — `getShardIterator` at the
+  * position followed by `getRecords(limit = maxRecords)` reading only
+  * `sequenceNumber`s (and `millisBehindLatest`) to cut a deterministic
+  * admission-controlled end offset for the micro-batch planner.
+  * Adapters for services with a native "tail sequence" API can answer
+  * it in one call.
+  *
+  * == Error mapping ==
+  *
+  *  - `ExpiredIteratorException` (SDK) → [[ExpiredIteratorException]]
+  *    (this package) so the reader's refresh path engages
+  *    (kinesis.go:184-191).
+  *  - `ProvisionedThroughputExceededException` → retry with backoff
+  *    inside the adapter; the planner's admission cap keeps steady-state
+  *    under the 5 reads/s/shard service limit.
+  */
+object AwsKinesisAdapter {
+
+  /** `KinesisLikeClient` method → AWS SDK v2 call it wraps. */
+  val methodMapping: Map[String, String] = Map(
+    "listShards" ->
+      "KinesisClient.listShards(ListShardsRequest.builder().streamName(s).build()) [kinesis.go:121-128]",
+    "streamStatus" ->
+      "KinesisClient.describeStreamSummary(...).streamDescriptionSummary().streamStatusAsString() [kinesis.go:71-77]",
+    "getShardIterator" ->
+      "KinesisClient.getShardIterator(... shardIteratorType(TRIM_HORIZON | AFTER_SEQUENCE_NUMBER)) [sequence.go:74-89]",
+    "getRecords" ->
+      "KinesisClient.getRecords(GetRecordsRequest.builder().shardIterator(it).limit(n).build()) [kinesis.go:180-183]",
+    "putRecord" ->
+      "KinesisClient.putRecord(PutRecordRequest.builder().streamName(s).partitionKey(k).data(SdkBytes)...)",
+    "sequenceAfter" ->
+      "getShardIterator + getRecords(limit) metadata-only scan (see scaladoc)")
+}

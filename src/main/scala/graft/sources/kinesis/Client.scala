@@ -69,6 +69,18 @@ trait KinesisLikeClient extends Serializable {
       afterSequence: Option[String], maxRecords: Int): (Option[String], Boolean)
 }
 
+/** A client that accepts connection configuration before first use —
+  * the path [[graft.streaming.GraftOption]]'s `region`/`sts` travel to
+  * reach client construction, mirroring the reference's
+  * `Option.GetConfig` feeding `NewClient` (option.go:36-43,
+  * kinesis.go:45-52). The DSv2 factory calls [[configure]] with ALL
+  * source options (lower-cased keys: `region`, `sts`, `streamname`, …)
+  * right after instantiating/resolving the client.
+  */
+trait ConfigurableKinesisClient extends KinesisLikeClient {
+  def configure(options: Map[String, String]): Unit
+}
+
 /** JVM-local deterministic Kinesis stand-in. Tests drive it directly:
   * create a stream, push records, split shards (reshard), flip status.
   * State lives in a static registry so serialized clients/readers in

@@ -62,7 +62,16 @@ class KinesisTable(options: CaseInsensitiveStringMap) extends Table with Support
                 .newInstance().asInstanceOf[KinesisLikeClient]
             }).getOrElse(throw new IllegalArgumentException(
               "set option 'clientName' (registry) or 'clientClass' (FQCN); " +
-                "an AWS-backed client would be the production default"))
+                "an AWS-backed client would be the production default " +
+                "(see AwsKinesisAdapter for the SDK mapping)"))
+          // Config plumb-through (option.go:36-43 → kinesis.go:45-52):
+          // region/sts/etc. reach the client before first use.
+          client match {
+            case c: ConfigurableKinesisClient =>
+              c.configure(options.asCaseSensitiveMap().asScala.toMap
+                .map { case (k, v) => k.toLowerCase -> v })
+            case _ => ()
+          }
           val saver = Option(options.get("saverName")).map { n =>
             KinesisRegistry.savers.getOrElse(n,
               throw new IllegalArgumentException(s"no saver registered as '$n'"))

@@ -80,6 +80,22 @@ class GraftConsumer(val option: GraftOption) {
 
   def query: Option[StreamingQuery] = queryOpt
 
+  /** Build the kinesis-graft streaming source for this consumer's
+    * options: streamName AND region/sts all reach the DSv2 client
+    * factory (option.go:36-43 feeding NewClient, kinesis.go:45-52 — a
+    * [[graft.sources.kinesis.ConfigurableKinesisClient]] receives them
+    * via `configure` before first use).
+    */
+  def source(spark: org.apache.spark.sql.SparkSession,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format("kinesis-graft")
+      .option("streamName", option.streamName)
+      .option("region", option.region)
+      .option("sts", option.sts.toString)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
   /** ≈ Run (kinesis.go:147-154): validates the handler (the reference
     * errors with HandlerIsNil, kinesis.go:148-150) and starts the
     * streaming query.

@@ -206,6 +206,31 @@ class KinesisSourceSpec extends SparkSuite {
     assert(!SequenceOrder.leq("10", "0009"))
   }
 
+  test("region/sts options reach the client factory (option.go:36-43 → kinesis.go:45-52)") {
+    class ConfigurableFake extends FakeKinesisClient with ConfigurableKinesisClient {
+      @volatile var received: Map[String, String] = Map.empty
+      override def configure(options: Map[String, String]): Unit = received = options
+    }
+    FakeKinesisService.createStream("s9", 1)
+    val cfgClient = new ConfigurableFake
+    KinesisRegistry.clients.put("cfg", cfgClient)
+    FakeKinesisService.push("s9", "shardId-000000000000", "pk", "r1".getBytes)
+    // GraftOption → GraftConsumer.source → DSv2 options → configure()
+    val consumer = graft.streaming.GraftConsumer(
+      graft.streaming.GraftOption().withStreamName("s9")
+        .withRegion("eu-west-1").withSts(true))
+    val df = consumer.source(spark, Map("clientName" -> "cfg"))
+    val q = runToMemory(df, "t_cfg")
+    try {
+      assert(spark.sql("SELECT count(*) FROM t_cfg").head.getLong(0) == 1)
+      assert(cfgClient.received.get("region").contains("eu-west-1"),
+        s"region did not reach the client: ${cfgClient.received}")
+      assert(cfgClient.received.get("sts").contains("true"),
+        s"sts did not reach the client: ${cfgClient.received}")
+      assert(cfgClient.received.get("streamname").contains("s9"))
+    } finally q.stop()
+  }
+
   test("stream-status gating: not-ACTIVE holds offsets, ACTIVE resumes (kinesis.go:84-93, O9)") {
     freshStream("s8", 1)
     (1 to 3).foreach(i => FakeKinesisService.push("s8", "shardId-000000000000", "pk", s"a$i".getBytes))

@@ -114,6 +114,36 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch d01 dedup ≡ streaming dedupWithinWatermark on a file-replay of the same corpus") {
+    import org.apache.spark.sql.functions._
+    // file-replay stream of the documents table (the deterministic
+    // Kinesis stand-in, SURVEY.md §5), deduped by the same key d01 uses
+    val dir = sf("sf0.01")
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("docreplay").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(docs.schema).parquet(tmp)
+      .withColumn("event_ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val deduped = StreamOps.dedupWithinWatermark(
+      streamed, "event_ts", "10 minutes", Seq("text"))
+    val q = deduped.writeStream.format("memory").queryName("so_batch_eq_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      // same dedup partition: one survivor per distinct text, and the
+      // set of surviving texts equals the batch answer's
+      val streamTexts = spark.sql("SELECT text FROM so_batch_eq_stream")
+        .collect().map(_.getString(0))
+      assert(streamTexts.length == streamTexts.distinct.length, "stream emitted duplicate texts")
+      val batchTexts = docs.select("text").distinct().collect().map(_.getString(0))
+      assert(streamTexts.sorted.toSeq == batchTexts.sorted.toSeq,
+        "stream dedup partition differs from batch dedup")
+      // and d01 (the registered batch query) agrees on the group count
+      val d01Rows = graft.SparkEntry.queries("d01_dedup_exact")(spark, dir).count()
+      assert(d01Rows == streamTexts.length.toLong)
+    } finally q.stop()
+  }
+
   test("kinesis sink round-trips through the source (produce then consume)") {
     import graft.sources.kinesis._
     import spark.implicits._
