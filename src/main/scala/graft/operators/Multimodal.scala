@@ -94,6 +94,26 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           octet_length(expr("substring(content, frame_idx * 256 + 1, 256)")).as("frame_bytes"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Audio resampling shape for "audio" assets: the binary payload is
+    // treated as a stream of 2-byte PCM-ish samples, decimated 3:1
+    // (keep every 3rd sample) with a summed amplitude proxy (first byte
+    // of each kept sample) — all plain substring/HOF arithmetic over the
+    // binary column, no codec. Oracle-checked (ASCII corpus: DuckDB char
+    // offsets equal byte offsets).
+    "m04_audio_resample" -> ((s, dir) => {
+      assets(s, dir)
+        .filter(col("modality") === "audio")
+        .withColumn("n_samples", expr("CAST(octet_length(content) / 2 AS INT)"))
+        .filter(col("n_samples") > 0)
+        .withColumn("kept", expr("filter(sequence(0, n_samples - 1), i -> i % 3 = 0)"))
+        .select(col("doc_id"), col("n_samples"), size(col("kept")).as("n_kept"),
+          expr("""aggregate(
+                    transform(kept, i ->
+                      CAST(ascii(substring(CAST(content AS STRING), i * 2 + 1, 1)) AS BIGINT)),
+                    0L, (acc, x) -> acc + x)""").as("amp_sum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -119,6 +139,19 @@ object Multimodal {
                FROM v)
          SELECT doc_id, frame_idx,
            CAST(strlen(substring(text, frame_idx*256+1, 256)) AS INTEGER) AS frame_bytes
-         FROM f ORDER BY doc_id, frame_idx"""
+         FROM f ORDER BY doc_id, frame_idx""",
+
+    "m04_audio_resample" ->
+      """WITH a AS (SELECT doc_id, text,
+                      CAST(strlen(text) // 2 AS INTEGER) AS n_samples
+                    FROM documents WHERE doc_id % 3 = 1),
+         k AS (SELECT doc_id, n_samples,
+                 list_filter(generate_series(0, n_samples - 1), i -> i % 3 = 0) AS kept,
+                 text
+               FROM a WHERE n_samples > 0)
+         SELECT doc_id, n_samples, CAST(len(kept) AS INTEGER) AS n_kept,
+           CAST(list_sum(list_transform(kept,
+             i -> ascii(substring(text, i*2+1, 1)))) AS BIGINT) AS amp_sum
+         FROM k ORDER BY doc_id"""
   )
 }

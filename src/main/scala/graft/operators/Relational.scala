@@ -384,6 +384,63 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    // both into a semi + anti join pipeline on o_custkey (never a
+    // per-row subquery execution).
+    "q29_exists_subquery" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("q29_customer")
+      orders(s, dir).createOrReplaceTempView("q29_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM q29_customer c
+        WHERE EXISTS (SELECT 1 FROM q29_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM q29_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    // Lateral token explode + per-group top-k (generator → two-phase
+    // agg → window rank): the UDTF-shaped surface, all built-ins.
+    "q30_lateral_topk_tokens" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 3)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))))
+        .filter(col("rnk") <= 5)
+        .select("lang", "tok", "n", "rnk")
+        .orderBy("lang", "rnk")
+    }),
+
+    // Exact interpolated percentiles (sort-based agg, distinct from
+    // q27's sketch-based approx_percentile).
+    "q31_percentiles" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("l_discount"), lit(0.25)), 4).as("disc_p25"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Window navigation functions: lag/lead (ordered frame) plus
+    // first_value/nth_value over the full-partition frame.
+    "q32_window_navigation" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(wOrd).as("next_price"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -638,6 +695,46 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
          ROUND(SUM(value), 3) AS sum_value,
          MIN(event_id) AS min_id, MAX(event_id) AS max_id
-         FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+
+    "q29_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "q30_lateral_topk_tokens" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cnt AS (
+           SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+           FROM toks WHERE strlen(tok) > 3 GROUP BY lang, tok),
+         rk AS (SELECT lang, tok, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+                FROM cnt)
+         SELECT lang, tok, n, CAST(rnk AS INTEGER) AS rnk
+         FROM rk WHERE rnk <= 5 ORDER BY lang, rnk""",
+
+    "q31_percentiles" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_discount, 0.25), 4) AS disc_p25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey"""
   )
 }

@@ -102,6 +102,24 @@ object TextOps {
           expr("array_min(transform(shingles, sh -> xxhash64(sh)))").as("fingerprint"),
           size(col("shingles")).as("n_shingles"))
         .orderBy("doc_id")
+    }),
+
+    // Repetition / boilerplate scoring: top-token ratio (most frequent
+    // token's share) and type-token ratio per document — the signals a
+    // training-data pipeline uses to drop degenerate repetitive docs.
+    // Two-level aggregation, no window over the token stream.
+    "t05_text_repetition" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), WS)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("max_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("max_c") / col("n_tokens"), 4).as("top_tok_ratio"),
+          round(col("n_distinct") / col("n_tokens").cast("double"), 4).as("ttr"))
+        .orderBy("doc_id")
     })
   )
 
@@ -148,6 +166,20 @@ object TextOps {
                CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS c_de,
                CAST(len(regexp_extract_all(lower(text), '(的|是|在)')) AS INTEGER) AS c_zh
              FROM documents) y) z
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "t05_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+         agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                        MAX(c) AS max_c
+                 FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           ROUND(max_c / n_tokens, 4) AS top_tok_ratio,
+           ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr
+         FROM agg ORDER BY doc_id"""
   )
 }

@@ -58,6 +58,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), s"dedup should be agg-only:\n$p")
   }
 
+  test("q29: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q29_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), "decorrelation produced a cartesian")
+  }
+
   test("s03: embedding near-dup is bucket-blocked — no nested-loop or cartesian join") {
     val p = plan("s03_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"),
