@@ -36,6 +36,18 @@ class CheckpointPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequence order equals numeric order under arbitrary zero padding") {
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong(1000000L)
+      val b = rnd.nextLong(1000000L)
+      val padA = "0" * rnd.nextInt(6) + a.toString
+      val padB = "0" * rnd.nextInt(6) + b.toString
+      assert(graft.sources.kinesis.SequenceOrder.leq(padA, padB) == (a <= b),
+        s"leq($padA, $padB) disagrees with $a <= $b")
+    }
+  }
+
   test("retrying saver reaches the same final state as a perfect saver under transient failures") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
