@@ -32,43 +32,44 @@ object Similarity {
       col("embedding").cast("array<double>").as("v"))
   }
 
-  // Sign-LSH: 8 tables × 8 seeded ±1 hyperplanes over 64 dims. Multiple
-  // short codes trade precision for recall — one 16-bit code almost
-  // never collides on near-random vectors.
-  private val LshTables = 8
-  private val BitsPerTable = 8
   private val Dim = 64
   // IVF: 16 cells, probe the 4 nearest (unit vectors → max dot = nearest).
   private val IvfCells = 16
   private val IvfNProbe = 4
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(LshTables * BitsPerTable)(
-      Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
 
-  // s03's blocking family: 24 tables × 4 bits. Each ±1 hyperplane is
-  // defined by one 64-bit long (bit d → sign of dim d), so the SAME 96
-  // longs can be embedded in the DuckDB oracle, which then derives
-  // byte-identical planes, buckets, candidates, and cosines — the hash
-  // gate stays exact even though the query is candidate-blocked.
-  // Recall-leaning parameters (4 bits/table): at the 0.35 threshold the
-  // qualifying pairs graze the threshold (measured cosine 0.35–0.60 in
-  // the synthetic corpus), where each extra bit costs recall fast; at an
-  // operational near-dup threshold (≥0.8) the same scheme runs with more
-  // bits per table for tighter buckets. Candidate volume stays bounded by
-  // the band-bucket equi-join — never an all-pairs nested loop.
+  // Sign-LSH plane families. Each ±1 hyperplane is defined by one
+  // 64-bit long (bit d → sign of dim d), so the SAME longs can be
+  // embedded in the DuckDB oracles, which then derive byte-identical
+  // planes, buckets, candidates, and scores — the hash gate stays exact
+  // even though the queries are candidate-blocked.
+  private def planeBits(seed: Long, n: Int): Seq[Long] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)(rnd.nextLong())
+  }
+  private def planesOf(bits: Seq[Long]): Seq[Seq[Double]] =
+    bits.map(b => (0 until Dim).map(d => if (((b >> d) & 1L) == 1L) 1.0 else -1.0))
+
+  // s02 ANN: 8 tables × 8-bit codes — multiple short codes trade
+  // precision for recall; one 16-bit code almost never collides on
+  // near-random vectors.
+  private val LshTables = 8
+  private val BitsPerTable = 8
+  private val annPlaneBits: Seq[Long] = planeBits(7, LshTables * BitsPerTable)
+  private val annPlanes: Seq[Seq[Double]] = planesOf(annPlaneBits)
+
+  // s03 blocking family: 24 tables × 4 bits. Recall-leaning parameters
+  // (4 bits/table): at the 0.35 threshold the qualifying pairs graze the
+  // threshold (measured cosine 0.35–0.60 in the synthetic corpus), where
+  // each extra bit costs recall fast; at an operational near-dup
+  // threshold (≥0.8) the same scheme runs with more bits per table for
+  // tighter buckets. Candidate volume stays bounded by the band-bucket
+  // equi-join — never an all-pairs nested loop.
   private val NearDupTables = 24
   private val NearDupBitsPerTable = 4
   private[operators] val NearDupThreshold = 0.35
-  private val nearDupPlaneBits: Seq[Long] = {
-    val rnd = new java.util.Random(2026)
-    Seq.fill(NearDupTables * NearDupBitsPerTable)(rnd.nextLong())
-  }
-  private val nearDupPlanes: Seq[Seq[Double]] =
-    nearDupPlaneBits.map { bits =>
-      (0 until Dim).map(d => if (((bits >> d) & 1L) == 1L) 1.0 else -1.0)
-    }
+  private val nearDupPlaneBits: Seq[Long] =
+    planeBits(2026, NearDupTables * NearDupBitsPerTable)
+  private val nearDupPlanes: Seq[Seq[Double]] = planesOf(nearDupPlaneBits)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k: 10 probe vectors × all candidates.
@@ -88,22 +89,15 @@ object Similarity {
     }),
 
     // Approximate NN via sign-LSH bucketing: probes only compare against
-    // candidates landing in the same 16-bit bucket. Recall vs s01 is
-    // asserted in SimilaritySpec; hash family isn't SQL-expressible →
-    // rows-only driver check.
+    // candidates landing in the same 8-bit bucket of any of the 8
+    // tables. Hash-checked: the oracle derives identical buckets from
+    // the shared plane longs. Recall vs s01 additionally asserted in
+    // DedupSimilaritySpec.
     "s02_sim_ann_lsh" -> ((s, dir) => {
-      val planesCol = typedLit(planes)
-      // One row per (vector, table): bucket = that table's 8-bit code.
-      val e = vecs(s, dir).withColumn("planes", planesCol)
-        .withColumn("bits", expr(
-          "transform(planes, p -> CASE WHEN vector_dot(p, v) > 0D THEN 1 ELSE 0 END)"))
-        .withColumn("tbl", explode(expr(s"sequence(0, ${LshTables - 1})")))
-        .withColumn("bucket", expr(
-          s"aggregate(slice(bits, tbl * $BitsPerTable + 1, $BitsPerTable), 0, (acc, b) -> acc * 2 + b)"))
-        .select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
-      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("tbl"), col("bucket")).filter(col("qid") < 10)
-      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      val bk = lshBuckets(s, dir, annPlanes, BitsPerTable)
+      val q = bk.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
+      val c = bk.select(col("vec_id").as("cid"), col("v").as("cv"),
         col("tbl"), col("bucket"))
       val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
         .filter(col("qid") =!= col("cid"))
@@ -169,7 +163,7 @@ object Similarity {
       // joins at scale), the cosine filter runs per candidate inside
       // codegen, and only the few survivors are deduped — dots are
       // cheap, pair-level shuffles are not, so dedup goes last.
-      val bk = nearDupBuckets(s, dir)
+      val bk = lshBuckets(s, dir, nearDupPlanes, NearDupBitsPerTable)
       val e = vecs(s, dir)
       bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
         .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
@@ -184,17 +178,19 @@ object Similarity {
     })
   )
 
-  /** One row per (vector, LSH table) with that table's 4-bit bucket.
-    * Buckets are computed as a plain projection (24 sums of
-    * sign-threshold vector_dot terms — no lambda HOFs, stays in
-    * whole-stage codegen), then unrolled with posexplode of the plain
-    * array, the generator-safe pattern.
+  /** One row per (vector, LSH table) with that table's bucket code.
+    * Buckets are computed as a plain projection (one sum of
+    * sign-threshold vector_dot terms per table — no lambda HOFs, stays
+    * in whole-stage codegen), then unrolled with posexplode of the
+    * plain array, the generator-safe pattern.
     */
-  private def nearDupBuckets(s: SparkSession, dir: String): DataFrame = {
+  private def lshBuckets(s: SparkSession, dir: String,
+      planes: Seq[Seq[Double]], bitsPerTable: Int): DataFrame = {
     val e = vecs(s, dir)
-    val bucketCols: Seq[Column] = (0 until NearDupTables).map { t =>
-      (0 until NearDupBitsPerTable).map { slot =>
-        val p = typedLit(nearDupPlanes(t * NearDupBitsPerTable + slot))
+    val nTables = planes.size / bitsPerTable
+    val bucketCols: Seq[Column] = (0 until nTables).map { t =>
+      (0 until bitsPerTable).map { slot =>
+        val p = typedLit(planes(t * bitsPerTable + slot))
         when(dotc(p, col("v")) > lit(0.0), lit(1 << slot)).otherwise(lit(0))
       }.reduce(_ + _)
     }
@@ -288,12 +284,40 @@ object Similarity {
                FROM embeddings) x
          GROUP BY label, dim ORDER BY label, dim""",
 
-    // The oracle reproduces s03's LSH blocking exactly: the same 96
+    // The s02/s03 oracles reproduce the LSH blocking exactly: the same
     // seeded plane longs expand to the same ±1 planes, so DuckDB derives
-    // identical buckets → identical candidate pairs → identical verified
-    // cosines (list_dot_product is bitwise-equal to vector_dot on
-    // DOUBLE[]). The blocked query is therefore hash-checked, not merely
+    // identical buckets → identical candidates → identical scores
+    // (list_dot_product is bitwise-equal to vector_dot on DOUBLE[]).
+    // Both blocked queries are therefore hash-checked, not merely
     // rows-only.
+    "s02_sim_ann_lsh" -> {
+      val vals = annPlaneBits.zipWithIndex
+        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH planes(pid, bits) AS (VALUES $vals),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pv AS (SELECT pid, list_transform(generate_series(0, 63),
+                  d -> CASE WHEN ((bits >> d) & 1) = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+                FROM planes),
+         sig AS (SELECT e.vec_id, pv.pid // $BitsPerTable AS tbl,
+                        (pv.pid % $BitsPerTable) AS slot,
+                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
+                 FROM e CROSS JOIN pv),
+         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
+                  FROM sig GROUP BY vec_id, tbl),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  FROM buck q JOIN buck c
+                    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+                  WHERE q.vec_id < 10),
+         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
+                    FROM cand JOIN e eq ON eq.vec_id = qid JOIN e ec ON ec.vec_id = cid),
+         r AS (SELECT qid, cid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+               FROM scored)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+    },
+
     "s03_embed_neardup" -> {
       val vals = nearDupPlaneBits.zipWithIndex
         .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
