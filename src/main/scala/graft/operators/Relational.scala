@@ -441,6 +441,41 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Argmax/argmin aggregation (max_by/min_by): latest/first order per
+    // customer in one hash aggregate — no self-join, no window over the
+    // whole partition. The ordering key is a fixed-width sortable string
+    // so ties on date break deterministically on orderkey.
+    "q33_argmax" -> ((s, dir) => {
+      val ord = concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        lit("|"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+      orders(s, dir)
+        .withColumn("ord", ord)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), col("ord")).as("latest_order"),
+          min_by(col("o_orderkey"), col("ord")).as("first_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("o_custkey")
+    }),
+
+    // Band (range) join against a tiny literal dimension: the non-equi
+    // BETWEEN predicate makes this a broadcast nested-loop join over 4
+    // broadcast rows — the correct plan for a literal band table at any
+    // fact size (each fact row tests 4 predicates; no shuffle).
+    "q34_band_join" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("small", 0.0, 100000.0),
+        ("mid", 100000.0, 250000.0),
+        ("large", 250000.0, 400000.0),
+        ("jumbo", 400000.0, 1e18))).toDF("band", "lo", "hi")
+      orders(s, dir)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("band")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -735,6 +770,26 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q33_argmax" ->
+      """WITH o AS (SELECT *,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord
+           FROM orders)
+         SELECT o_custkey,
+           arg_max(o_orderkey, ord) AS latest_order,
+           arg_min(o_orderkey, ord) AS first_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+         FROM o GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q34_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('small', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+           ('large', 250000.0, 400000.0), ('jumbo', 400000.0, 1e18))
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band ORDER BY band"""
   )
 }
