@@ -178,25 +178,34 @@ object Similarity {
     })
   )
 
-  /** One row per (vector, LSH table) with that table's bucket code.
-    * Buckets are computed as a plain projection (one sum of
-    * sign-threshold vector_dot terms per table — no lambda HOFs, stays
-    * in whole-stage codegen), then unrolled with posexplode of the
-    * plain array, the generator-safe pattern.
+  /** One row per (vector, LSH table) with that table's bucket code
+    * (little-endian: first plane of a table is its LSB, matching the
+    * oracles' `SUM(bit << slot)`).
+    *
+    * Shape notes: the planes ride in ONE array literal and the sign
+    * bits in one `transform` — unrolling them into per-plane CASE
+    * chains generates tens of KB of codegen that janino recompiles on
+    * every query build (fresh expr ids defeat the codegen cache;
+    * measured 3× slowdown). The explode is over a plain `sequence`
+    * (never over the HOF result — per-emitted-row lambda re-evaluation),
+    * and each table's bucket is assembled after the explode from the
+    * precomputed bits array.
     */
   private def lshBuckets(s: SparkSession, dir: String,
       planes: Seq[Seq[Double]], bitsPerTable: Int): DataFrame = {
-    val e = vecs(s, dir)
     val nTables = planes.size / bitsPerTable
-    val bucketCols: Seq[Column] = (0 until nTables).map { t =>
-      (0 until bitsPerTable).map { slot =>
-        val p = typedLit(planes(t * bitsPerTable + slot))
-        when(dotc(p, col("v")) > lit(0.0), lit(1 << slot)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    e.select(col("vec_id"), col("v"), array(bucketCols: _*).as("buckets"))
-      .select(col("vec_id"), col("v"), posexplode(col("buckets")))
-      .toDF("vec_id", "v", "tbl", "bucket")
+    vecs(s, dir)
+      .withColumn("planes", typedLit(planes))
+      .withColumn("bits", expr(
+        "transform(planes, p -> CASE WHEN vector_dot(p, v) > 0D THEN 1 ELSE 0 END)"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket", expr(
+        s"""aggregate(
+              zip_with(slice(bits, tbl * $bitsPerTable + 1, $bitsPerTable),
+                       sequence(0, ${bitsPerTable - 1}),
+                       (b, s) -> b * shiftleft(1, s)),
+              0, (acc, x) -> acc + x)"""))
+      .select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
   }
 
   // Built IVF indexes, one per (session, dataset). Session identity is
