@@ -96,6 +96,17 @@ class GraftConsumer(val option: GraftOption) {
     r.load()
   }
 
+  /** ≈ Run() with no arguments (kinesis.go:147-154): builds the
+    * kinesis-graft source from this consumer's own options and starts
+    * consuming — the closest shape to the reference's
+    * `NewIteratorWithOpt(opt).Handle(h).Run()` usage (README.md:33-59).
+    * `extra` passes source options (clientName/clientClass, saverName,
+    * maxRecordsPerFetch).
+    */
+  def start(spark: org.apache.spark.sql.SparkSession,
+      extra: Map[String, String] = Map.empty): StreamingQuery =
+    run(source(spark, extra))
+
   /** ≈ Run (kinesis.go:147-154): validates the handler (the reference
     * errors with HandlerIsNil, kinesis.go:148-150) and starts the
     * streaming query.

@@ -127,6 +127,23 @@ class GraftConsumerSpec extends SparkSuite {
     consumer.shutdown(30.seconds)
   }
 
+  test("start() wires the consumer's own source end-to-end (NewIteratorWithOpt → Handle → Run)") {
+    import graft.sources.kinesis._
+    HandlerSink.clear()
+    FakeKinesisService.createStream("gc-start", 1)
+    KinesisRegistry.clients.put("gc-start-fake", new FakeKinesisClient())
+    (1 to 3).foreach(i =>
+      FakeKinesisService.push("gc-start", "shardId-000000000000", s"pk$i", s"p$i".getBytes))
+    val consumer = GraftConsumer(GraftOption().withStreamName("gc-start"))
+      .sleepLimit(50.millis)
+      .handle(r => HandlerSink.seen.add((r.shardId, r.sequenceNumber)))
+    val q = consumer.start(spark, Map("clientName" -> "gc-start-fake"))
+    try {
+      q.processAllAvailable()
+      assert(HandlerSink.seen.asScala.size == 3)
+    } finally assert(consumer.shutdown(10.seconds))
+  }
+
   test("run without handler fails like HandlerIsNil (kinesis.go:148-150)") {
     import spark.implicits._
     val mem = MemoryStream[KinesisRecord](spark)
