@@ -229,7 +229,7 @@ object Dedup {
       // lineage, so iterations don't re-run the d03 shingle join, and
       // each round's plan stays flat instead of nesting). On a real
       // cluster this would be a reliable checkpoint dir.
-      val edges = pairs
+      val edges0 = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
         .localCheckpoint()
@@ -239,12 +239,18 @@ object Dedup {
       // spread over the session's full partition count makes every
       // round pure task-scheduling overhead. At 100 TB edge counts the
       // clamp leaves the session's parallelism unchanged.
-      val nEdges = edges.count()
+      val nEdges = edges0.count()
       val origParts = s.conf.get("spark.sql.shuffle.partitions")
       val loopParts =
         math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
       s.conf.set("spark.sql.shuffle.partitions", loopParts)
       try {
+      // Re-pin the graph at loop parallelism: the first checkpoint has
+      // the session's partition count, which would make every round's
+      // join against `edges` schedule that many mostly-empty tasks.
+      val edges = if (loopParts < origParts.toInt)
+        edges0.repartition(loopParts, col("src")).localCheckpoint()
+      else edges0
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
@@ -292,6 +298,7 @@ object Dedup {
         s"d06 label propagation did not converge in $maxIters iterations " +
           "(component diameter too large) — refusing to emit split clusters")
       edges.unpersist() // final labels are checkpointed; graph not needed
+      edges0.unpersist()
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", origParts)
