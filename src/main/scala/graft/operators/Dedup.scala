@@ -98,7 +98,8 @@ object Dedup {
       .agg(count(lit(1)).as("inter_rare"))
   }
 
-  private[operators] def jaccardPairsOf(ex: DataFrame, dfCap: Int): DataFrame = {
+  private[operators] def jaccardPairsOf(ex: DataFrame, dfCap: Int,
+      threshold: Double = 0.5): DataFrame = {
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // df per shingle hash via aggregate + join-back. The df table is one
     // row per DISTINCT shingle — orders of magnitude smaller than ex —
@@ -123,8 +124,127 @@ object Dedup {
           size(array_intersect(col("ch_a"), col("ch_b")))).otherwise(lit(0)))
       .select(col("doc_a"), col("doc_b"), col("inter"))
     withJaccard(inter, counts)
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Public df-in/df-out exact dedup: keep the minimum-`idCol` row per
+    * duplicate `keyCols` group (full surviving rows, unlike the d01
+    * query's group summary). One hash-aggregate shuffle + a semi join
+    * on (keys, id).
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "leftsemi")
+      .select(df.columns.map(col).toSeq: _*) // using-join reorders; keep input order
+  }
+
+  /** Public df-in/df-out near-dup operator: exact n-gram Jaccard pairs
+    * over ANY corpus with an id column and a text column (the engine's
+    * library surface — the registered d03 query is this applied to the
+    * `documents` test table). Output: (doc_a, doc_b, jaccard).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, dfCap: Int = ShingleDfCap): DataFrame =
+    jaccardPairsOf(
+      shingleHashesOf(docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))),
+      dfCap, threshold)
+
+  /** Public df-in/df-out clustering operator: near-dup clusters =
+    * [[connectedComponents]] over [[nearDupPairs]], labeled by the
+    * minimum member id. Output: (doc_id, cluster_id).
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, dfCap: Int = ShingleDfCap): DataFrame =
+    connectedComponents(nearDupPairs(docs, idCol, textCol, threshold, dfCap)
+      .select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+  /** Public df-in/df-out connected-components operator over an
+    * undirected pair graph: input is any two-column DataFrame of edges,
+    * output is (id, label) with label = the minimum member id of the
+    * node's component. Min-label propagation composed with pointer
+    * jumping (l(id) ← l(l(id))), so materialized rounds grow as
+    * ~log₂(component diameter); convergence is detected by the strictly
+    * decreasing label sum, probed once per double-step.
+    */
+  def connectedComponents(pairsDf: DataFrame): DataFrame = {
+    require(pairsDf.columns.length == 2,
+      s"connectedComponents expects a 2-column edge DataFrame, got ${pairsDf.columns.mkString(",")}")
+    val s = pairsDf.sparkSession
+    val pairs = pairsDf.toDF("a", "b")
+    // Materialize the graph once (localCheckpoint truncates lineage, so
+    // iterations don't re-run the upstream pipeline, and each round's
+    // plan stays flat instead of nesting). On a real cluster this would
+    // be a reliable checkpoint dir.
+    val edges0 = pairs
+      .union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    // Size the loop's shuffle parallelism to the MATERIALIZED graph,
+    // the way AQE sizes batch stages at runtime — AQE cannot re-plan an
+    // eager checkpoint-per-round loop, and a few hundred edges spread
+    // over the session's full partition count makes every round pure
+    // task-scheduling overhead. At 100 TB edge counts the clamp leaves
+    // the session's parallelism unchanged.
+    val nEdges = edges0.count()
+    val origParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts =
+      math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      // Re-pin the graph at loop parallelism: the first checkpoint has
+      // the session's partition count, which would make every round's
+      // join against `edges` schedule that many mostly-empty tasks.
+      val edges = if (loopParts < origParts.toInt)
+        edges0.repartition(loopParts, col("src")).localCheckpoint()
+      else edges0
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      // Min-label propagation only ever DECREASES labels, so the label
+      // sum is strictly monotone until fixpoint — one cheap aggregate
+      // per round detects convergence without a join. (Zero for the
+      // empty graph: a corpus with no near-dup pairs is legitimate.)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+      def propagate(l: DataFrame) =
+        edges.join(l, edges("src") === l("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(l)
+          .groupBy("id").agg(min("label").as("label"))
+      // Pointer jumping: every label is itself a node id present in the
+      // label map (labels start as self-pointers and only ever move to
+      // other nodes' mins), so the parent lookup is a plain equi-join.
+      def pointerJump(l: DataFrame) = {
+        val parent = l.select(col("id").as("pid"), col("label").as("plabel"))
+        l.join(parent, col("label") === col("pid"))
+          .select(col("id"), col("plabel").as("label"))
+      }
+      var converged = labels.isEmpty // empty graph is already a fixpoint
+      var iter = 0
+      val maxIters = 50
+      var prevSum = labelSum(labels)
+      while (!converged && iter < maxIters) {
+        // one materialization + one scalar action per (propagate ∘ jump)
+        // double-step — equality of the strictly-decreasing label sum
+        // across the double-step still implies fixpoint exactly.
+        val stepped = pointerJump(propagate(labels)).localCheckpoint()
+        val newSum = labelSum(stepped)
+        labels.unpersist() // superseded generation's checkpoint blocks
+        labels = stepped
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter too large) — refusing to emit split clusters")
+      edges.unpersist() // final labels are checkpointed; graph not needed
+      edges0.unpersist()
+      labels.select(col("id"), col("label"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
   /** Exact pairwise Jaccard over a candidate pair set (doc_a, doc_b). */
@@ -220,89 +340,13 @@ object Dedup {
 
     // Near-dup clusters: connected components over the d03 pair graph,
     // labels = min doc_id per component — the "keep one canonical doc
-    // per duplicate group" primitive. Min-label propagation with pointer
-    // jumping (~log₂(diameter) materialized rounds). Oracle:
-    // recursive-CTE transitive closure in DuckDB.
-    "d06_dedup_clusters" -> ((s, dir) => {
-      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      // Materialize the pair graph once (localCheckpoint truncates
-      // lineage, so iterations don't re-run the d03 shingle join, and
-      // each round's plan stays flat instead of nesting). On a real
-      // cluster this would be a reliable checkpoint dir.
-      val edges0 = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-      // Size the loop's shuffle parallelism to the MATERIALIZED graph,
-      // the way AQE sizes batch stages at runtime — AQE cannot re-plan
-      // an eager checkpoint-per-round loop, and a few hundred edges
-      // spread over the session's full partition count makes every
-      // round pure task-scheduling overhead. At 100 TB edge counts the
-      // clamp leaves the session's parallelism unchanged.
-      val nEdges = edges0.count()
-      val origParts = s.conf.get("spark.sql.shuffle.partitions")
-      val loopParts =
-        math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
-      s.conf.set("spark.sql.shuffle.partitions", loopParts)
-      try {
-      // Re-pin the graph at loop parallelism: the first checkpoint has
-      // the session's partition count, which would make every round's
-      // join against `edges` schedule that many mostly-empty tasks.
-      val edges = if (loopParts < origParts.toInt)
-        edges0.repartition(loopParts, col("src")).localCheckpoint()
-      else edges0
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      // Min-label propagation only ever DECREASES labels, so the label
-      // sum is strictly monotone until fixpoint — one cheap aggregate
-      // per round detects convergence without a join. (Zero for the
-      // empty graph: a corpus with no near-dup pairs is legitimate.)
-      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
-          .getOrElse(java.math.BigDecimal.ZERO)
-      def propagate(l: org.apache.spark.sql.DataFrame) =
-        edges.join(l, edges("src") === l("id"))
-          .select(col("dst").as("id"), col("label"))
-          .union(l)
-          .groupBy("id").agg(min("label").as("label"))
-      // Pointer jumping: l(id) ← l(l(id)). Every label is itself a node
-      // id present in the label map (labels start as self-pointers and
-      // only ever move to other nodes' mins), so the parent lookup is a
-      // plain equi-join. Composing one propagate with one jump per round
-      // spreads labels along 2-hop paths — round count drops from the
-      // component diameter to ~log₂(diameter).
-      def pointerJump(l: org.apache.spark.sql.DataFrame) = {
-        val parent = l.select(col("id").as("pid"), col("label").as("plabel"))
-        l.join(parent, col("label") === col("pid"))
-          .select(col("id"), col("plabel").as("label"))
-      }
-      var converged = labels.isEmpty // empty graph is already a fixpoint
-      var iter = 0
-      val maxIters = 50
-      var prevSum = labelSum(labels)
-      while (!converged && iter < maxIters) {
-        // one materialization + one scalar action per (propagate ∘ jump)
-        // double-step — the convergence probe is paid every 2 logical
-        // rounds, and equality of the strictly-decreasing label sum
-        // across the double-step still implies fixpoint exactly.
-        val stepped = pointerJump(propagate(labels)).localCheckpoint()
-        val newSum = labelSum(stepped)
-        labels.unpersist() // superseded generation's checkpoint blocks
-        labels = stepped
-        converged = newSum.compareTo(prevSum) == 0
-        prevSum = newSum
-        iter += 1
-      }
-      require(converged,
-        s"d06 label propagation did not converge in $maxIters iterations " +
-          "(component diameter too large) — refusing to emit split clusters")
-      edges.unpersist() // final labels are checkpointed; graph not needed
-      edges0.unpersist()
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy("doc_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", origParts)
-    }),
+    // per duplicate group" primitive (thin adapter over the public
+    // [[connectedComponents]] operator). Oracle: recursive-CTE
+    // transitive closure in DuckDB.
+    "d06_dedup_clusters" -> ((s, dir) =>
+      connectedComponents(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")),
 
     // SimHash near-dup pairs: 64-bit signature from token hashes; pairs
     // with Hamming distance <= 3. Blocking on 4 × 16-bit bands is

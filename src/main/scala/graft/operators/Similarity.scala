@@ -94,7 +94,7 @@ object Similarity {
     // the shared plane longs. Recall vs s01 additionally asserted in
     // DedupSimilaritySpec.
     "s02_sim_ann_lsh" -> ((s, dir) => {
-      val bk = lshBuckets(s, dir, annPlanes, BitsPerTable)
+      val bk = lshBuckets(vecs(s, dir), annPlanes, BitsPerTable)
       val q = bk.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
       val c = bk.select(col("vec_id").as("cid"), col("v").as("cv"),
@@ -163,7 +163,7 @@ object Similarity {
       // joins at scale), the cosine filter runs per candidate inside
       // codegen, and only the few survivors are deduped — dots are
       // cheap, pair-level shuffles are not, so dedup goes last.
-      val bk = lshBuckets(s, dir, nearDupPlanes, NearDupBitsPerTable)
+      val bk = lshBuckets(vecs(s, dir), nearDupPlanes, NearDupBitsPerTable)
       val e = vecs(s, dir)
       bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
         .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
@@ -191,10 +191,11 @@ object Similarity {
     * and each table's bucket is assembled after the explode from the
     * precomputed bits array.
     */
-  private def lshBuckets(s: SparkSession, dir: String,
+  private def lshBuckets(e: DataFrame,
       planes: Seq[Seq[Double]], bitsPerTable: Int): DataFrame = {
+    graft.functions.VectorDot.register(e.sparkSession)
     val nTables = planes.size / bitsPerTable
-    vecs(s, dir)
+    e
       .withColumn("planes", typedLit(planes))
       .withColumn("bits", expr(
         "transform(planes, p -> CASE WHEN vector_dot(p, v) > 0D THEN 1 ELSE 0 END)"))
@@ -241,6 +242,51 @@ object Similarity {
     * step; Bench calls this in its untimed warm-up).
     */
   def prepareIndex(s: SparkSession, dir: String): Unit = { ivfIndex(s, dir); () }
+
+  /** Public df-in/df-out exact top-k: for each probe row, the k nearest
+    * corpus rows by dot product (cosine for unit vectors), identical-id
+    * matches excluded. Probe side is broadcast (assumed small); the
+    * corpus is scanned once. Output: (qid, cid, rnk, score).
+    */
+  def cosineTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorDot.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = probes.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  /** Public df-in/df-out approximate top-k via sign-LSH bucketing: each
+    * probe is compared only against corpus rows sharing one of its LSH
+    * bucket codes (equi-join on (table, bucket) — no corpus cross
+    * join). Output: (qid, cid, rnk, score); exact scores, approximate
+    * candidate set.
+    */
+  def annTopK(corpus: DataFrame, probeIds: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bk = lshBuckets(e, annPlanes, BitsPerTable)
+    val q = bk.join(broadcast(probeIds.select(col(idCol).as("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    bk.select(col("vec_id").as("cid"), col("v").as("cv"), col("tbl"), col("bucket"))
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
 
   /** Test-only ground truth for s03: exact all-pairs threshold join.
     * Quadratic in the corpus — deliberately NOT a registered query

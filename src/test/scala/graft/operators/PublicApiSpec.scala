@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The library's df-in/df-out surface must work on ANY schema, not just
+  * the test tables — these drive the public operators on DataFrames
+  * with foreign column names and verify semantics end-to-end.
+  */
+class PublicApiSpec extends SparkSuite {
+
+  test("exactDedup keeps the min-id row per duplicate key, full rows intact") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "alpha", "x"), (7L, "alpha", "y"), (3L, "beta", "z"), (9L, "beta", "w"),
+      (5L, "gamma", "v")
+    ).toDF("rid", "content", "extra")
+    val out = Dedup.exactDedup(df, "rid", Seq("content"))
+      .orderBy("rid").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((3L, "beta", "z"), (5L, "gamma", "v"), (7L, "alpha", "y")))
+  }
+
+  test("nearDupPairs + nearDupClusters work on a corpus with foreign column names") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (101L, base),
+      (102L, base + " extra"),                              // near-dup of 101
+      (103L, "completely different words in this sentence about streams and shards"),
+      (104L, base + " extra")                               // exact dup of 102
+    ).toDF("item_id", "body")
+    val pairs = Dedup.nearDupPairs(docs, "item_id", "body", threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((101L, 102L), (101L, 104L), (102L, 104L)), s"got ${pairs.toSeq}")
+    val clusters = Dedup.nearDupClusters(docs, "item_id", "body", threshold = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.toSeq == Seq((101L, 101L), (102L, 101L), (104L, 101L)))
+  }
+
+  test("connectedComponents labels components by min member over any 2-column edges") {
+    import spark.implicits._
+    val edges = Seq((5L, 9L), (9L, 12L), (20L, 21L)).toDF("left_node", "right_node")
+    val cc = Dedup.connectedComponents(edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((5L, 5L), (9L, 5L), (12L, 5L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("text operators run on foreign column names and agree with the registered queries") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id").as("k"), col("text").as("body"))
+    val viaApi = TextOps.qualityScore(docs, "k", "body").orderBy("doc_id").collect()
+    val viaQuery = graft.SparkEntry.queries("t02_text_quality")(spark, sf("sf0.001")).collect()
+    assert(viaApi.toSeq == viaQuery.toSeq)
+    assert(TextOps.repetitionScore(docs, "k", "body").count() == docs.count())
+  }
+
+  test("cosineTopK and annTopK agree on scores for shared pairs (foreign columns)") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("eid"), col("embedding").as("vec"))
+    val probes = e.filter(col("eid") < 5)
+    val exact = Similarity.cosineTopK(e, probes, 3, "eid", "vec").collect()
+    assert(exact.map(_.getLong(0)).distinct.length == 5)
+    assert(exact.length == 15) // 5 probes x top-3
+    val exactScores = exact.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val ann = Similarity.annTopK(e, probes.select("eid"), 3, "eid", "vec").collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactScores.get(k).foreach(s => assert(s == r.getDouble(3), s"score mismatch for $k"))
+    }
+  }
+}
