@@ -55,6 +55,34 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("width"),
       (col("n_chars") % 480).cast("int").as("height"))
 
+  /** Public df-in/df-out binary metadata extraction over any frame with
+    * an id and a binary column: byte length + content digest (fully
+    * Catalyst, codegen'd — a metadata query never decodes).
+    */
+  def binaryMeta(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
+      .select(col("doc_id"),
+        octet_length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+
+  /** Public df-in/df-out frame sampling: slice the binary column into
+    * fixed-size frames and keep every `stride`-th, without decoding.
+    * Output: (doc_id, frame_idx, frame_bytes).
+    */
+  def frameSample(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content", frameSize: Int = 256,
+      stride: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
+      .withColumn("n_frames",
+        ceil(octet_length(col("content")) / frameSize.toDouble).cast("int"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr(
+        s"filter(sequence(0, n_frames - 1), i -> i % $stride = 0)")))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(expr(
+          s"substring(content, frame_idx * $frameSize + 1, $frameSize)")).as("frame_bytes"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.

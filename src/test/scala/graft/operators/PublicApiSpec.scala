@@ -56,6 +56,21 @@ class PublicApiSpec extends SparkSuite {
     assert(TextOps.repetitionScore(docs, "k", "body").count() == docs.count())
   }
 
+  test("multimodal binaryMeta/frameSample run on foreign columns without decoding") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, ("x" * 600).getBytes), (2L, ("y" * 100).getBytes)
+    ).toDF("asset_id", "blob")
+    val meta = Multimodal.binaryMeta(assets, "asset_id", "blob")
+      .orderBy("doc_id").collect()
+    assert(meta.map(_.getInt(1)).toSeq == Seq(600, 100))
+    val frames = Multimodal.frameSample(assets, "asset_id", "blob",
+      frameSize = 256, stride = 2).orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // 600 bytes -> frames 0,1,2 (sizes 256,256,88); stride 2 keeps 0 and 2
+    assert(frames.toSeq == Seq((1L, 0, 256), (1L, 2, 88), (2L, 0, 100)))
+  }
+
   test("cosineTopK and annTopK agree on scores for shared pairs (foreign columns)") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
       .select(col("vec_id").as("eid"), col("embedding").as("vec"))
