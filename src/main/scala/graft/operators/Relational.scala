@@ -476,6 +476,23 @@ object Relational {
         .orderBy("band")
     }),
 
+    // Map-typed column operations: build a status→count map per
+    // customer (map_from_entries over a sorted entry list), then
+    // map_keys/map_values/lookup/HOF-fold over it.
+    "q35_map_fns" -> ((s, dir) => {
+      val per = orders(s, dir)
+        .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+      per.groupBy("o_custkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderstatus"), col("n"))))).as("status_map"))
+        .select(col("o_custkey"),
+          size(map_keys(col("status_map"))).as("n_statuses"),
+          expr("aggregate(map_values(status_map), 0L, (acc, x) -> acc + x)").as("n_orders"),
+          coalesce(expr("try_element_at(status_map, 'F')"), lit(0L)).as("f_orders"),
+          concat_ws(",", map_keys(col("status_map"))).as("statuses"))
+        .orderBy("o_custkey")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -790,6 +807,21 @@ object Relational {
          SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(o_totalprice), 2) AS total
          FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-         GROUP BY band ORDER BY band"""
+         GROUP BY band ORDER BY band""",
+
+    "q35_map_fns" ->
+      """WITH per AS (
+           SELECT o_custkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_custkey, o_orderstatus),
+         m AS (
+           SELECT o_custkey,
+             map_from_entries(list((o_orderstatus, n) ORDER BY o_orderstatus)) AS status_map
+           FROM per GROUP BY o_custkey)
+         SELECT o_custkey,
+           CAST(len(map_keys(status_map)) AS INTEGER) AS n_statuses,
+           CAST(list_aggregate(map_values(status_map), 'sum') AS BIGINT) AS n_orders,
+           CAST(COALESCE(status_map['F'][1], 0) AS BIGINT) AS f_orders,
+           array_to_string(map_keys(status_map), ',') AS statuses
+         FROM m ORDER BY o_custkey"""
   )
 }

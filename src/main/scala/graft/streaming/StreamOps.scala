@@ -55,14 +55,18 @@ object StreamOps {
     * through, prefixed l_/r_ to avoid name collisions.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, within: String, watermark: String): DataFrame = {
+      tsCol: String, within: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.select(df.columns.map(c => col(c).as(p + c)).toSeq: _*)
     val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
     val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
+    // joinType "leftOuter"/"rightOuter": unmatched rows are emitted with
+    // nulls once the watermark passes their interval (the event-time
+    // bound in the condition is what makes outer emission legal).
     l.join(r, expr(
       s"l_$keyCol = r_$keyCol AND r_$tsCol >= l_$tsCol " +
-        s"AND r_$tsCol <= l_$tsCol + interval $within"))
+        s"AND r_$tsCol <= l_$tsCol + interval $within"), joinType)
   }
 
   /** Custom arbitrary state via flatMapGroupsWithState: per-key running

@@ -95,6 +95,35 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched left rows with nulls after the watermark") {
+    import spark.implicits._
+    val lmem = MemoryStream[KinesisRecord](spark)
+    val rmem = MemoryStream[KinesisRecord](spark)
+    val joined = StreamOps.intervalJoin(lmem.toDF(), rmem.toDF(),
+      "partitionKey", "approximateArrivalTimestamp",
+      within = "30 seconds", watermark = "1 minute", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("so_loj")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      lmem.addData(rec("s0", 1, 100, "a"), rec("s0", 2, 100, "b"))
+      rmem.addData(rec("s1", 10, 110, "a")) // matches a@100; nothing for b
+      q.processAllAvailable()
+      // advance both watermarks far past b@100's interval
+      lmem.addData(rec("s0", 3, 600, "c"))
+      rmem.addData(rec("s1", 11, 600, "c"))
+      q.processAllAvailable()
+      lmem.addData(rec("s0", 4, 650, "c"))
+      rmem.addData(rec("s1", 12, 650, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT l_partitionKey, r_sequenceNumber FROM so_loj").collect()
+        .map(r => (r.getString(0), Option(r.getString(1))))
+      assert(rows.contains(("a", Some(f"${10}%09d"))), s"matched row missing: ${rows.toSeq}")
+      assert(rows.contains(("b", None)),
+        s"unmatched left row not emitted with nulls: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     val mem = MemoryStream[KinesisRecord](spark)
