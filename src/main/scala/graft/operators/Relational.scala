@@ -416,13 +416,19 @@ object Relational {
     // Exact interpolated percentiles (sort-based agg, distinct from
     // q27's sketch-based approx_percentile).
     "q31_percentiles" -> ((s, dir) => {
+      // both price percentiles come from ONE percentile buffer (array
+      // form) — each scalar percentile agg would otherwise hold and
+      // sort its own copy of every group's values
       lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("price_pcts"),
           round(percentile(col("l_discount"), lit(0.25)), 4).as("disc_p25"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("price_pcts"), 1), 4).as("p50"),
+          round(element_at(col("price_pcts"), 2), 4).as("p90"),
+          col("disc_p25"))
         .orderBy("l_returnflag")
     }),
 

@@ -143,6 +143,28 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch text operators run unchanged on a streaming DataFrame (one API, both modes)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qreplay").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(docs.schema).parquet(tmp)
+    // stateless operator pipeline applied verbatim to the stream
+    val q = graft.operators.TextOps.qualityScore(streamed)
+      .writeStream.format("memory").queryName("so_quality_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT * FROM so_quality_stream")
+        .orderBy("doc_id").collect()
+      val batch = graft.operators.TextOps.qualityScore(docs)
+        .orderBy("doc_id").collect()
+      assert(stream.toSeq == batch.toSeq,
+        "streaming and batch qualityScore results diverged")
+    } finally q.stop()
+  }
+
   test("batch d01 dedup ≡ streaming dedupWithinWatermark on a file-replay of the same corpus") {
     import org.apache.spark.sql.functions._
     // file-replay stream of the documents table (the deterministic
