@@ -24,21 +24,26 @@ object Bench {
     // Queries are materialized through the noop DSv2 sink: every output
     // column is fully evaluated, unlike count(), whose column pruning
     // lets Catalyst skip unreferenced scalar-expression work.
+    // A failed run must never win best-of-N (a fast AnalysisException
+    // would otherwise report as the query's best time) — failures score
+    // +Inf and surface as -1 if no run of a query ever succeeded.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.PositiveInfinity }
     }
     // Best-of-N per query: single-run times on this class of box vary
     // ±30% (JIT, GC, page cache), which would swamp round-over-round
     // plan-cost deltas.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val runs = (1 to nRuns).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> runOnce(name, fn) }
     }
     val results = runs.head.keys.map { name =>
-      name -> runs.map(_(name)).min
+      val best = runs.map(_(name)).min
+      name -> (if (best.isInfinity) -1.0 else best)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -157,15 +157,21 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Public df-in/df-out exact dedup: keep the minimum-`idCol` row per
-    * duplicate `keyCols` group (full surviving rows, unlike the d01
-    * query's group summary). One hash-aggregate shuffle + a semi join
-    * on (keys, id).
+  /** Public df-in/df-out exact dedup: keep exactly ONE row per
+    * `keyCols` group — the minimum-`idCol` row, ties broken
+    * arbitrarily-but-deterministically by row_number (full surviving
+    * rows, unlike the d01 query's group summary). A window over the
+    * dedup key handles what a semi join cannot: rows sharing the same
+    * (keys, id) still collapse to one survivor, and null-keyed rows
+    * form their own group instead of vanishing (joins never match null
+    * keys).
     */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(keep, keyCols :+ idCol, "leftsemi")
-      .select(df.columns.map(col).toSeq: _*) // using-join reorders; keep input order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Public df-in/df-out near-dup operator: exact n-gram Jaccard pairs
@@ -217,6 +223,16 @@ object Dedup {
     // task-scheduling overhead. At 100 TB edge counts the clamp leaves
     // the session's parallelism unchanged.
     val nEdges = edges0.count()
+    // The loop's shuffle sizing goes through the session conf (Spark
+    // offers no per-operator partition override for joins/aggregates),
+    // so the eager loop runs under a lock: concurrent
+    // connectedComponents calls serialize instead of racing the
+    // set/restore, and the conf is always restored in finally. Queries
+    // planned concurrently on OTHER threads of the same session during
+    // the loop would see the reduced setting — callers running a
+    // multi-tenant session should invoke this from their driver's
+    // sequential path (as Verify/Bench/tests do).
+    Dedup.synchronized {
     val origParts = s.conf.get("spark.sql.shuffle.partitions")
     val loopParts =
       math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
@@ -274,6 +290,7 @@ object Dedup {
       edges0.unpersist()
       labels.select(col("id"), col("label"))
     } finally s.conf.set("spark.sql.shuffle.partitions", origParts)
+    }
   }
 
   /** Exact pairwise Jaccard over a candidate pair set (doc_a, doc_b). */

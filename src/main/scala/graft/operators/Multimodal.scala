@@ -77,8 +77,11 @@ object Multimodal {
       .withColumn("n_frames",
         ceil(octet_length(col("content")) / frameSize.toDouble).cast("int"))
       .filter(col("n_frames") > 0)
-      .withColumn("frame_idx", explode(expr(
-        s"filter(sequence(0, n_frames - 1), i -> i % $stride = 0)")))
+      // explode a PLAIN sequence and apply the stride filter after the
+      // generator — explode over a lambda-HOF result re-evaluates the
+      // lambda per emitted row (the repo's measured ~30× pitfall)
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("frame_idx"),
         octet_length(expr(
           s"substring(content, frame_idx * $frameSize + 1, $frameSize)")).as("frame_bytes"))
@@ -113,16 +116,10 @@ object Multimodal {
     // for a frame; sample every 4th. Shows slicing binary payloads into
     // per-frame rows without decoding. Oracle-checked (the text corpus
     // is ASCII, so DuckDB's char offsets equal Spark's byte offsets).
-    "m03_frame_sample" -> ((s, dir) => {
-      assets(s, dir)
-        .filter(col("modality") === "video")
-        .withColumn("n_frames", ceil(octet_length(col("content")) / 256.0).cast("int"))
-        .withColumn("frame_idx", explode(expr(
-          "filter(sequence(0, n_frames - 1), i -> i % 4 = 0)")))
-        .select(col("doc_id"), col("frame_idx"),
-          octet_length(expr("substring(content, frame_idx * 256 + 1, 256)")).as("frame_bytes"))
-        .orderBy("doc_id", "frame_idx")
-    }),
+    "m03_frame_sample" -> ((s, dir) =>
+      frameSample(assets(s, dir).filter(col("modality") === "video"),
+        frameSize = 256, stride = 4)
+        .orderBy("doc_id", "frame_idx")),
 
     // Audio resampling shape for "audio" assets: the binary payload is
     // treated as a stream of 2-byte PCM-ish samples, decimated 3:1
@@ -164,7 +161,7 @@ object Multimodal {
                  CAST(unnest(list_filter(generate_series(0, n_frames-1),
                    i -> i % 4 = 0)) AS INTEGER) AS frame_idx,
                  text
-               FROM v)
+               FROM v WHERE n_frames > 0)
          SELECT doc_id, frame_idx,
            CAST(strlen(substring(text, frame_idx*256+1, 256)) AS INTEGER) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",

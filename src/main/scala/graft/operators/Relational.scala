@@ -769,7 +769,7 @@ object Relational {
            FROM documents),
          cnt AS (
            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
-           FROM toks WHERE strlen(tok) > 3 GROUP BY lang, tok),
+           FROM toks WHERE length(tok) > 3 GROUP BY lang, tok),
          rk AS (SELECT lang, tok, n,
                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
                 FROM cnt)

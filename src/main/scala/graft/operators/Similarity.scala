@@ -24,7 +24,6 @@ import graft.Tables._
 object Similarity {
 
   private def dot(a: String, b: String): Column = expr(s"vector_dot($a, $b)")
-  private def dotc(a: Column, b: Column): Column = call_function("vector_dot", a, b)
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDot.register(s)

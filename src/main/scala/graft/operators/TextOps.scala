@@ -72,14 +72,14 @@ object TextOps {
 
   /** Language identification via marker-word n-gram counts with a
     * deterministic argmax (ties resolve in en>es>fr>de>zh order).
-    * Public df-in/df-out operator; emits per-language marker counts.
+    * Public df-in/df-out operator: APPENDS `c_<lang>` counts and
+    * `pred_lang` to the input, passing every input column through —
+    * callers keep their own id/metadata columns without a re-join.
     */
-  def languageId(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val withCounts = langMarkers.foldLeft(normalized(docs, idCol, textCol)) {
-      case (df, (lg, pat)) =>
-        df.withColumn(s"c_$lg",
-          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withCounts = langMarkers.foldLeft(docs) { case (df, (lg, pat)) =>
+      df.withColumn(s"c_$lg",
+        size(regexp_extract_all(lower(col(textCol)), lit(pat), lit(0))))
     }
     withCounts
       .withColumn("pred_lang",
@@ -90,7 +90,6 @@ object TextOps {
           .when(col("c_fr") >= col("c_de") && col("c_fr") >= col("c_zh"), "fr")
           .when(col("c_de") >= col("c_zh"), "de")
           .otherwise("zh"))
-      .select("doc_id", "pred_lang", "c_en", "c_es", "c_fr", "c_de", "c_zh")
   }
 
   /** Document fingerprinting: rolling word-shingle hashes (xxhash64),
@@ -139,8 +138,7 @@ object TextOps {
       qualityScore(documents(s, dir)).orderBy("doc_id")),
 
     "t03_text_langid" -> ((s, dir) =>
-      languageId(documents(s, dir))
-        .join(documents(s, dir).select("doc_id", "lang"), "doc_id")
+      languageId(documents(s, dir)) // pass-through keeps doc_id/lang: one scan
         .withColumn("lang_match", col("pred_lang") === col("lang"))
         .select("doc_id", "lang", "pred_lang", "lang_match",
           "c_en", "c_es", "c_fr", "c_de", "c_zh")
