@@ -9,6 +9,13 @@ import graft.SparkSuite
 import graft.sources.kinesis._
 import graft.streaming.InMemorySequenceSaver
 
+/** Static collector for the WAL-restart test: foreachBatch closures are
+  * serialized into tasks, so observations must land in a static.
+  */
+object WalRestartSink {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class KinesisSourceSpec extends SparkSuite {
 
   private def freshStream(name: String, nShards: Int): Unit = {
@@ -172,6 +179,40 @@ class KinesisSourceSpec extends SparkSuite {
       assert(got.length == 20, s"expected 20 records exactly once, got ${got.length}")
       assert(got.toSet == (1 to 20).map(i => s"r$i").toSet)
     } finally q.stop()
+  }
+
+  test("WAL restart: query resumes from checkpointed offsets via deserializeOffset") {
+    freshStream("s10", 2)
+    (1 to 3).foreach(i => FakeKinesisService.push("s10", "shardId-000000000000", "pk", s"a$i".getBytes))
+    FakeKinesisService.push("s10", "shardId-000000000001", "pk", "b1".getBytes)
+    val ckpt = java.nio.file.Files.createTempDirectory("kinesis-wal").toString
+    WalRestartSink.seen.clear()
+    // memory sink can't recover from a checkpoint — use foreachBatch,
+    // which is recovery-capable, collecting into a static buffer
+    def startQuery() =
+      readSource("s10").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("data").collect()
+            .foreach(r => WalRestartSink.seen.add(new String(r.getAs[Array[Byte]](0))))
+        }
+        .trigger(Trigger.ProcessingTime(50)).start()
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(WalRestartSink.seen.size == 4)
+    WalRestartSink.seen.clear()
+    // new records while the query is DOWN; note shard-001 still at an
+    // empty position is exactly the shape the old offset parser crashed on
+    FakeKinesisService.push("s10", "shardId-000000000000", "pk", "a4".getBytes)
+    FakeKinesisService.push("s10", "shardId-000000000001", "pk", "b2".getBytes)
+    // restart from the same WAL: recovery parses the checkpointed
+    // offsets (deserializeOffset) and must deliver ONLY the new records
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(WalRestartSink.seen).asScala.toSet
+      assert(got == Set("a4", "b2"), s"restart re-delivered or lost records: $got")
+    } finally q2.stop()
   }
 
   test("offset json round-trips") {
