@@ -47,6 +47,36 @@ class PublicApiSpec extends SparkSuite {
     assert(cc.toSeq == Seq((5L, 5L), (9L, 5L), (12L, 5L), (20L, 20L), (21L, 20L)))
   }
 
+  test("connectedComponents agrees with union-find on random graphs (seeded property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 5) {
+      val nNodes = 20 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-label extraction
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map { n =>
+          val root = find(n)
+          n -> nodes.filter(m => find(m) == root).min
+        }.toMap
+        val got = Dedup.connectedComponents(edges.toDF("x", "y"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial (${edges.length} edges) diverged")
+      }
+    }
+  }
+
   test("text operators run on foreign column names and agree with the registered queries") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
       .select(col("doc_id").as("k"), col("text").as("body"))
