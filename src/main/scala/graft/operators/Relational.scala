@@ -499,6 +499,22 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Skew-mitigated fact-fact join: the salted join spreads each hot
+    // orderkey over 8 shuffle partitions (salt on the left, 8×
+    // replication of the right). Results are oracle-identical to the
+    // plain inner join — which is exactly the point, and exactly what
+    // the DuckDB twin checks.
+    "q36_salted_join" -> ((s, dir) => {
+      val l = lineitem(s, dir).select("l_orderkey", "l_quantity", "l_linenumber")
+      val o = orders(s, dir).select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Joins.saltedInnerJoin(l, o, Seq("l_orderkey"), salts = 8,
+          saltSource = col("l_linenumber"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -828,6 +844,12 @@ object Relational {
            CAST(list_aggregate(map_values(status_map), 'sum') AS BIGINT) AS n_orders,
            CAST(COALESCE(status_map['F'][1], 0) AS BIGINT) AS f_orders,
            array_to_string(map_keys(status_map), ',') AS statuses
-         FROM m ORDER BY o_custkey"""
+         FROM m ORDER BY o_custkey""",
+
+    "q36_salted_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
