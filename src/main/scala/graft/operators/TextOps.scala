@@ -92,12 +92,18 @@ object TextOps {
           .otherwise("zh"))
   }
 
-  /** Document fingerprinting: rolling word-shingle hashes (xxhash64),
-    * winnowed to a min-hash fingerprint + distinct-shingle cardinality.
-    * Public df-in/df-out operator.
+  /** Document fingerprinting: rolling word-shingle hashes, winnowed to
+    * a min-hash fingerprint + distinct-shingle cardinality. Public
+    * df-in/df-out operator.
+    *
+    * `hashExpr` is the per-shingle hash, a SQL expression over `sh`:
+    * the default `xxhash64(sh)` is the production fast path (LongType
+    * fingerprint); `md5(sh)` gives a hex-string fingerprint computable
+    * identically by DuckDB — what the registered t04 query uses so the
+    * driver's hash gate checks the whole pipeline end-to-end.
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", hashExpr: String = "xxhash64(sh)"): DataFrame =
     normalized(docs, idCol, textCol)
       .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("tokens"))
       .filter(size(col("tokens")) >= 3)
@@ -105,7 +111,7 @@ object TextOps {
         "transform(sequence(1, size(tokens)-2), i -> " +
           "concat_ws(' ', element_at(tokens,i), element_at(tokens,i+1), element_at(tokens,i+2)))")))
       .select(col("doc_id"),
-        expr("array_min(transform(shingles, sh -> xxhash64(sh)))").as("fingerprint"),
+        expr(s"array_min(transform(shingles, sh -> $hashExpr))").as("fingerprint"),
         size(col("shingles")).as("n_shingles"))
 
   /** Repetition / boilerplate scoring: top-token ratio (most frequent
@@ -145,7 +151,7 @@ object TextOps {
         .orderBy("doc_id")),
 
     "t04_text_fingerprint" -> ((s, dir) =>
-      fingerprint(documents(s, dir)).orderBy("doc_id")),
+      fingerprint(documents(s, dir), hashExpr = "md5(sh)").orderBy("doc_id")),
 
     "t05_text_repetition" -> ((s, dir) =>
       repetitionScore(documents(s, dir)).orderBy("doc_id"))
@@ -208,6 +214,19 @@ object TextOps {
          SELECT doc_id, n_tokens, n_distinct,
            ROUND(max_c / n_tokens, 4) AS top_tok_ratio,
            ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr
-         FROM agg ORDER BY doc_id"""
+         FROM agg ORDER BY doc_id""",
+
+    "t04_text_fingerprint" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3)
+         SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+           CAST(len(shingles) AS INTEGER) AS n_shingles
+         FROM sh ORDER BY doc_id"""
   )
 }
