@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.streaming.SequenceSaver
@@ -72,9 +72,28 @@ class KinesisMicroBatchStream(
     client: KinesisLikeClient,
     saver: Option[SequenceSaver],
     maxRecordsPerFetch: Int)
-  extends MicroBatchStream with SupportsAdmissionControl with Logging {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow with Logging {
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRecordsPerFetch.toLong)
+
+  // Trigger.AvailableNow (backfill mode): the stream tail is captured
+  // once at query start; every batch still honors the admission cap,
+  // ends are clamped to the captured tail, and shards created after the
+  // capture are not admitted — so the query drains exactly the data
+  // that existed at start and terminates.
+  @volatile private var availableNowTarget: Option[Map[String, String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val shards = client.listShards(streamName)
+    val target = shards.map { sh =>
+      val (lastOpt, _) =
+        client.sequenceAfter(streamName, sh.shardId, None, Int.MaxValue)
+      sh.shardId -> lastOpt.getOrElse("")
+    }.toMap
+    availableNowTarget = Some(target)
+    logInfo(s"AvailableNow: captured tail for ${target.size} shard(s) of $streamName")
+  }
 
   /** O3/O7: resolve each live shard's start position. */
   override def initialOffset(): Offset = {
@@ -147,7 +166,20 @@ class KinesisMicroBatchStream(
     // PREVIOUS (committed) batch — never in the same batch that reads
     // the parent's tail, which would let a downstream observer see
     // child records before the parent's final ones.
-    KinesisOffset(gateChildren(positions, shards, basis = startPos, cache))
+    val gated = gateChildren(positions, shards, basis = startPos, cache)
+    // AvailableNow: clamp every shard's end to the captured tail and
+    // drop shards born after the capture.
+    val clamped = availableNowTarget match {
+      case None => gated
+      case Some(target) =>
+        gated.flatMap { case (shardId, seq) =>
+          target.get(shardId).map { cap =>
+            shardId -> (if (cap.isEmpty || (seq.nonEmpty && !seqLeq(seq, cap))) cap
+                        else seq)
+          }
+        }
+    }
+    KinesisOffset(clamped)
   }
 
   private def seqLeq(a: String, b: String): Boolean = SequenceOrder.leq(a, b)

@@ -59,6 +59,12 @@ class GraftConsumer(val option: GraftOption) {
 
   /** ≈ SetSleepLimit (kinesis.go:247-250). */
   def sleepLimit(d: FiniteDuration): this.type = { sleep = d; this }
+  /** Backfill mode: drain everything available at start, then stop
+    * (Trigger.AvailableNow) — batches still honor the admission cap.
+    * Beyond the reference's surface (its loop only tails forever).
+    */
+  def availableNow(): this.type = { availNow = true; this }
+  private var availNow = false
   /** ≈ Handle (kinesis.go:143-145). */
   def handle(h: KinesisRecord => Unit): this.type = { handlerOpt = Some(h); this }
   /** ≈ SetSaver (kinesis.go:242-245). */
@@ -159,7 +165,7 @@ class GraftConsumer(val option: GraftOption) {
     }
     val writer = stream.writeStream
       .queryName(s"graft-consumer-$streamName")
-      .trigger(Trigger.ProcessingTime(sleep.toMillis))
+      .trigger(if (availNow) Trigger.AvailableNow() else Trigger.ProcessingTime(sleep.toMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Two actions follow (handler pass + checkpoint aggregation):
         // persist so the micro-batch is fetched from the source once,

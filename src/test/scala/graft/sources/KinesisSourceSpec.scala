@@ -181,6 +181,19 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the captured tail under the admission cap, then terminates") {
+    freshStream("s11", 1)
+    (1 to 10).foreach(i => FakeKinesisService.push("s11", "shardId-000000000000", "pk", s"r$i".getBytes))
+    val q = readSource("s11", Map("maxRecordsPerFetch" -> "3"))
+      .writeStream.format("memory").queryName("t_avnow")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(30000), "AvailableNow query did not self-terminate")
+    assert(spark.sql("SELECT count(*) FROM t_avnow").head.getLong(0) == 10)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.forall(_ <= 3), s"backfill batch exceeded cap: ${batches.mkString(",")}")
+    assert(batches.length >= 4) // 10 rows at <=3/batch: cap respected across batches
+  }
+
   test("WAL restart: query resumes from checkpointed offsets via deserializeOffset") {
     freshStream("s10", 2)
     (1 to 3).foreach(i => FakeKinesisService.push("s10", "shardId-000000000000", "pk", s"a$i".getBytes))
