@@ -515,6 +515,26 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
+    // sketches are built once, then re-merged per region WITHOUT
+    // re-scanning the facts — the pre-aggregate-then-merge pattern that
+    // makes 100 TB rollup hierarchies cheap (partial sketches are tiny
+    // and re-mergeable at any level). Rows-only driver check (DuckDB's
+    // approx family differs); accuracy + merge algebra asserted in
+    // SketchAndFormatSpec.
+    "q37_hll_union" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val n = nation(s, dir)
+      val perNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          count(lit(1)).as("exact_n"))
+      perNation.groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+          sum("exact_n").as("exact_customers"))
+        .orderBy("n_regionkey")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {

@@ -72,6 +72,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"s03 plans a cartesian product:\n$p")
   }
 
+  test("hot expression pipelines stay inside whole-stage codegen") {
+    // scalar/text pipelines must be codegen'd — a UDF or non-codegen
+    // expression sneaking in shows up as a missing span. AQE only
+    // finalizes the physical plan at execution, so run through the noop
+    // sink first and inspect the executed plan.
+    for (q <- Seq("q02_filter_project", "q15_string_fns", "t01_text_tokens",
+        "t02_text_quality", "m01_binary_meta")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize the adaptive plan on THIS QueryExecution
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      // codegen stages print as "*(n) Operator" in the final plan tree
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

@@ -30,6 +30,29 @@ class SketchAndFormatSpec extends SparkSuite {
     }
   }
 
+  test("q37 HLL sketches: estimates within 5% and union-of-sketches == sketch-of-union") {
+    val rows = SparkEntry.queries("q37_hll_union")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"region ${r.get(0)}: HLL estimate $approx vs exact $exact")
+    }
+    // merge algebra: merging per-nation sketches must equal sketching
+    // the region's customers directly (HLL union is exact over sketches)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val direct = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").as("direct_est"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(direct(r.get(0)) == r.getLong(1),
+        s"region ${r.get(0)}: merged estimate != direct sketch estimate")
+    }
+  }
+
   test("csv/json/orc sinks round-trip the data (engine source+sink surface)") {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
