@@ -69,6 +69,25 @@ object StreamOps {
         s"AND r_$tsCol <= l_$tsCol + interval $within"), joinType)
   }
 
+  /** Per-shard sequence monitoring via Spark 4's transformWithState
+    * (the successor arbitrary-state API): keeps each shard's last-seen
+    * sequence in a ValueState and emits one anomaly row per record that
+    * arrives at or below it — duplicates and reordering, the ingestion
+    * QA the reference's per-shard ordering guarantee
+    * (kinesis.go:173-212) makes detectable. State per key is one
+    * string. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState uses
+    * multiple column families, which the HDFS-backed store lacks.
+    */
+  def sequenceAnomalies(ds: org.apache.spark.sql.Dataset[KinesisRecord]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => r.streamName + "|" + r.shardId)
+      .transformWithState(new SequenceMonitor, TimeMode.None(), OutputMode.Append())
+      .toDF("shardId", "sequenceNumber", "lastSequence", "kind")
+  }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-key running
     * totals emitted on every update — the API surface for state that
     * windows/dedup can't express (the Spark analog of what a reference
@@ -91,6 +110,37 @@ object StreamOps {
       }
       .toDF("partitionKey", "n_records", "n_bytes")
   }
+}
+
+/** StatefulProcessor for [[StreamOps.sequenceAnomalies]]: tracks the
+  * max sequence per shard, emitting (shardId, seq, lastSeq, kind) for
+  * every duplicate (== last) or reordered (< last) arrival.
+  */
+class SequenceMonitor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, KinesisRecord, (String, String, String, String)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var lastSeq: ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastSeq = getHandle.getValueState[String]("lastSeq",
+      org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[KinesisRecord],
+      timerValues: TimerValues): Iterator[(String, String, String, String)] =
+    rows.flatMap { r =>
+      val prev = if (lastSeq.exists()) Option(lastSeq.get()) else None
+      prev match {
+        case Some(p) if r.sequenceNumber == p =>
+          Some((r.shardId, r.sequenceNumber, p, "duplicate"))
+        case Some(p) if graft.sources.kinesis.SequenceOrder.leq(r.sequenceNumber, p) =>
+          Some((r.shardId, r.sequenceNumber, p, "reordered"))
+        case _ =>
+          lastSeq.update(r.sequenceNumber)
+          None
+      }
+    }
 }
 
 /** O13 observability — the Spark-native replacement for the

@@ -195,6 +195,45 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sequence monitor flags duplicates and reordering per shard") {
+    import spark.implicits._
+    // transformWithState needs the RocksDB state store (multiple column
+    // families); the provider is captured at query start, so setting it
+    // here doesn't affect the already-running/default-provider queries
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[KinesisRecord](spark)
+    val anomalies = StreamOps.sequenceAnomalies(mem.toDS())
+    val q = anomalies.writeStream.format("memory").queryName("so_seqmon")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(rec("s0", 1, 10, "a"), rec("s0", 2, 20, "a"),
+        rec("s1", 5, 30, "b"))
+      q.processAllAvailable()
+      // next batch: a duplicate of seq 2 on s0, a reordered seq 3 on s1
+      // (< last 5), and a legitimate advance on s0
+      mem.addData(rec("s0", 2, 40, "a"), rec("s1", 3, 50, "b"), rec("s0", 7, 60, "a"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT shardId, sequenceNumber, kind FROM so_seqmon")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(
+        ("s0", f"${2}%09d", "duplicate"),
+        ("s1", f"${3}%09d", "reordered")), s"got $got")
+      // state survived across batches: a later legit record is NOT flagged
+      mem.addData(rec("s0", 8, 70, "a"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM so_seqmon").head.getLong(0) == 2)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("kinesis sink round-trips through the source (produce then consume)") {
     import graft.sources.kinesis._
     import spark.implicits._
