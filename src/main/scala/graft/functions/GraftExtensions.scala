@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getCanonicalName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vector_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getCanonicalName, "vector_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorCosine(exprs(0), exprs(1))))
   }
 }

@@ -243,13 +243,23 @@ object Similarity {
   def prepareIndex(s: SparkSession, dir: String): Unit = { ivfIndex(s, dir); () }
 
   /** Public df-in/df-out exact top-k: for each probe row, the k nearest
-    * corpus rows by dot product (cosine for unit vectors), identical-id
-    * matches excluded. Probe side is broadcast (assumed small); the
-    * corpus is scanned once. Output: (qid, cid, rnk, score).
+    * corpus rows, identical-id matches excluded. Probe side is
+    * broadcast (assumed small); the corpus is scanned once. Output:
+    * (qid, cid, rnk, score).
+    *
+    * `normalized = true` scores by dot product (cosine for
+    * unit-normalized embeddings, one multiply-add per dim);
+    * `normalized = false` scores by true cosine via the native
+    * one-pass `vector_cosine` expression — correct for raw vectors
+    * without a separate normalization pass.
     */
   def cosineTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      normalized: Boolean = true): DataFrame = {
     graft.functions.VectorDot.register(corpus.sparkSession)
+    graft.functions.VectorCosine.register(corpus.sparkSession)
+    val score =
+      if (normalized) dot("qv", "cv") else expr("vector_cosine(qv, cv)")
     val c = corpus.select(col(idCol).as("cid"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = probes.select(col(idCol).as("qid"),
@@ -257,7 +267,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .select(col("qid"), col("cid"), score.as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "cid", "rnk", "score")

@@ -101,6 +101,40 @@ class PublicApiSpec extends SparkSuite {
     assert(frames.toSeq == Seq((1L, 0, 256), (1L, 2, 88), (2L, 0, 100)))
   }
 
+  test("vector_cosine matches an independent computation; zero norms and nulls are safe") {
+    import spark.implicits._
+    graft.functions.VectorCosine.register(spark)
+    val df = Seq(
+      (Array(3.0, 4.0), Array(4.0, 3.0)),
+      (Array(1.0, 0.0), Array(0.0, 2.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))
+    ).toDF("a", "b")
+    val got = df.select(expr("vector_cosine(a, b)")).as[Double].collect()
+    assert(got(0) == (3.0 * 4 + 4 * 3) / (5.0 * 5.0))
+    assert(got(1) == 0.0) // orthogonal
+    assert(got(2) == 0.0) // zero-norm convention
+    val n = df.select(expr("vector_cosine(a, cast(null as array<double>))")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("cosineTopK(normalized=false) ranks raw vectors scale-invariantly") {
+    import spark.implicits._
+    // same directions, wildly different magnitudes: cosine ranking must
+    // ignore magnitude entirely (dot ranking would not)
+    val corpus = Seq(
+      (1L, Array(100.0, 0.0)),   // east, huge
+      (2L, Array(0.001, 0.001)), // northeast, tiny
+      (3L, Array(0.0, 50.0))     // north
+    ).toDF("id", "vec")
+    val probes = Seq((10L, Array(1.0, 1.0))).toDF("id", "vec") // northeast
+    val ranked = Similarity.cosineTopK(corpus, probes, 3, "id", "vec", normalized = false)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(ranked.head._1 == 2L, s"nearest by direction should be the tiny northeast vector: ${ranked.toSeq}")
+    assert(math.abs(ranked.head._2 - 1.0) < 1e-12)
+    // east and north are symmetric about the probe: identical cosines
+    assert(ranked(1)._2 == ranked(2)._2)
+  }
+
   test("cosineTopK and annTopK agree on scores for shared pairs (foreign columns)") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
       .select(col("vec_id").as("eid"), col("embedding").as("vec"))
