@@ -74,16 +74,8 @@ object Similarity {
     // Brute-force exact cosine top-k: 10 probe vectors × all candidates.
     // The probe side is tiny → broadcast; no shuffle of the corpus.
     "s01_sim_bruteforce_topk" -> ((s, dir) => {
-      val e = vecs(s, dir)
-      val q = e.select(col("vec_id").as("qid"), col("v").as("qv")).filter(col("qid") < 10)
-      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-      val scored = c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("qid", "cid", "rnk", "score")
+      val e = embeddings(s, dir)
+      cosineTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .orderBy("qid", "rnk")
     }),
 
@@ -93,19 +85,8 @@ object Similarity {
     // the shared plane longs. Recall vs s01 additionally asserted in
     // DedupSimilaritySpec.
     "s02_sim_ann_lsh" -> ((s, dir) => {
-      val bk = lshBuckets(vecs(s, dir), annPlanes, BitsPerTable)
-      val q = bk.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
-      val c = bk.select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("tbl"), col("bucket"))
-      val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
-        .filter(col("qid") =!= col("cid"))
-        .dropDuplicates("qid", "cid")
-        .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("qid", "cid", "rnk", "score")
+      val e = embeddings(s, dir)
+      annTopK(e, e.filter(col("vec_id") < 10).select("vec_id"), k = 5)
         .orderBy("qid", "rnk")
     }),
 
