@@ -41,14 +41,29 @@ object Bench {
     val runs = (1 to nRuns).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> runOnce(name, fn) }
     }
+    // Report best-of-N (the plan-cost signal) AND the median (carries
+    // its own run-to-run noise estimate, so round-over-round deltas can
+    // be judged against spread instead of hand-waved).
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = runs.head.keys.map { name =>
-      val best = runs.map(_(name)).min
-      name -> (if (best.isInfinity) -1.0 else best)
+      val times = runs.map(_(name))
+      val best = times.min
+      val med = median(times)
+      name -> (if (best.isInfinity) -1.0 else best,
+               if (med.isInfinity) -1.0 else med)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (b, _)) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"agg":"best-of-n"}""")
+    val meds = results.map { case (k, (_, m)) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns,"agg":"best-of-n"}""")
     spark.stop()
   }
 }

@@ -33,10 +33,21 @@ case class VectorCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is also returned for mismatched dimensions (below), not just
+  // for null inputs
+  override def nullable: Boolean = true
+
+  /** A dimension mismatch returns NULL rather than a truncated-prefix
+    * cosine: for a normalized similarity a length mismatch is almost
+    * always a data bug, and a plausible-looking score would hide it
+    * ([[VectorDot]] keeps its documented truncating convention — its
+    * callers zip planes/vectors of equal length by construction).
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -62,16 +73,20 @@ case class VectorCosine(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

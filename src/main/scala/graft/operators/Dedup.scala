@@ -81,6 +81,18 @@ object Dedup {
     ()
   }
 
+  /** Release the dedup family's cached ingest artifacts for a dataset:
+    * unpersists the shingle and signature tables and drops them from
+    * the registry, freeing executor storage. Also the invalidation
+    * hook — call after re-ingesting (rewriting) `dir`, or the caches
+    * would keep serving the old dataset's shingles/signatures. The next
+    * query rebuilds them from the current files.
+    */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
+    sigCache.remove((s, dir)).foreach(_.unpersist())
+    shingleCache.remove((s, dir)).foreach(_.unpersist())
+  }
+
   private[operators] def shingleHashesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("toks"))
@@ -203,19 +215,34 @@ object Dedup {
     * ~log₂(component diameter); convergence is detected by the strictly
     * decreasing label sum, probed once per double-step.
     */
-  def connectedComponents(pairsDf: DataFrame): DataFrame = {
+  def connectedComponents(pairsDf: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(pairsDf.columns.length == 2,
       s"connectedComponents expects a 2-column edge DataFrame, got ${pairsDf.columns.mkString(",")}")
-    val s = pairsDf.sparkSession
     val pairs = pairsDf.toDF("a", "b")
-    // Materialize the graph once (localCheckpoint truncates lineage, so
+    // The eager checkpoint loop runs in its OWN child session: a
+    // newSession() shares the SparkContext, catalog, and cached data
+    // but has an isolated SQLConf, so sizing the loop's shuffle
+    // parallelism below never leaks into queries planned concurrently
+    // on the caller's session, and concurrent connectedComponents calls
+    // don't race each other (each gets its own conf — no lock needed).
+    // The input plan crosses sessions as an RDD: context-level, so the
+    // child evaluates the caller's upstream pipeline unchanged.
+    val s = pairs.sparkSession.newSession()
+    val pairsChild = s.createDataFrame(pairs.rdd, pairs.schema).toDF("a", "b")
+    // Materialize the graph once (checkpointing truncates lineage, so
     // iterations don't re-run the upstream pipeline, and each round's
-    // plan stays flat instead of nesting). On a real cluster this would
-    // be a reliable checkpoint dir.
-    val edges0 = pairs
-      .union(pairs.select(col("b"), col("a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
+    // plan stays flat instead of nesting). localCheckpoint (executor
+    // block manager) by default; pass `checkpointDir` on a cluster
+    // where executor loss mid-loop must not kill the job — that uses
+    // reliable checkpoint files instead. (setCheckpointDir is
+    // SparkContext-wide — one dir serves every caller.)
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges0 = materialize(pairsChild
+      .union(pairsChild.select(col("b"), col("a")))
+      .toDF("src", "dst"))
     // Size the loop's shuffle parallelism to the MATERIALIZED graph,
     // the way AQE sizes batch stages at runtime — AQE cannot re-plan an
     // eager checkpoint-per-round loop, and a few hundred edges spread
@@ -223,30 +250,19 @@ object Dedup {
     // task-scheduling overhead. At 100 TB edge counts the clamp leaves
     // the session's parallelism unchanged.
     val nEdges = edges0.count()
-    // The loop's shuffle sizing goes through the session conf (Spark
-    // offers no per-operator partition override for joins/aggregates),
-    // so the eager loop runs under a lock: concurrent
-    // connectedComponents calls serialize instead of racing the
-    // set/restore, and the conf is always restored in finally. Queries
-    // planned concurrently on OTHER threads of the same session during
-    // the loop would see the reduced setting — callers running a
-    // multi-tenant session should invoke this from their driver's
-    // sequential path (as Verify/Bench/tests do).
-    Dedup.synchronized {
     val origParts = s.conf.get("spark.sql.shuffle.partitions")
     val loopParts =
       math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
-    s.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    locally {
       // Re-pin the graph at loop parallelism: the first checkpoint has
       // the session's partition count, which would make every round's
       // join against `edges` schedule that many mostly-empty tasks.
       val edges = if (loopParts < origParts.toInt)
-        edges0.repartition(loopParts, col("src")).localCheckpoint()
+        materialize(edges0.repartition(loopParts, col("src")))
       else edges0
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
+      var labels = materialize(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
       // Min-label propagation only ever DECREASES labels, so the label
       // sum is strictly monotone until fixpoint — one cheap aggregate
       // per round detects convergence without a join. (Zero for the
@@ -275,7 +291,7 @@ object Dedup {
         // one materialization + one scalar action per (propagate ∘ jump)
         // double-step — equality of the strictly-decreasing label sum
         // across the double-step still implies fixpoint exactly.
-        val stepped = pointerJump(propagate(labels)).localCheckpoint()
+        val stepped = materialize(pointerJump(propagate(labels)))
         val newSum = labelSum(stepped)
         labels.unpersist() // superseded generation's checkpoint blocks
         labels = stepped
@@ -289,7 +305,6 @@ object Dedup {
       edges.unpersist() // final labels are checkpointed; graph not needed
       edges0.unpersist()
       labels.select(col("id"), col("label"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", origParts)
     }
   }
 
@@ -362,15 +377,21 @@ object Dedup {
           xxhash64(((b * RowsPerBand until (b + 1) * RowsPerBand)
             .map(i => expr(s"sig[$i]")) :+ lit(b)): _*).as("bucket"))
       }
-      val bands = sig.select(col("doc_id"), col("sig"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // Narrow-first (same layout as s03): the band self-join and the
+      // pair dedup move only (band, bucket, doc_id) rows — carrying the
+      // 64-long signature through them would shuffle each doc's sig
+      // once per band (16×) and twice more through the dedup. The
+      // signatures are fetched for the few SURVIVING pairs by two
+      // equi-joins against the cached signature table.
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       cand
         .withColumn("est_jaccard", expr(
           s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))

@@ -32,12 +32,21 @@ object Multimodal {
 
   /** STUB decoder — stands in for JPEG/PCM/H.264 decoding, which needs
     * codec libraries absent from this environment. Deterministic on
-    * content bytes so tests and the driver's rows-only check are stable.
+    * content bytes so tests and the driver's check are stable. The
+    * checksum is a polynomial fold mod a prime — chosen (like t04's
+    * pluggable md5) so a SQL oracle can recompute it byte-for-byte
+    * (`list_reduce` over the bytes) and the whole mapPartitions decode
+    * path is hash-checked end-to-end, not merely rows-only.
     */
+  private val ChecksumMod = 1000000007L
+
   private def decodeStub(a: MMAsset): MMFeature = {
     var sum = 0L
     var i = 0
-    while (i < a.content.length) { sum = sum * 31 + (a.content(i) & 0xff); i += 1 }
+    while (i < a.content.length) {
+      sum = (sum * 31 + (a.content(i) & 0xff)) % ChecksumMod
+      i += 1
+    }
     MMFeature(a.doc_id, a.modality, feat_dim = 8, byte_len = a.content.length,
       checksum = sum)
   }
@@ -99,8 +108,9 @@ object Multimodal {
     }),
 
     // Batched decode / feature-extract via mapPartitions (mapInPandas
-    // analog). Decoder is a deterministic stub; plumbing is real.
-    // Rows-only driver check; determinism asserted in MultimodalSpec.
+    // analog). Decoder is a deterministic stub; plumbing is real, and
+    // hash-checked: the DuckDB oracle recomputes the stub's polynomial
+    // checksum with list_reduce over the document's bytes.
     "m02_decode_features" -> ((s, dir) => {
       import s.implicits._
       val ds = assets(s, dir).as[MMAsset]
@@ -151,6 +161,26 @@ object Multimodal {
          CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5,
          substring(md5(text), 1, 8) AS md5_pfx
+         FROM documents ORDER BY doc_id""",
+
+    // The stub checksum is acc ← (acc*31 + byte) mod p folded left to
+    // right; list_reduce's implicit initial accumulator (the first
+    // element) equals the Scala fold's state after its first step
+    // ((0*31 + b0) mod p = b0), so the two folds agree from step one.
+    // The corpus is ASCII, so ascii(char) == the content byte.
+    "m02_decode_features" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(8 AS INTEGER) AS feat_dim,
+         CAST(strlen(text) AS INTEGER) AS byte_len,
+         CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE
+           list_reduce(
+             list_transform(generate_series(1, strlen(text)),
+               i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007)
+         END AS BIGINT) AS checksum
          FROM documents ORDER BY doc_id""",
 
     "m03_frame_sample" ->

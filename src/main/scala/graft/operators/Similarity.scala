@@ -223,6 +223,14 @@ object Similarity {
     */
   def prepareIndex(s: SparkSession, dir: String): Unit = { ivfIndex(s, dir); () }
 
+  /** Release the cached IVF index for a dataset: unpersists the cell
+    * assignment table and drops the registry entry, freeing executor
+    * storage. Also the invalidation hook after re-ingesting `dir` —
+    * the next query rebuilds the index from the current files.
+    */
+  def releaseIndex(s: SparkSession, dir: String): Unit =
+    ivfIndexCache.remove((s, dir)).foreach { case (_, assigned) => assigned.unpersist() }
+
   /** Public df-in/df-out exact top-k: for each probe row, the k nearest
     * corpus rows, identical-id matches excluded. Probe side is
     * broadcast (assumed small); the corpus is scanned once. Output:

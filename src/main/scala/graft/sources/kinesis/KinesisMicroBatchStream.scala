@@ -32,10 +32,21 @@ object SequenceOrder {
     val i = s.indexWhere(_ != '0')
     if (i < 0) "0" else if (i == 0) s else s.substring(i)
   }
+  /** `""` (the TRIM_HORIZON "nothing consumed yet" sentinel) is kept
+    * STRICTLY minimal: `"" leq x` for every x, and `x leq ""` only for
+    * x == "" — it must never compare equal to a real sequence number
+    * "0" (canon would otherwise map both to "0"). Current call sites
+    * filter the sentinel before comparing; this ordering makes a future
+    * caller that forgets safe too.
+    */
   def leq(a: String, b: String): Boolean = {
-    val ca = canon(a)
-    val cb = canon(b)
-    ca.length < cb.length || (ca.length == cb.length && ca <= cb)
+    if (a.isEmpty) true
+    else if (b.isEmpty) false
+    else {
+      val ca = canon(a)
+      val cb = canon(b)
+      ca.length < cb.length || (ca.length == cb.length && ca <= cb)
+    }
   }
 }
 
@@ -81,7 +92,13 @@ class KinesisMicroBatchStream(
   // once at query start; every batch still honors the admission cap,
   // ends are clamped to the captured tail, and shards created after the
   // capture are not admitted — so the query drains exactly the data
-  // that existed at start and terminates.
+  // that existed at start and terminates. Caveat: if the stream leaves
+  // ACTIVE mid-backfill, the status gate below holds offsets (empty
+  // batches) until it is ACTIVE again — a stream DELETED mid-backfill
+  // therefore idles until the query's own timeout/stop, the same
+  // stop-the-world behavior the reference's monitor applies
+  // (kinesis.go:84-93); deliberate, since emitting a partial backfill
+  // as "complete" would be worse.
   @volatile private var availableNowTarget: Option[Map[String, String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
@@ -167,15 +184,22 @@ class KinesisMicroBatchStream(
     // the parent's tail, which would let a downstream observer see
     // child records before the parent's final ones.
     val gated = gateChildren(positions, shards, basis = startPos, cache)
-    // AvailableNow: clamp every shard's end to the captured tail and
-    // drop shards born after the capture.
+    // AvailableNow: clamp every shard's end to the captured tail; drop
+    // shards born after the capture (they're outside the backfill's
+    // target); shards tracked in startPos but absent from the capture
+    // (e.g. a tombstoned drained shard the client stopped listing) keep
+    // their start position unchanged — dropping them would discard the
+    // drained-shard guard and re-read the shard on the next discovery.
     val clamped = availableNowTarget match {
       case None => gated
       case Some(target) =>
         gated.flatMap { case (shardId, seq) =>
-          target.get(shardId).map { cap =>
-            shardId -> (if (cap.isEmpty || (seq.nonEmpty && !seqLeq(seq, cap))) cap
-                        else seq)
+          target.get(shardId) match {
+            case Some(cap) =>
+              Some(shardId -> (if (cap.isEmpty || (seq.nonEmpty && !seqLeq(seq, cap))) cap
+                               else seq))
+            case None =>
+              startPos.get(shardId).map(shardId -> _)
           }
         }
     }

@@ -18,16 +18,49 @@ class JoinsSpec extends SparkSuite {
     val plain = ev.join(dim, Seq("k"))
       .select("event_id", "k", "tag").orderBy("event_id").collect().toSeq
     val salted = Joins.saltedInnerJoin(ev, dim, Seq("k"), salts = 8,
-        saltSource = col("event_id"))
+        saltSource = col("event_id"), hotKeyThreshold = 50L)
       .select("event_id", "k", "tag").orderBy("event_id").collect().toSeq
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
 
+  test("only hot-key right rows are replicated, O(hot keys × salts)") {
+    import spark.implicits._
+    // one hot key (10k rows) among 100 cold keys on the left; right has
+    // one row per key.
+    val left = spark.range(10000).select(lit(0L).as("k"), col("id").as("payload"))
+      .unionByName(spark.range(1, 101).select(col("id").as("k"), col("id").as("payload")))
+    val right = spark.range(0, 101).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("tag"))
+    val salts = 8
+    val hot = Joins.hotKeys(left, Seq("k"), threshold = 1000L)
+    assert(hot.as[Long].collect().toSeq == Seq(0L)) // exactly the hot key
+    // ONLY the 1 hot right row fans out to all salts; the 100 cold
+    // right rows ride salt 0 alone: 100 + 1×8, not 101×8
+    val fanned = Joins.saltedRight(right, Seq("k"), salts, hot)
+    assert(fanned.count() == 100L + 1L * salts)
+    // and the join still returns exactly the plain join's rows
+    val plain = left.join(right, Seq("k")).count()
+    val two = Joins.saltedInnerJoin(left, right, Seq("k"), salts,
+      saltSource = col("payload"), hotKeyThreshold = 1000L).count()
+    assert(two == plain)
+  }
+
+  test("no hot keys degenerates to the plain join (empty salted branch)") {
+    val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
+    val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))
+    val hot = Joins.hotKeys(ev, Seq("user_id"), threshold = Long.MaxValue)
+    assert(hot.isEmpty)
+    val out = Joins.saltedInnerJoin(ev, dim, Seq("user_id"), 4, col("event_id"),
+      hotKeyThreshold = Long.MaxValue)
+    assert(out.count() == ev.join(dim, Seq("user_id")).count())
+  }
+
   test("salt column does not leak into the output schema") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))
-    val out = Joins.saltedInnerJoin(ev, dim, Seq("user_id"), 4, col("event_id"))
+    val out = Joins.saltedInnerJoin(ev, dim, Seq("user_id"), 4, col("event_id"),
+      hotKeyThreshold = 10L)
     assert(!out.columns.contains("__salt"))
   }
 }

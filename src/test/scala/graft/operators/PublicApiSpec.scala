@@ -77,6 +77,57 @@ class PublicApiSpec extends SparkSuite {
     }
   }
 
+  test("concurrent connectedComponents calls are isolated (no session conf leak)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // two long-ish chains run concurrently; each loop runs in its own
+    // child session, so neither serializes on the other nor mutates the
+    // caller session's shuffle parallelism.
+    val chainA = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainB = (100L until 140L).map(i => (i, i + 1)).toDF("a", "b")
+    val (fa, fb) = (
+      Future(Dedup.connectedComponents(chainA).collect()),
+      Future(Dedup.connectedComponents(chainB).collect()))
+    val (ra, rb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(ra.forall(_.getLong(1) == 0L) && ra.length == 41)
+    assert(rb.forall(_.getLong(1) == 100L) && rb.length == 41)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
+  test("connectedComponents runs with a reliable checkpoint dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+    // the loop actually wrote reliable checkpoint files there
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written")
+  }
+
+  test("releaseArtifacts frees the dedup caches and the next query rebuilds them") {
+    val dir = sf("sf0.001")
+    def persistentRdds = spark.sparkContext.getPersistentRDDs.size
+    val q = graft.SparkEntry.queries("d03_dedup_ngram_jaccard")
+    val first = q(spark, dir).collect()
+    Dedup.prepareShingles(spark, dir) // ensure both artifacts exist
+    val withCaches = persistentRdds
+    Dedup.releaseArtifacts(spark, dir)
+    assert(persistentRdds < withCaches, "release did not free cached artifacts")
+    // rebuild path: same results after release
+    val second = q(spark, dir).collect()
+    assert(second.toSeq == first.toSeq)
+    Similarity.prepareIndex(spark, dir)
+    val withIvf = persistentRdds
+    Similarity.releaseIndex(spark, dir)
+    assert(persistentRdds < withIvf, "releaseIndex did not free the IVF assignment table")
+  }
+
   test("text operators run on foreign column names and agree with the registered queries") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
       .select(col("doc_id").as("k"), col("text").as("body"))
@@ -115,6 +166,20 @@ class PublicApiSpec extends SparkSuite {
     assert(got(2) == 0.0) // zero-norm convention
     val n = df.select(expr("vector_cosine(a, cast(null as array<double>))")).collect().head
     assert(n.isNullAt(0))
+  }
+
+  test("vector_cosine returns null on mismatched dimensions (not a truncated score)") {
+    import spark.implicits._
+    graft.functions.VectorCosine.register(spark)
+    val df = Seq((Array(3.0, 4.0, 5.0), Array(3.0, 4.0))).toDF("a", "b")
+    // codegen path
+    val r = df.select(expr("vector_cosine(a, b)")).collect().head
+    assert(r.isNullAt(0), s"expected null for 3-dim vs 2-dim, got $r")
+    // interpreted path (fold over a literal forces eval())
+    val lit3 = "array(3.0D, 4.0D, 5.0D)"
+    val lit2 = "array(3.0D, 4.0D)"
+    val i = spark.sql(s"SELECT vector_cosine($lit3, $lit2)").collect().head
+    assert(i.isNullAt(0))
   }
 
   test("cosineTopK(normalized=false) ranks raw vectors scale-invariantly") {

@@ -260,6 +260,14 @@ class KinesisSourceSpec extends SparkSuite {
     assert(!SequenceOrder.leq("10", "0009"))
   }
 
+  test("the empty TRIM_HORIZON sentinel is strictly below every real sequence") {
+    assert(SequenceOrder.leq("", "0"))
+    assert(!SequenceOrder.leq("0", ""))   // "" must NOT equal a real "0"
+    assert(SequenceOrder.leq("", "000"))
+    assert(!SequenceOrder.leq("000", ""))
+    assert(SequenceOrder.leq("", ""))
+  }
+
   test("region/sts options reach the client factory (option.go:36-43 → kinesis.go:45-52)") {
     class ConfigurableFake extends FakeKinesisClient with ConfigurableKinesisClient {
       @volatile var received: Map[String, String] = Map.empty
