@@ -432,6 +432,50 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable percentile rollup — the scale-safe twin of q31 (whose
+    // exact percentile buffers every group's values in one aggregation
+    // buffer; see SCALE.md). The sketch here is an equi-width histogram
+    // over [min, max): per-(flag, status) bucket counts are the PARTIAL
+    // (tiny: ≤1024 longs per group, built with map-side combine), and
+    // the per-flag percentiles come from MERGING partials — summing
+    // bucket counts, never rescanning the facts — the q37
+    // sketch-then-merge pattern. Error is bounded by one bucket width
+    // ((max−min)/1024); estimates are deterministic integer bucket
+    // arithmetic over order-independent min/max aggregates, so the
+    // DuckDB twin hash-matches exactly (unlike rank-interpolated
+    // percentile or approx_percentile).
+    "q38_percentile_hist" -> ((s, dir) => {
+      val nb = 1024
+      val li = lineitem(s, dir)
+      val stats = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val bucketed = li.select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(greatest(
+              floor((col("l_extendedprice") - col("mn")) / width), lit(0L)),
+              lit(nb - 1L)).cast("int")))
+      val partial = bucketed
+        .groupBy("l_returnflag", "l_linestatus", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val merged = partial.groupBy("l_returnflag", "bucket").agg(sum("cnt").as("cnt"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
+      val wAll = Window.partitionBy("l_returnflag")
+      val cum = merged
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("total", sum("cnt").over(wAll))
+      cum.groupBy("l_returnflag")
+        .agg(max("total").as("n"),
+          min(when(col("cum") >= col("total").cast("double") * 0.5, col("bucket"))).as("b50"),
+          min(when(col("cum") >= col("total").cast("double") * 0.9, col("bucket"))).as("b90"))
+        .crossJoin(broadcast(stats))
+        .select(col("l_returnflag"), col("n"),
+          round(col("mn") + col("b50") * width, 4).as("p50_est"),
+          round(col("mn") + col("b90") * width, 4).as("p90_est"))
+        .orderBy("l_returnflag")
+    }),
+
     // Window navigation functions: lag/lead (ordered frame) plus
     // first_value/nth_value over the full-partition frame.
     "q32_window_navigation" -> ((s, dir) => {
@@ -824,6 +868,38 @@ object Relational {
            ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
            ROUND(quantile_cont(l_discount, 0.25), 4) AS disc_p25
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same histogram sketch, same bucket arithmetic: floor() yields an
+    // integral DOUBLE in DuckDB (vs Spark's LONG) so the CAST to
+    // INTEGER is exact on both; every float op (width, bucket, edge)
+    // is written in the same order as the Spark plan for bitwise
+    // parity.
+    "q38_percentile_hist" ->
+      """WITH stats AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                        FROM lineitem),
+         b AS (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(least(greatest(
+                             floor((l_extendedprice - mn) / ((mx - mn) / 1024.0)), 0), 1023)
+                           AS INTEGER) END AS bucket
+               FROM lineitem, stats),
+         partial AS (SELECT l_returnflag, l_linestatus, bucket, COUNT(*) AS cnt
+                     FROM b GROUP BY 1, 2, 3),
+         merged AS (SELECT l_returnflag, bucket, SUM(cnt) AS cnt
+                    FROM partial GROUP BY 1, 2),
+         cum AS (SELECT l_returnflag, bucket,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+                 FROM merged),
+         sel AS (SELECT l_returnflag,
+                   MAX(total) AS n,
+                   MIN(CASE WHEN cum >= CAST(total AS DOUBLE) * 0.5 THEN bucket END) AS b50,
+                   MIN(CASE WHEN cum >= CAST(total AS DOUBLE) * 0.9 THEN bucket END) AS b90
+                 FROM cum GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(mn + b50 * ((mx - mn) / 1024.0), 4) AS p50_est,
+           ROUND(mn + b90 * ((mx - mn) / 1024.0), 4) AS p90_est
+         FROM sel, stats ORDER BY l_returnflag""",
 
     "q32_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

@@ -53,6 +53,36 @@ class SketchAndFormatSpec extends SparkSuite {
     }
   }
 
+  test("q38 histogram percentiles within one bucket width of the exact percentiles") {
+    val rows = SparkEntry.queries("q38_percentile_hist")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    val stats = Tables.lineitem(spark, dir)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head
+    val bucketWidth = (stats.getDouble(1) - stats.getDouble(0)) / 1024.0
+    // exact rank statistics (type-1 quantile: smallest value whose CDF
+    // reaches q — the convention the histogram's cum ≥ q·total mirrors)
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("element_at(sort_array(collect_list(l_extendedprice)), " +
+          "CAST(ceil(0.5 * count(1)) AS INT))").as("v50"),
+        expr("element_at(sort_array(collect_list(l_extendedprice)), " +
+          "CAST(ceil(0.9 * count(1)) AS INT))").as("v90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (n, v50, v90)) =>
+      val (gn, g50, g90) = rows(flag)
+      assert(gn == n, s"$flag: count mismatch")
+      // the reported estimate is a bucket's LOWER edge, and the true
+      // rank statistic must lie inside that bucket: error < one width
+      assert(v50 >= g50 - 1e-6 && v50 < g50 + bucketWidth + 1e-6,
+        s"$flag: p50 bucket edge $g50 does not contain rank stat $v50 (width $bucketWidth)")
+      assert(v90 >= g90 - 1e-6 && v90 < g90 + bucketWidth + 1e-6,
+        s"$flag: p90 bucket edge $g90 does not contain rank stat $v90 (width $bucketWidth)")
+    }
+  }
+
   test("csv/json/orc sinks round-trip the data (engine source+sink surface)") {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
