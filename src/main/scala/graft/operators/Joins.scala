@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join helpers for skew that AQE can't always fix (e.g. one hot key
@@ -79,5 +80,56 @@ object Joins {
       .drop("__hot")
     l.join(saltedRight(right, keys, salts, hot), keys :+ "__salt")
       .drop("__salt")
+  }
+
+  /** As-of join: every left row paired with the temporally closest
+    * right row in its `byCols` group — the most recent right row with
+    * `rightTs` ≤ `leftTs` (`direction = "backward"`, inclusive, the
+    * DuckDB/pandas ASOF convention) or the earliest with ≥
+    * (`"forward"`). Output is every left column plus one struct column
+    * (`asofCol`, default "asof") holding the matched right row, null
+    * when the group has no qualifying right row.
+    *
+    * Composed from built-ins per the custom-operator ladder — no custom
+    * plan node: both sides union into one event timeline (left rows
+    * carry a null right-struct and vice versa), and a running
+    * `last(right_struct, ignoreNulls)` over a (ts, side) window pulls
+    * each left row's match. ONE shuffle on `byCols`, no range
+    * explosion, no per-row subquery — at 100 TB this is a keyed window
+    * whose state is one right-row struct per group, the same plan
+    * family as q22's sessionizer. Ties: a right row at exactly
+    * `leftTs` is visible to that left row (inclusive); multiple right
+    * rows at the same timestamp resolve deterministically to the
+    * greatest by struct order — which requires the right side's
+    * columns to be orderable (no map columns).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, byCols: Seq[String],
+      leftTs: String, rightTs: String, direction: String = "backward",
+      asofCol: String = "asof"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val lSide = left.select(byCols.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val rSide = right.select(byCols.map(col) ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    // at equal timestamps the right row sorts first (__side 0 < 1), so
+    // it is already visible inside the left row's frame — inclusive
+    val ord: Seq[Column] =
+      if (direction == "backward")
+        Seq(col("__ts").asc, col("__side").asc, col("__r").asc)
+      else
+        Seq(col("__ts").desc, col("__side").asc, col("__r").desc)
+    val w = Window.partitionBy(byCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lSide.unionByName(rSide)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__match").as(asofCol))
   }
 }

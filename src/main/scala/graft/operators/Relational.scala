@@ -332,24 +332,20 @@ object Relational {
     }),
 
     // As-of join: each purchase paired with the user's most recent
-    // click at-or-before it. Composed from built-ins (union + running
-    // `last` over an event-time window) per the custom-operator ladder
-    // — no custom plan node needed; one shuffle on user_id. Oracle is
-    // DuckDB's native ASOF JOIN.
+    // click at-or-before it — a thin adapter over the public
+    // [[Joins.asofJoin]] (union + running `last` over an event-time
+    // window; one shuffle on user_id, no range explosion). Oracle is
+    // DuckDB's native ASOF JOIN; inclusive same-ts semantics match
+    // because the right side sorts before the left at equal timestamps.
     "q26_asof_join" -> ((s, dir) => {
-      // kind sorts clicks before purchases at equal timestamps so a
-      // same-ts click is visible to the purchase, matching ASOF's
-      // `p.ts >= c.ts` (inclusive) semantics regardless of event ids.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
-        .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
-        .withColumn("prior_click_ts", last("click_ts", ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("prior_click_ts"))
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof.ts").as("prior_click_ts"))
         .orderBy("purchase_id")
     }),
 

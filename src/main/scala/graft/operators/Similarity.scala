@@ -126,6 +126,21 @@ object Similarity {
     // surface); long-form output for the oracle.
     "s05_label_centroid" -> ((s, dir) => labelCentroid(s, dir)),
 
+    // SemDeDup-style semantic near-dup: candidates are blocked by IVF
+    // cell (each vector compared only inside its coarse clusters —
+    // multi-assigned to its 4 nearest centroids, since at this corpus's
+    // grazing threshold single-cell blocking loses boundary pairs:
+    // measured recall 63% at 1–2 cells vs 94–96% at 4), verified by
+    // exact cosine. The clustered complement of s03's hash-bucket
+    // blocking: at 100 TB the cell id is the write-time partition key,
+    // so the within-cell self-join runs partition-local — never
+    // all-pairs. KMeans isn't SQL-expressible → rows-only driver check;
+    // recall vs the all-pairs ground truth + exactness asserted in
+    // DedupSimilaritySpec.
+    "s06_semantic_neardup" -> ((s, dir) =>
+      semanticNearDupPairs(s, dir, NearDupThreshold, nAssign = 4)
+        .orderBy("id_a", "id_b")),
+
     // Embedding-cosine near-duplicate pairs: sign-LSH band blocking +
     // exact vector_dot verification. Candidates come from a (table,
     // bucket) equi-join — a shuffled hash join, never a nested-loop
@@ -284,6 +299,37 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "cid", "rnk", "score")
+  }
+
+  /** Cluster-blocked (SemDeDup-style) near-dup pairs over the cached
+    * IVF index: every vector is assigned to its `nAssign` nearest
+    * coarse cells (multi-probe — recall insurance against pairs split
+    * by a cell boundary), candidates come from the within-cell
+    * self-join, and survivors carry their EXACT cosine. Precision is
+    * therefore 1.0 by construction; recall is what the cell blocking
+    * trades (asserted in DedupSimilaritySpec). Output:
+    * (id_a, id_b, cosine).
+    */
+  private[operators] def semanticNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double, nAssign: Int): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, dir)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cell"))
+    val multi = assigned.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot("v", "cv"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nAssign)
+      .select(col("vec_id"), col("v"), col("cell"))
+    // Each side carries its vector through ONE within-cell join (a row
+    // exists once per assigned cell, not once per table as in s03's
+    // 24-table layout), so fetching vectors late would cost more
+    // shuffles than it saves here.
+    multi.as("a").join(multi.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        dot("a.v", "b.v").as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Test-only ground truth for s03: exact all-pairs threshold join.

@@ -91,6 +91,34 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q36: one inner join on (key, salt); hot-key flag joins are broadcasts") {
+    val p = plan("q36_salted_join")
+    // exactly ONE inner fact-fact join carries the salted key — a
+    // regression to per-branch hot/cold unions would show two
+    val inner = "Join Inner".r.findAllIn(p).size
+    assert(inner == 1, s"expected exactly 1 inner join, got $inner:\n$p")
+    // the hot-key flag joins must be broadcasts (the hot set is tiny
+    // by definition), never shuffles of the facts
+    val outer = "Join LeftOuter".r.findAllIn(p).size
+    val bcastOuter = "BroadcastHashJoin LeftOuter".r.findAllIn(p).size
+    assert(outer == 2 && bcastOuter == 2,
+      s"hot-key flag joins not broadcast ($bcastOuter/$outer):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q38: histogram sketch aggregates are two-phase; no window over fact rows") {
+    val p = plan("q38_percentile_hist")
+    // partial+final for the bucket counts (map-side combine is what
+    // makes the sketch mergeable/cheap)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // the only Window operators run over merged bucket rows (≤1024 per
+    // group), never over the fact table: the window input must come
+    // from an aggregate, which prints between the scan and the window
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx > aggIdx && aggIdx >= 0, s"window runs before aggregation:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

@@ -128,6 +128,31 @@ class PublicApiSpec extends SparkSuite {
     assert(persistentRdds < withIvf, "releaseIndex did not free the IVF assignment table")
   }
 
+  test("asofJoin matches each left row to the nearest right row, both directions") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "A", 10L), (2L, "A", 25L), (3L, "B", 7L), (4L, "C", 5L)
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 9L, 9.0)
+    ).toDF("sym", "qt", "px")
+    val back = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt")
+      .select(col("trade_id"), col("asof.px")).orderBy("trade_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // trade 1 at t=10: quote at 10 is INCLUSIVE; trade 2 at 25 -> quote 20;
+    // trade 3 at 7: no quote <= 7 for B; trade 4: no C quotes at all
+    assert(back.toSeq == Seq(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+    val fwd = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+        direction = "forward")
+      .select(col("trade_id"), col("asof.px")).orderBy("trade_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // forward: trade 1 -> quote 10 (inclusive), trade 2 -> quote 30,
+    // trade 3 -> quote 9, trade 4 -> none
+    assert(fwd.toSeq == Seq(1L -> Some(1.0), 2L -> Some(3.0), 3L -> Some(9.0), 4L -> None))
+    // the output keeps every left row and column
+    assert(back.length == trades.count())
+  }
+
   test("text operators run on foreign column names and agree with the registered queries") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
       .select(col("doc_id").as("k"), col("text").as("body"))
