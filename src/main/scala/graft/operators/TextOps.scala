@@ -114,6 +114,39 @@ object TextOps {
         expr(s"array_min(transform(shingles, sh -> $hashExpr))").as("fingerprint"),
         size(col("shingles")).as("n_shingles"))
 
+  /** TF-IDF top terms per document — keyword extraction, the signal a
+    * training-data pipeline uses for topic tagging and near-boilerplate
+    * screening. Two map-side-combinable aggregates (term frequency per
+    * (doc, token); document frequency per token), one shuffled join on
+    * the token, and a per-doc window over at most vocabulary-per-doc
+    * rows — no all-pairs anything, linear at any corpus size. The idf
+    * is rounded to 6 decimals BEFORE the tf product so the score is
+    * reproducible across engines (ln differs across libm
+    * implementations only in the last ulp; df takes few distinct
+    * values, so a 1e-6 grid collision is essentially impossible).
+    * Output: (doc_id, tok, tf, df, score, rnk), top `k` per doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = normalized(docs, idCol, textCol)
+    val toks = base
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("tok"))
+      .filter(length(col("tok")) > 3)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfTab, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "tok", "tf", "df", "score", "rnk")
+  }
+
   /** Repetition / boilerplate scoring: top-token ratio (most frequent
     * token's share) and type-token ratio per document — the signals a
     * training-data pipeline uses to drop degenerate repetitive docs.
@@ -154,7 +187,10 @@ object TextOps {
       fingerprint(documents(s, dir), hashExpr = "md5(sh)").orderBy("doc_id")),
 
     "t05_text_repetition" -> ((s, dir) =>
-      repetitionScore(documents(s, dir)).orderBy("doc_id"))
+      repetitionScore(documents(s, dir)).orderBy("doc_id")),
+
+    "t06_text_tfidf" -> ((s, dir) =>
+      tfidfTopTerms(documents(s, dir), k = 3).orderBy("doc_id", "rnk"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -215,6 +251,27 @@ object TextOps {
            ROUND(max_c / n_tokens, 4) AS top_tok_ratio,
            ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr
          FROM agg ORDER BY doc_id""",
+
+    // idf is rounded to 6 decimals before the tf product in BOTH
+    // engines — see tfidfTopTerms's scaladoc for why that makes the
+    // score cross-engine exact.
+    "t06_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+           FROM documents),
+         ft AS (SELECT doc_id, tok, COUNT(*) AS tf
+                FROM toks WHERE length(tok) > 3 GROUP BY 1, 2),
+         dfx AS (SELECT tok, COUNT(*) AS df FROM ft GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, ft.tok, tf, df,
+                  ROUND(CAST(tf AS DOUBLE) *
+                        ROUND(ln((n_docs + 1.0) / (df + 1.0)), 6), 4) AS score
+                FROM ft JOIN dfx ON ft.tok = dfx.tok, n),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rnk FROM sc)
+         SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rnk AS INTEGER) AS rnk
+         FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
     "t04_text_fingerprint" ->
       """WITH docs AS (
