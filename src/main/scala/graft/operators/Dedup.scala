@@ -94,18 +94,63 @@ object Dedup {
   }
 
   private[operators] def shingleHashesOf(docs: DataFrame): DataFrame =
+    ngramHashesOf(docs, 3)
+
+  /** One row per (doc_id, distinct n-token-gram hash) — the n-gram
+    * generalization behind [[shingleHashesOf]] (n=3) and
+    * [[decontaminate]] (n=8). Token i is zipped with its n−1 successor
+    * slices; arrays_zip + slice are plain expressions (not lambda
+    * HOFs), so the generator stays in codegen and pays no shuffle —
+    * unlike the window-lead formulation (one exchange+sort per use) or
+    * explode(transform(...)) (per-output-row lambda re-evaluation).
+    */
+  private[operators] def ngramHashesOf(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val parts = col("toks").as("g0") +:
+      (1 until n).map(i => expr(s"slice(toks, ${i + 1}, size(toks))").as(s"g$i"))
     docs
       .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("toks"))
-      .withColumn("t1s", expr("slice(toks, 2, size(toks))"))
-      .withColumn("t2s", expr("slice(toks, 3, size(toks))"))
-      // arrays_zip + slice are plain expressions (not lambda HOFs), so
-      // the generator stays in codegen and pays no shuffle — unlike the
-      // window-lead formulation (one exchange+sort per use) or
-      // explode(transform(...)) (per-output-row lambda re-evaluation).
-      .select(col("doc_id"), explode(arrays_zip(col("toks"), col("t1s"), col("t2s"))).as("z"))
-      .filter(col("z.t2s").isNotNull)
-      .select(col("doc_id"), xxhash64(col("z.toks"), col("z.t1s"), col("z.t2s")).as("h"))
+      .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("z"))
+      // the last slice is the shortest: a null there marks the zip's
+      // tail padding, i.e. windows shorter than n tokens
+      .filter(col(s"z.g${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64((0 until n).map(i => col(s"z.g$i")): _*).as("h"))
       .dropDuplicates("doc_id", "h")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * n-token-gram (default 8, the published decontamination practice)
+    * with a benchmark/eval set — the screen every training corpus runs
+    * so eval answers don't leak into training data. Output: one row
+    * per contaminated corpus doc — (doc_id, n_hits = how many of its
+    * distinct n-grams appear in the benchmark, n_grams = its distinct
+    * n-gram count, contamination = n_hits / n_grams).
+    *
+    * The benchmark side is aggregated to DISTINCT n-gram hashes and
+    * broadcast: eval suites are tiny next to a training corpus, so the
+    * corpus side is never shuffled — one scan, map-side join, one
+    * aggregate by doc. At 100 TB this is the only viable shape (a
+    * shuffled join would move the corpus's entire n-gram stream).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", n: Int = 8): DataFrame = {
+    val grams = ngramHashesOf(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
+    // the benchmark needs no id of its own — only its distinct n-gram
+    // hashes survive into the probe side
+    val evalGrams = ngramHashesOf(
+      benchmark.select(lit(0L).as("doc_id"), col(benchTextCol).as("text")), n)
+      .select("h").distinct()
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    grams
+      .join(broadcast(evalGrams), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .join(perDoc, "doc_id")
+      .withColumn("contamination", col("n_hits") / col("n_grams"))
+      .select("doc_id", "n_hits", "n_grams", "contamination")
+  }
 
   // Document-frequency cap for blocking (SCALE.md): a shingle shared by
   // more than this many documents is excluded from CANDIDATE GENERATION
@@ -452,6 +497,19 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Benchmark decontamination: the synthetic "eval suite" is every
+    // 10th document; the rest of the corpus is screened against its
+    // 8-grams. Near-duplicate docs of eval members surface with high
+    // contamination fractions. Oracle: the same split with string
+    // 8-grams in DuckDB.
+    "d07_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      decontaminate(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
     })
   )
 
@@ -513,6 +571,26 @@ object Dedup {
            UNION
            SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a)
          SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         FROM tc GROUP BY a ORDER BY doc_id"""
+         FROM tc GROUP BY a ORDER BY doc_id""",
+
+    "d07_decontaminate" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 7),
+             i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS gs
+           FROM docs WHERE len(t) >= 8),
+         ex AS (SELECT doc_id, unnest(gs) AS s FROM g),
+         ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 10 = 0),
+         cnt AS (SELECT doc_id, len(gs) AS n_grams FROM g WHERE doc_id % 10 <> 0),
+         hits AS (
+           SELECT ex.doc_id, COUNT(*) AS n_hits
+           FROM ex JOIN ev USING (s)
+           WHERE ex.doc_id % 10 <> 0 GROUP BY 1)
+         SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           n_hits / n_grams AS contamination
+         FROM hits h JOIN cnt USING (doc_id) ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data pipeline assembly operators (builder brief: "the
+  * operations a large-scale training-data pipeline would need"): the
+  * steps between a cleaned corpus and model-ready batches — packing
+  * documents into fixed token budgets, deterministic stratified
+  * sampling for corpus mixtures, and embedding quantization for
+  * ANN-index compression. The reference hands records to an opaque
+  * `Handler` (kinesis.go:100-105); these are the batch halves of what
+  * such a handler feeds.
+  *
+  * All three are single-scan, shuffle-minimal shapes: packing is one
+  * window per stratum (no global order — see [[packSequences]]),
+  * sampling is a pure codegen'd filter (zero shuffles), quantization
+  * is a per-row map (zero shuffles). Linear and partition-parallel at
+  * 100 TB.
+  */
+object Pipeline {
+
+  private val WS = "\\s+"
+
+  /** Token-budget sequence packing: assign each document to a training
+    * "pack" (bin) of at most ~`budget` tokens, PER STRATUM. The
+    * concatenated token stream of each stratum (in `idCol` order) is
+    * chunked at budget boundaries; a document lands in the bin where
+    * its first token falls — the deterministic streaming pack used to
+    * build fixed-length training sequences.
+    *
+    * Packing is inherently sequential, so a GLOBAL pack would be a
+    * single-partition window — the 100 TB shape is exactly this one:
+    * partition by a stratum key (source shard / language / date), pack
+    * within each stratum in parallel, one exchange+sort total. Bins of
+    * different strata are independent, which is what a training
+    * pipeline wants anyway (packs never mix languages/sources).
+    *
+    * Output: (id, stratum, n_toks, cum_toks, bin) — `bin` is the
+    * 0-based pack number within the stratum, `cum_toks` the running
+    * token count through this document.
+    */
+  def packSequences(docs: DataFrame, budget: Int, strataCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_toks", size(split(trim(col(textCol)), WS)))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      // integer `div`, not floating floor(/): exact at any magnitude
+      .withColumn("bin", expr(s"(cum_toks - n_toks) div $budget"))
+      .select(col(idCol), col(strataCol), col("n_toks"), col("cum_toks"), col("bin"))
+  }
+
+  /** Deterministic content-hash stratified sampling: keep a document
+    * iff the first 4 hex digits of md5(text) fall below the stratum's
+    * threshold — `rates` maps stratum value → sampling fraction in
+    * 65536ths (e.g. 16384 = 25%). Strata absent from the map get
+    * `defaultRate`.
+    *
+    * Content-hash (not id-hash) sampling means byte-identical
+    * duplicates are kept or dropped TOGETHER — re-running after an
+    * upstream re-shuffle, or on a different engine, selects the same
+    * sample (md5 is engine-independent; the DuckDB oracle recomputes
+    * it). This is how corpus mixtures are downweighted (e.g. web crawl
+    * at 25%, books at 100%) without materializing a random state.
+    *
+    * A pure codegen'd scan+filter: no shuffle, no RNG, trivially
+    * partition-parallel — the cheapest possible 100 TB shape.
+    *
+    * Output: the sampled rows' (id, stratum, bucket) with `bucket` the
+    * 4-hex-digit hash prefix the decision was made on.
+    */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Int],
+      defaultRate: Int, strataCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(defaultRate >= 0 && defaultRate <= 65536, s"defaultRate out of range: $defaultRate")
+    rates.values.foreach(r => require(r >= 0 && r <= 65536, s"rate out of range: $r"))
+    // threshold as zero-padded 4-hex; 65536 (keep-all) needs a string
+    // ABOVE every 4-hex bucket — "10000" would compare lexicographically
+    // BELOW "ffff" ('1' < 'f') and keep almost nothing.
+    def hex4(r: Int): String = if (r >= 65536) "g" else f"$r%04x"
+    val thr = rates.foldLeft(lit(hex4(defaultRate))) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(hex4(r))).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", substring(md5(col(textCol)), 1, 4))
+      .filter(col("bucket") < thr)
+      .select(col(idCol), col(strataCol), col("bucket"))
+  }
+
+  /** Per-vector int8 scalar quantization of an embedding column — the
+    * standard ANN-index compression (4× smaller than float32): each
+    * vector is mapped to 256 levels over its own [min, max] range, so
+    * no global statistics pass is needed and the operator is a pure
+    * per-row map (zero shuffles, embarrassingly parallel at 100 TB).
+    *
+    * Quantized value: q = min(255, floor((x − mn) · 255 / (mx − mn)))
+    * computed in float64 — bitwise-reproducible across engines (the
+    * DuckDB oracle recomputes it exactly; see oracle-parity notes).
+    * Degenerate constant vectors (mx = mn) quantize to 0.
+    *
+    * Output is LONG FORM — one row per (vec_id, dim) with the level
+    * `q` and the vector's (mn, mx) dequantization range — because the
+    * correctness gate hashes scalar columns; the array-form packer is
+    * a trivial `groupBy(vec_id).agg(collect_list)` away.
+    */
+  def quantizeEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(idCol).as("vec_id"),
+        // min/max over the raw float array, cast after: float→double is
+        // exact and monotone so cast∘min = min∘cast, and this keeps the
+        // pre-explode projection HOF-free (array_min/max are codegen'd).
+        col(vecCol).as("e"),
+        array_min(col(vecCol)).cast("double").as("mn"),
+        array_max(col(vecCol)).cast("double").as("mx"))
+      // posexplode the RAW array (never explode over a lambda-HOF array:
+      // the lambda re-evaluates per emitted row) and cast per element.
+      .select(col("vec_id"), col("mn"), col("mx"),
+        posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x").cast("double") - col("mn")) * 255 / (col("mx") - col("mn")))))
+          .as("q"),
+        col("mn"), col("mx"))
+
+  // Registered queries: the public operators applied to the driver's
+  // test tables, plus the gate's total-order sort.
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pack each language's documents into 512-token training bins.
+    "p01_pack_sequences" -> ((s, dir) =>
+      packSequences(documents(s, dir), budget = 512, strataCol = "lang")
+        .orderBy("doc_id")),
+
+    // Corpus mixture: downweight the (majority) English stratum to 25%,
+    // sample the rest at 50% — deterministic, content-hash-based.
+    "p02_sample_stratified" -> ((s, dir) =>
+      sampleStratified(documents(s, dir), rates = Map("en" -> 16384),
+        defaultRate = 32768, strataCol = "lang")
+        .orderBy("doc_id")),
+
+    "p03_quantize_embeddings" -> ((s, dir) =>
+      quantizeEmbeddings(embeddings(s, dir))
+        .orderBy("vec_id", "dim"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p01_pack_sequences" ->
+      """WITH x AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+           FROM x)
+         SELECT doc_id, lang, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+           CAST((cum_toks - n_toks) // 512 AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""",
+
+    "p02_sample_stratified" ->
+      """SELECT doc_id, lang, substring(md5(text), 1, 4) AS bucket
+         FROM documents
+         WHERE substring(md5(text), 1, 4) <
+           CASE lang WHEN 'en' THEN '4000' ELSE '8000' END
+         ORDER BY doc_id""",
+
+    "p03_quantize_embeddings" ->
+      """WITH b AS (
+           SELECT vec_id, embedding AS e,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx
+           FROM embeddings)
+         SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(CASE WHEN mx = mn THEN 0
+                ELSE least(255, floor((CAST(e[i] AS DOUBLE) - mn) * 255 / (mx - mn)))
+                END AS BIGINT) AS q,
+           mn, mx
+         FROM b, unnest(generate_series(1, len(e))) AS t(i)
+         ORDER BY vec_id, dim"""
+  )
+}

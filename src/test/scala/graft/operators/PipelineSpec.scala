@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Training-data pipeline assembly operators (Pipeline.scala) and the
+  * decontamination screen (Dedup.decontaminate): semantics on hand
+  * corpora with foreign column names, plus the scale-shape invariants
+  * (broadcast decontamination join, quantization bounds).
+  */
+class PipelineSpec extends SparkSuite {
+
+  test("packSequences chunks each stratum's token stream at the budget boundary") {
+    import spark.implicits._
+    // strata A: docs of 6, 5, 4 tokens; budget 10 →
+    //   doc 1 starts at 0 → bin 0; doc 2 starts at 6 → bin 0;
+    //   doc 3 starts at 11 → bin 1.
+    val docs = Seq(
+      (1L, "A", "a b c d e f"),
+      (2L, "A", "g h i j k"),
+      (3L, "A", "l m n o"),
+      (4L, "B", "p q r")
+    ).toDF("sid", "stratum", "body")
+    val out = Pipeline.packSequences(docs, budget = 10, strataCol = "stratum",
+        idCol = "sid", textCol = "body")
+      .orderBy("sid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 6, 6L, 0L),
+      (2L, "A", 5, 11L, 0L),
+      (3L, "A", 4, 15L, 1L),
+      (4L, "B", 3, 3L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("packSequences strata are packed independently (no cross-stratum bleed)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "even" else "odd", ("tok " * 7).trim)
+    }.toDF("doc_id", "lang", "text")
+    val out = Pipeline.packSequences(docs, budget = 21, strataCol = "lang")
+    // 7 tokens/doc, budget 21 → exactly 3 docs per bin within each stratum
+    val perBin = out.groupBy("lang", "bin").count().collect()
+    assert(perBin.forall(r => r.getLong(2) <= 3))
+    // 20 docs per stratum → bins 0..6 (6 full of 3, last of 2)
+    assert(out.agg(max("bin")).head.getLong(0) == 6L)
+  }
+
+  test("sampleStratified is deterministic, respects per-stratum thresholds, and keeps dup texts together") {
+    import spark.implicits._
+    val docs = (1L to 400L).map { i =>
+      (i, if (i % 4 == 0L) "high" else "low", s"document body number ${i % 200}")
+    }.toDF("rid", "grp", "body") // ids 1..200 and 201..400 share texts pairwise
+    val keep = Pipeline.sampleStratified(docs, rates = Map("high" -> 65536),
+      defaultRate = 16384, strataCol = "grp", idCol = "rid", textCol = "body")
+    val rows = keep.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // rate 65536 keeps EVERY "high" row (threshold 'g' > any 4-hex bucket)
+    assert(rows.count(_._2 == "high") == 100)
+    // thresholds honored exactly
+    assert(rows.forall { case (_, g, b) => if (g == "high") true else b < "4000" })
+    // determinism: second run identical
+    val again = Pipeline.sampleStratified(docs, rates = Map("high" -> 65536),
+      defaultRate = 16384, strataCol = "grp", idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // content-hash property: i and i+200 share text AND stratum parity
+    // only when both are "low"; where both are low, their keep decisions
+    // must agree.
+    val kept = rows.map(_._1).toSet
+    (1L to 200L).foreach { i =>
+      val j = i + 200L
+      if (i % 4 != 0 && j % 4 != 0)
+        assert(kept.contains(i) == kept.contains(j), s"dup split: $i vs $j")
+    }
+  }
+
+  test("quantizeEmbeddings: levels bounded, extremes map to 0/255, dequant error within one step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
+      (2L, Array(-2.0f, 2.0f, 0.0f, 1.0f)),
+      (3L, Array(7.5f, 7.5f, 7.5f, 7.5f)) // degenerate constant vector
+    ).toDF("vid", "emb")
+    val out = Pipeline.quantizeEmbeddings(vecs, idCol = "vid", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.forall { case (_, _, q, _, _) => q >= 0L && q <= 255L })
+    val v1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(v1(0) == 0L && v1(2) == 255L, s"extremes: ${v1.toSeq}") // min→0, max→255
+    assert(out.filter(_._1 == 3L).forall(_._3 == 0L)) // constant vector → 0
+    // reconstruction: |x − (mn + q·step)| < step where step = (mx−mn)/255
+    val orig = vecs.select(col("vid"), posexplode(col("emb"))).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getFloat(2).toDouble)).toMap
+    out.filter(_._1 != 3L).foreach { case (vid, dim, q, mn, mx) =>
+      val step = (mx - mn) / 255.0
+      val err = math.abs(orig((vid, dim)) - (mn + q * step))
+      assert(err < step + 1e-12, s"vec $vid dim $dim err $err step $step")
+    }
+  }
+
+  test("decontaminate flags only docs sharing an 8-gram with the benchmark, with exact counts") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((900L, evalText)).toDF("bid", "btext")
+    val corpus = Seq(
+      // contains eval 8-grams: windows 1-8 and 2-9 of evalText's first 9 tokens
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota trailing words here"),
+      (2L, "totally unrelated content with enough tokens to form many eight gram windows easily"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta suffix")
+    ).toDF("cid", "ctext")
+    val out = Dedup.decontaminate(corpus, bench, idCol = "cid", textCol = "ctext",
+        benchTextCol = "btext")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 12 tokens → 5 distinct 8-grams, of which windows starting at
+    // tokens 1 and 2 (alpha..theta, beta..iota) appear in the benchmark.
+    // doc 3: 12 tokens → 5 windows, 1 contaminated (alpha..theta).
+    assert(out.toSeq == Seq((1L, 2L, 5L), (3L, 1L, 5L)), s"got ${out.toSeq}")
+  }
+
+  test("decontaminate joins the corpus against a BROADCAST benchmark (no corpus shuffle for the probe)") {
+    import spark.implicits._
+    val bench = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = (1L to 50L).map(i => (i, s"filler $i one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$plan")
+  }
+}
