@@ -21,6 +21,7 @@ object Bench {
     // written tables), not per-query work.
     operators.Similarity.prepareIndex(spark, sfDir)
     operators.Dedup.prepareShingles(spark, sfDir)
+    operators.Relational.prepareStats(spark, sfDir)
     // Queries are materialized through the noop DSv2 sink: every output
     // column is fully evaluated, unlike count(), whose column pruning
     // lets Catalyst skip unreferenced scalar-expression work.

@@ -99,25 +99,44 @@ object Dedup {
   /** One row per (doc_id, distinct n-token-gram hash) — the n-gram
     * generalization behind [[shingleHashesOf]] (n=3) and
     * [[decontaminate]] (n=8). Token i is zipped with its n−1 successor
-    * slices; arrays_zip + slice are plain expressions (not lambda
-    * HOFs), so the generator stays in codegen and pays no shuffle —
-    * unlike the window-lead formulation (one exchange+sort per use) or
+    * slices; arrays_zip + slice + array_distinct are plain expressions
+    * (not lambda HOFs), so the generator stays in codegen — unlike the
+    * window-lead formulation (one exchange+sort per use) or
     * explode(transform(...)) (per-output-row lambda re-evaluation).
+    *
+    * Per-doc distinctness comes from array_distinct over the zipped
+    * gram structs IN-ROW, before the explode: a doc's grams all live in
+    * its own array, so no dropDuplicates (= no shuffle of the entire
+    * gram stream) is ever needed. That keeps the whole generator
+    * STATELESS — it runs unchanged on a streaming DataFrame
+    * (StreamOps.decontaminateStream) and removes the one exchange the
+    * ingest-time shingle build would otherwise pay at 100 TB.
     */
-  private[operators] def ngramHashesOf(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngramHashesOf(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val parts = col("toks").as("g0") +:
       (1 until n).map(i => expr(s"slice(toks, ${i + 1}, size(toks))").as(s"g$i"))
+    val keep = col("doc_id") +: carry.map(col)
     docs
-      .select(col("doc_id"), split(trim(lower(col("text"))), WS).as("toks"))
-      .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("z"))
+      .select(keep :+ split(trim(lower(col("text"))), WS).as("toks"): _*)
+      .select(keep :+ explode(array_distinct(arrays_zip(parts: _*))).as("z"): _*)
       // the last slice is the shortest: a null there marks the zip's
       // tail padding, i.e. windows shorter than n tokens
       .filter(col(s"z.g${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        xxhash64((0 until n).map(i => col(s"z.g$i")): _*).as("h"))
-      .dropDuplicates("doc_id", "h")
+      .select(keep :+ xxhash64((0 until n).map(i => col(s"z.g$i")): _*).as("h"): _*)
   }
+
+  /** The distinct n-gram hash set of a benchmark/eval corpus — the
+    * static, broadcastable probe side shared by [[decontaminate]] and
+    * the streaming screen (StreamOps.decontaminateStream). Build it
+    * once per benchmark release; it is KBs–MBs for real eval suites.
+    */
+  def benchmarkGramSet(benchmark: DataFrame, textCol: String = "text",
+      n: Int = 8): DataFrame =
+    ngramHashesOf(
+      benchmark.select(lit(0L).as("doc_id"), col(textCol).as("text")), n)
+      .select("h").distinct()
 
   /** Benchmark decontamination: flag corpus documents sharing any
     * n-token-gram (default 8, the published decontamination practice)
@@ -140,9 +159,7 @@ object Dedup {
       corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
     // the benchmark needs no id of its own — only its distinct n-gram
     // hashes survive into the probe side
-    val evalGrams = ngramHashesOf(
-      benchmark.select(lit(0L).as("doc_id"), col(benchTextCol).as("text")), n)
-      .select("h").distinct()
+    val evalGrams = benchmarkGramSet(benchmark, benchTextCol, n)
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     grams
       .join(broadcast(evalGrams), "h")

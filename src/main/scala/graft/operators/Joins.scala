@@ -72,6 +72,14 @@ object Joins {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, saltSource: Column, hot: DataFrame): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // No detected skew → the literal plain join: the salt machinery
+    // (two broadcast probes + the right-side generator + a composite
+    // join key) costs ~2× the plain join even when it replicates
+    // nothing (measured, Q36Probe), so an unskewed dataset shouldn't
+    // pay it. The emptiness probe is one head(1) job — trivial against
+    // a materialized ingest-time stats table, and subsumed by the
+    // detection aggregate in the threshold overload.
+    if (hot.isEmpty) return left.join(right, keys)
     val hotFlag = broadcast(hot.withColumn("__hot", lit(true)))
     val l = left.join(hotFlag, keys, "left")
       .withColumn("__salt",

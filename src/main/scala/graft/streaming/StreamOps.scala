@@ -69,6 +69,44 @@ object StreamOps {
         s"AND r_$tsCol <= l_$tsCol + interval $within"), joinType)
   }
 
+  /** Streaming decontamination screen — the streaming twin of
+    * `Dedup.decontaminate`, sharing its n-gram generator (stateless by
+    * construction: per-doc gram distinctness is computed in-row, so no
+    * streaming dedup state). Each arriving document is screened against
+    * a STATIC benchmark n-gram set (built once per benchmark release
+    * via `Dedup.benchmarkGramSet`, broadcast — eval suites are KBs–MBs)
+    * through a stream-static left join, which is stateless; the only
+    * streaming state is the per-(doc, event-time window) aggregate,
+    * bounded by the watermark. In append mode a contaminated document
+    * emits exactly one row — (doc_id, n_hits, n_grams, contamination),
+    * the batch operator's schema — once the watermark passes its
+    * 1-second event-time window; a doc_id re-sent in a later window is
+    * screened again as a new row.
+    */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
+      tsCol: String, watermark: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", n: Int = 8): DataFrame = {
+    // watermark BEFORE the gram generator: a document shorter than n
+    // tokens yields zero gram rows, and if the watermark node sat after
+    // the explode such documents would never advance event time (a
+    // batch of short docs would stall every downstream window).
+    val wm = stream
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+    val grams = graft.operators.Dedup.ngramHashesOf(wm, n, carry = Seq(tsCol))
+    val bench = broadcast(
+      graft.operators.Dedup.benchmarkGramSet(benchmark, benchTextCol, n)
+        .withColumn("__bench", lit(1)))
+    grams
+      .join(bench, Seq("h"), "left")
+      .groupBy(col("doc_id"), window(col(tsCol), "1 second"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__bench")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        (col("n_hits") / col("n_grams")).as("contamination"))
+  }
+
   /** Per-shard sequence monitoring via Spark 4's transformWithState
     * (the successor arbitrary-state API): keeps each shard's last-seen
     * sequence in a ValueState and emits one anomaly row per record that

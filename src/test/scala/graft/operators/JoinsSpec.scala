@@ -54,6 +54,11 @@ class JoinsSpec extends SparkSuite {
     val out = Joins.saltedInnerJoin(ev, dim, Seq("user_id"), 4, col("event_id"),
       hotKeyThreshold = Long.MaxValue)
     assert(out.count() == ev.join(dim, Seq("user_id")).count())
+    // the short circuit means the salt machinery is GONE from the plan,
+    // not just inert: no salt column, no right-side generator
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt"), s"salt machinery survived:\n$plan")
+    assert(!plan.contains("Generate"), s"right-side fan-out survived:\n$plan")
   }
 
   test("salt column does not leak into the output schema") {

@@ -195,6 +195,51 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch decontaminate ≡ streaming decontaminateStream on a file-replay of the same corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    // replay the corpus as three file batches: the real docs at T0, then
+    // two sentinel docs at later hours — the first advances the
+    // watermark past T0's windows, the second triggers the batch in
+    // which the (now-late) finalized windows are emitted (append-mode
+    // emission runs one batch behind the watermark update)
+    val tmp = java.nio.file.Files.createTempDirectory("deconreplay").toString
+    val t0 = "2026-01-01 00:00:00"
+    val withTs = corpus.select(col("doc_id"), col("text"))
+      .withColumn("event_ts", to_timestamp(lit(t0)))
+    withTs.write.mode("overwrite").parquet(tmp)
+    for (h <- Seq(1, 2)) {
+      Thread.sleep(50) // distinct mtime: the file source orders batches by it
+      withTs.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(-900L - h, "watermark sentinel",
+            java.sql.Timestamp.valueOf(s"2026-01-01 0$h:00:00"))),
+          withTs.schema)
+        .write.mode("append").parquet(tmp)
+    }
+    val streamed = spark.readStream.schema(withTs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val screened = StreamOps.decontaminateStream(
+      streamed, bench, tsCol = "event_ts", watermark = "10 minutes")
+    val q = screened.writeStream.format("memory").queryName("so_decon_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql(
+          "SELECT doc_id, n_hits, n_grams, contamination FROM so_decon_stream")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val batch = graft.operators.Dedup.decontaminate(corpus, bench)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.nonEmpty, "parity test is vacuous: batch screen found nothing")
+      assert(stream.toSeq == batch.toSeq,
+        s"stream=${stream.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("transformWithState sequence monitor flags duplicates and reordering per shard") {
     import spark.implicits._
     // transformWithState needs the RocksDB state store (multiple column
