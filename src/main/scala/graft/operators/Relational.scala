@@ -506,6 +506,52 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Window distribution functions: ntile bucketing plus
+    // percent_rank/cume_dist — quartile assignment per priority class.
+    // The window orders by (price, orderkey): the unique tie-break makes
+    // ntile deterministic (it depends on ROW order, unlike
+    // percent_rank/cume_dist which are tie-invariant), and rank ==
+    // row_number so pr = (rn-1)/(n-1) is the same exact rational in
+    // both engines. Partitioned by priority (5 parallel windows — the
+    // keyed-window scale rule, no global sort).
+    "q39_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Time-series resample + forward fill: hourly sums per event type on
+    // a DENSE hour grid (gaps get n=0 and carry the last observed value
+    // forward) — the alignment step before any downstream join of
+    // irregular streams. Grid = per-type sequence(min hour, max hour)
+    // exploded (tiny: types × hours), left join of the REAL hourly
+    // aggregate onto it, then a keyed running `last(ignoreNulls)` — one
+    // shuffle for the agg, one broadcast-able grid join, one keyed
+    // window; never a global sort until the gate's ORDER BY. The double
+    // sum is rounded at the aggregate; ffill copies the rounded value,
+    // so cross-engine equality survives the carry.
+    "q40_resample_ffill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_v"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val wFill = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sum_v"),
+          last(col("sum_v"), ignoreNulls = true).over(wFill).as("v_fill"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Window navigation functions: lag/lead (ordered frame) plus
     // first_value/nth_value over the full-partition frame.
     "q32_window_navigation" -> ((s, dir) => {
@@ -931,6 +977,34 @@ object Relational {
            ROUND(mn + b50 * ((mx - mn) / 1024.0), 4) AS p50_est,
            ROUND(mn + b90 * ((mx - mn) / 1024.0), 4) AS p90_est
          FROM sel, stats ORDER BY l_returnflag""",
+
+    "q39_window_distribution" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER w AS INTEGER) AS tile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q40_resample_ffill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 3) AS sum_v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+                  FROM hourly GROUP BY 1),
+         grid AS (SELECT event_type,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                  FROM span)
+         SELECT g.event_type, g.hr, COALESCE(n, 0) AS n, sum_v,
+           last_value(sum_v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+         FROM grid g
+         LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+         ORDER BY 1, 2""",
 
     "q32_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

@@ -119,6 +119,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(winIdx > aggIdx && aggIdx >= 0, s"window runs before aggregation:\n$p")
   }
 
+  test("p02: stratified sampling is a pure scan+filter — zero exchanges") {
+    val p = graft.operators.Pipeline.sampleStratified(
+        graft.Tables.documents(spark, dir), rates = Map("en" -> 16384),
+        defaultRate = 32768, strataCol = "lang")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
+    assert(p.contains("[codegen id :"), "sampling fell out of codegen")
+  }
+
+  test("p01: packing pays exactly one exchange (the stratum window)") {
+    val p = graft.operators.Pipeline.packSequences(
+        graft.Tables.documents(spark, dir), budget = 512, strataCol = "lang")
+      .queryExecution.explainString(FormattedMode)
+    // formatted explain prints each node twice (tree + detail section);
+    // "(n) Exchange" headers count nodes once
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (stratum repartition), got $exchanges:\n$p")
+  }
+
+  test("p03: quantization is a per-row map — zero exchanges, no aggregate") {
+    val p = graft.operators.Pipeline.quantizeEmbeddings(
+        graft.Tables.embeddings(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"quantization shuffled:\n$p")
+    assert(!p.contains("Aggregate"), s"quantization aggregated (global stats pass?):\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
