@@ -276,9 +276,22 @@ object Dedup {
     * jumping (l(id) ← l(l(id))), so materialized rounds grow as
     * ~log₂(component diameter); convergence is detected by the strictly
     * decreasing label sum, probed once per double-step.
+    *
+    * Size-adaptive (the AQE principle applied to an iterative loop AQE
+    * cannot see): the upstream pipeline that PRODUCES the edges is
+    * evaluated distributed exactly once either way, and the loop runs
+    * on the materialized edge list — whose count is known at that
+    * point. When it is at most `driverMaxEdges` (long-typed ids only),
+    * the loop is replaced by a driver-side union-find: a few million
+    * edges are tens of MBs, and log-rounds of distributed joins cost
+    * more in job scheduling than the entire problem. Above the
+    * threshold (the 100 TB regime — candidate-pair graphs with
+    * billions of edges) the pointer-jumping loop runs unchanged. Pass
+    * `driverMaxEdges = 0` to force the distributed loop.
     */
   def connectedComponents(pairsDf: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(pairsDf.columns.length == 2,
       s"connectedComponents expects a 2-column edge DataFrame, got ${pairsDf.columns.mkString(",")}")
     val pairs = pairsDf.toDF("a", "b")
@@ -312,6 +325,16 @@ object Dedup {
     // task-scheduling overhead. At 100 TB edge counts the clamp leaves
     // the session's parallelism unchanged.
     val nEdges = edges0.count()
+    val longIds = pairs.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nEdges <= driverMaxEdges) {
+      // Small materialized graph: solve on the driver (see scaladoc).
+      // edges0 is checkpointed, so the collect re-reads cached blocks,
+      // not the upstream pipeline.
+      val es = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges0.unpersist()
+      return driverUnionFind(pairs.sparkSession, es)
+    }
     val origParts = s.conf.get("spark.sql.shuffle.partitions")
     val loopParts =
       math.max(1L, math.min(origParts.toLong, nEdges / 100000L + 1L)).toInt
@@ -368,6 +391,45 @@ object Dedup {
       edges0.unpersist()
       labels.select(col("id"), col("label"))
     }
+  }
+
+  /** Driver-side weighted union-find with path compression for the
+    * small-graph branch of [[connectedComponents]]: near-linear in
+    * edge count, labels resolved to each component's minimum id in a
+    * final pass (rank-based unions don't preserve min-roots).
+    */
+  private def driverUnionFind(s: SparkSession, es: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (cmpA, cmpB) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (cmpA < cmpB) parent(ra) = rb
+        else if (cmpA > cmpB) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = cmpA + 1 }
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOf(r) = math.min(minOf.getOrElse(r, id), id)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(parent.keys.toArray.map(id =>
+        org.apache.spark.sql.Row(id, minOf(find(id)))): _*)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    s.createDataFrame(rows,
+      StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
   }
 
   /** Exact pairwise Jaccard over a candidate pair set (doc_a, doc_b). */

@@ -70,9 +70,16 @@ class PublicApiSpec extends SparkSuite {
           val root = find(n)
           n -> nodes.filter(m => find(m) == root).min
         }.toMap
-        val got = Dedup.connectedComponents(edges.toDF("x", "y"))
+        // both execution paths must agree with the reference: the
+        // driver union-find (default, small graphs) and the distributed
+        // pointer-jumping loop (forced via driverMaxEdges = 0)
+        val gotDriver = Dedup.connectedComponents(edges.toDF("x", "y"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected, s"trial $trial (${edges.length} edges) diverged")
+        assert(gotDriver == expected, s"trial $trial (${edges.length} edges) driver path diverged")
+        val gotLoop = Dedup.connectedComponents(edges.toDF("x", "y"),
+            driverMaxEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotLoop == expected, s"trial $trial (${edges.length} edges) loop path diverged")
       }
     }
   }
@@ -88,9 +95,9 @@ class PublicApiSpec extends SparkSuite {
     // caller session's shuffle parallelism.
     val chainA = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
     val chainB = (100L until 140L).map(i => (i, i + 1)).toDF("a", "b")
-    val (fa, fb) = (
-      Future(Dedup.connectedComponents(chainA).collect()),
-      Future(Dedup.connectedComponents(chainB).collect()))
+    val (fa, fb) = ( // driverMaxEdges = 0: the conf-isolation claim is about the LOOP
+      Future(Dedup.connectedComponents(chainA, driverMaxEdges = 0L).collect()),
+      Future(Dedup.connectedComponents(chainB, driverMaxEdges = 0L).collect()))
     val (ra, rb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
     assert(ra.forall(_.getLong(1) == 0L) && ra.length == 41)
     assert(rb.forall(_.getLong(1) == 100L) && rb.length == 41)
@@ -101,7 +108,9 @@ class PublicApiSpec extends SparkSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+    // driverMaxEdges = 0: reliable checkpointing only exists on the loop path
+    val cc = Dedup.connectedComponents(edges, checkpointDir = Some(dir),
+        driverMaxEdges = 0L)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
     // the loop actually wrote reliable checkpoint files there
