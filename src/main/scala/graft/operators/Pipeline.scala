@@ -92,6 +92,32 @@ object Pipeline {
       .select(col(idCol), col(strataCol), col("bucket"))
   }
 
+  /** Deterministic train/val/test split assignment by content hash:
+    * split boundaries are md5-prefix thresholds (fractions in 65536ths,
+    * like [[sampleStratified]]), so the assignment is reproducible
+    * across engines/re-runs with no RNG state, and byte-identical
+    * duplicate documents ALWAYS land in the same split — exact-dup
+    * train/test leakage is impossible by construction. A pure
+    * codegen'd per-row map; zero shuffles at any corpus size.
+    *
+    * Output: every input row's (id, bucket, split) with split ∈
+    * {"test", "val", "train"}: bucket < testRate → test, < testRate +
+    * valRate → val, else train.
+    */
+  def splitAssign(docs: DataFrame, testRate: Int, valRate: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(testRate >= 0 && valRate >= 0 && testRate + valRate <= 65536,
+      s"rates out of range: test=$testRate val=$valRate")
+    def hex4(r: Int): String = if (r >= 65536) "g" else f"$r%04x"
+    docs
+      .withColumn("bucket", substring(md5(col(textCol)), 1, 4))
+      .withColumn("split",
+        when(col("bucket") < hex4(testRate), "test")
+          .when(col("bucket") < hex4(testRate + valRate), "val")
+          .otherwise("train"))
+      .select(col(idCol), col("bucket"), col("split"))
+  }
+
   /** Per-vector int8 scalar quantization of an embedding column — the
     * standard ANN-index compression (4× smaller than float32): each
     * vector is mapped to 256 levels over its own [min, max] range, so
@@ -146,7 +172,12 @@ object Pipeline {
 
     "p03_quantize_embeddings" -> ((s, dir) =>
       quantizeEmbeddings(embeddings(s, dir))
-        .orderBy("vec_id", "dim"))
+        .orderBy("vec_id", "dim")),
+
+    // 5% test / 5% val / 90% train, content-hash assigned.
+    "p04_split_assign" -> ((s, dir) =>
+      splitAssign(documents(s, dir), testRate = 3277, valRate = 3277)
+        .orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -182,6 +213,13 @@ object Pipeline {
                 END AS BIGINT) AS q,
            mn, mx
          FROM b, unnest(generate_series(1, len(e))) AS t(i)
-         ORDER BY vec_id, dim"""
+         ORDER BY vec_id, dim""",
+
+    "p04_split_assign" ->
+      """SELECT doc_id, substring(md5(text), 1, 4) AS bucket,
+           CASE WHEN substring(md5(text), 1, 4) < '0ccd' THEN 'test'
+                WHEN substring(md5(text), 1, 4) < '199a' THEN 'val'
+                ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -147,6 +147,41 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "score", "rnk")
   }
 
+  /** Unigram surprisal scoring — the language-model-perplexity quality
+    * filter (CCNet-style) reduced to a self-estimated unigram model:
+    * each document's average per-token surprisal −ln p(tok) under the
+    * corpus's own token distribution. Low scores = made of very common
+    * tokens (boilerplate); high scores = rare-token soup (noise).
+    *
+    * Cross-engine exactness: per-token surprisal is snapped to integer
+    * MICRO-NATS (round(−ln p · 1e6) as a long) before the per-doc sum —
+    * libm `ln` implementations differ in the last ulp and
+    * double-summation order differs between engines, but integer sums
+    * are exact, and the final (sum / n) / 1e6 is the same IEEE
+    * operation sequence in both engines. Plan shape: two map-side
+    * combinable aggregates (token counts; one scalar total), a
+    * broadcast join of the tiny vocabulary onto the token stream, one
+    * per-doc aggregate — linear, no windows, 100 TB-safe (a 1M-term
+    * vocabulary is still broadcast-size).
+    */
+  def surprisalScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = normalized(docs, idCol, textCol)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), WS)).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val st = cnt.crossJoin(broadcast(total))
+      .withColumn("st", expr(
+        "CAST(round(-ln(cnt / CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select("tok", "st")
+    toks.join(broadcast(st), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("st").as("sum_st"))
+      .withColumn("avg_surprisal",
+        col("sum_st").cast("double") / col("n_toks") / lit(1000000.0))
+      .select("doc_id", "n_toks", "sum_st", "avg_surprisal")
+  }
+
   /** Repetition / boilerplate scoring: top-token ratio (most frequent
     * token's share) and type-token ratio per document — the signals a
     * training-data pipeline uses to drop degenerate repetitive docs.
@@ -190,7 +225,10 @@ object TextOps {
       repetitionScore(documents(s, dir)).orderBy("doc_id")),
 
     "t06_text_tfidf" -> ((s, dir) =>
-      tfidfTopTerms(documents(s, dir), k = 3).orderBy("doc_id", "rnk"))
+      tfidfTopTerms(documents(s, dir), k = 3).orderBy("doc_id", "rnk")),
+
+    "t07_text_surprisal" -> ((s, dir) =>
+      surprisalScore(documents(s, dir)).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -284,6 +322,24 @@ object TextOps {
          SELECT doc_id,
            list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
            CAST(len(shingles) AS INTEGER) AS n_shingles
-         FROM sh ORDER BY doc_id"""
+         FROM sh ORDER BY doc_id""",
+
+    // per-token surprisal snapped to integer micro-nats before the
+    // per-doc sum — see surprisalScore's scaladoc for why that makes
+    // the average cross-engine exact
+    "t07_text_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM toks),
+         st AS (SELECT tok,
+                  CAST(round(-ln(cnt / CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT) AS st
+                FROM cnt, n)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(st) AS BIGINT) AS sum_st,
+           CAST(SUM(st) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal
+         FROM toks JOIN st USING (tok)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -97,6 +97,25 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("splitAssign covers every row, keeps dup texts together, and honors thresholds") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"content payload ${i % 150}")).toDF("rid", "body")
+    val out = Pipeline.splitAssign(docs, testRate = 3277, valRate = 3277,
+        idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 300, "split must assign every row")
+    assert(out.forall(r => Set("test", "val", "train").contains(r._3)))
+    // threshold boundaries honored exactly
+    out.foreach { case (_, b, s) =>
+      val expect = if (b < "0ccd") "test" else if (b < "199a") "val" else "train"
+      assert(s == expect, s"bucket $b assigned $s")
+    }
+    // content-hash property: i and i+150 share text → same split always
+    val byId = out.map(r => r._1 -> r._3).toMap
+    (1L to 150L).foreach(i => assert(byId(i) == byId(i + 150),
+      s"dup split leak: $i vs ${i + 150}"))
+  }
+
   test("decontaminate flags only docs sharing an 8-gram with the benchmark, with exact counts") {
     import spark.implicits._
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -39,6 +39,28 @@ class PublicApiSpec extends SparkSuite {
     assert(clusters.toSeq == Seq((101L, 101L), (102L, 101L), (104L, 101L)))
   }
 
+  test("surprisalScore ranks common-token docs below rare-token docs, with foreign columns") {
+    import spark.implicits._
+    // "common common common" vs one doc holding the only rare tokens
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "common common common common"),
+      (4L, "rare unique singleton words")
+    ).toDF("item", "body")
+    val out = TextOps.surprisalScore(docs, idCol = "item", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(out.forall(_._2 == 4L), s"token counts wrong: ${out.toSeq}")
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // p(common)=12/16 → low surprisal; each rare token 1/16 → high
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L))
+    assert(byId(4L) > byId(1L) * 5,
+      s"rare doc should score far above boilerplate: ${byId(4L)} vs ${byId(1L)}")
+    // exact value: -ln(12/16) snapped to micro-nats, averaged
+    val expect1 = math.round(-math.log(12.0 / 16.0) * 1e6).toDouble / 1e6
+    assert(math.abs(byId(1L) - expect1) < 1e-9)
+  }
+
   test("connectedComponents labels components by min member over any 2-column edges") {
     import spark.implicits._
     val edges = Seq((5L, 9L), (9L, 12L), (20L, 21L)).toDF("left_node", "right_node")
