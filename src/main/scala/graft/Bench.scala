@@ -58,13 +58,35 @@ object Bench {
       name -> (if (best.isInfinity) -1.0 else best,
                if (med.isInfinity) -1.0 else med)
     }.toMap
-    val qs = results.map { case (k, (b, _)) => s"\"" + k + "\":" + b }
-      .mkString("{", ",", "}")
-    val meds = results.map { case (k, (_, m)) => s"\"" + k + "\":" + m }
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // json-parses the metric line from it. Full-precision doubles for
+    // two 60+-entry maps blow that budget (BENCH_r0{1,2,3}.json all
+    // show parsed:null with the line truncated mid-map), so the final
+    // line carries only the required fields at 3-decimal precision
+    // (~1.8 KB); the median map goes on its own EARLIER line and the
+    // complete stats are persisted to target/bench_full.json.
+    def fmt(dec: Int)(x: Double): String =
+      if (x < 0) "-1" else String.format(s"%.${dec}f", Double.box(x))
+    def qMap(dec: Int): String =
+      results.map { case (k, (b, _)) => "\"" + k + "\":" + fmt(dec)(b) }
+        .mkString("{", ",", "}")
+    val meds = results.map { case (k, (_, m)) => "\"" + k + "\":" + fmt(3)(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns,"agg":"best-of-n"}""")
+    val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":$nRuns}"""
+    def assemble(dec: Int): String =
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
+    val finalLine = { val l2 = assemble(2); if (l2.length <= 1800) l2 else assemble(1) }
+    val qs = qMap(3)
+    val full = s"""{"best":$qs,"median":$meds,"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns}"""
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(medianLine)
+    println(finalLine)
     spark.stop()
   }
 }

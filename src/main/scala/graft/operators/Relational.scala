@@ -602,6 +602,20 @@ object Relational {
         .orderBy("band")
     }),
 
+    // Ordered string aggregation (LISTAGG/string_agg): supplier roster
+    // per nation, sorted within the group so the concatenation is
+    // deterministic. collect_list is partial-aggregable; the sort runs
+    // per GROUP on the collected array (bounded by group size), never
+    // as a global sort. DuckDB twin: string_agg(... ORDER BY).
+    "q41_listagg" -> ((s, dir) => {
+      supplier(s, dir).join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), "|").as("roster"))
+        .orderBy("n_name")
+    }),
+
     // Map-typed column operations: build a status→count map per
     // customer (map_from_entries over a sorted entry list), then
     // map_keys/map_values/lookup/HOF-fold over it.
@@ -1036,6 +1050,12 @@ object Relational {
            ROUND(SUM(o_totalprice), 2) AS total
          FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY band ORDER BY band""",
+
+    "q41_listagg" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s_name, '|' ORDER BY s_name) AS roster
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
 
     "q35_map_fns" ->
       """WITH per AS (
