@@ -19,6 +19,19 @@ object Dedup {
 
   private val WS = "\\s+"
 
+  /** Cross-engine 60-bit hash: the top 15 hex digits of md5 as a
+    * non-negative long — `conv(substring(md5(x),1,15),16,10)` here,
+    * `('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB, bitwise identical
+    * (t04's pluggable-hash pattern). 60 bits keeps every downstream
+    * affine map and bit-vote in non-overflowing signed-64 arithmetic
+    * under Spark 4's ANSI mode. The `md5` hash family routes MinHash
+    * (d04) and SimHash (d05) through this so the driver's DuckDB gate
+    * hash-checks them end-to-end; `xxhash64` stays the library default
+    * (~an order of magnitude cheaper per value).
+    */
+  private[operators] def sharedHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** One row per (doc_id, distinct 3-word-shingle hash): trigrams via
     * slice + arrays_zip (each token zipped with its two successors),
     * hashed directly — no intermediate shingle strings. The inputs to
@@ -38,11 +51,12 @@ object Dedup {
   // 100 TB this is a written table produced at ingest, like s04's IVF
   // cell assignment.
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), {
-      val ex = shingleHashesOf(documents(s, dir)).persist()
+  private def shingleHashes(s: SparkSession, dir: String,
+      family: String = "xxhash64"): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir, family), {
+      val ex = ngramHashesOf(documents(s, dir), 3, Nil, family).persist()
       ex.count() // materialize: ingest-time work
       ex
     })
@@ -55,29 +69,47 @@ object Dedup {
   // enough that janino recompilation dominated d04's per-query cost
   // when rebuilt per run.
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((s, dir), {
-      val ex = shingleHashes(s, dir)
-      val sigAggs: Seq[Column] = (0 until NumPerms).map { i =>
-        min(xxhash64(col("h"), lit(i))).as(s"m$i")
-      }
-      val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-        .withColumn("sig", array((0 until NumPerms).map(i => col(s"m$i")): _*))
-        .select("doc_id", "sig")
-        .persist()
+  private def minhashSignatures(s: SparkSession, dir: String,
+      family: String = "xxhash64"): DataFrame =
+    sigCache.getOrElseUpdate((s, dir, family), {
+      val sig = minhashSignaturesOf(shingleHashes(s, dir, family), family).persist()
       sig.count() // materialize: ingest-time work
       sig
     })
+
+  /** 64-permutation MinHash signatures over a (doc_id, h) shingle-hash
+    * relation: one exploded min-aggregate, output (doc_id, sig[64]).
+    * `xxhash64` permutations are seeded hashes h_i(x) = xxhash64(x, i);
+    * the `md5` family uses affine maps (a_i·h31 + b_i) mod (2³¹−1) over
+    * h31 = h mod (2³¹−1) — classic universal hashing whose products stay
+    * below 2⁶² (ANSI-safe) and which DuckDB reproduces bit-for-bit from
+    * the same (a_i, b_i) literals embedded in the d04 oracle.
+    */
+  private[operators] def minhashSignaturesOf(ex: DataFrame, family: String): DataFrame = {
+    val sigAggs: Seq[Column] = family match {
+      case "md5" =>
+        val h31 = col("h") % MinhashP
+        minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+          min((h31 * a + b) % MinhashP).as(s"m$i")
+        }
+      case _ => (0 until NumPerms).map { i =>
+        min(xxhash64(col("h"), lit(i))).as(s"m$i")
+      }
+    }
+    ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("sig", array((0 until NumPerms).map(i => col(s"m$i")): _*))
+      .select("doc_id", "sig")
+  }
 
   /** Build the dedup family's ingest artifacts (shingle table + MinHash
     * signature table) for a dataset ahead of queries; Bench calls this
     * in its untimed warm-up, like s04's index build.
     */
   def prepareShingles(s: SparkSession, dir: String): Unit = {
-    shingleHashes(s, dir)
-    minhashSignatures(s, dir)
+    shingleHashes(s, dir)                    // d03/d06 blocking relation
+    minhashSignatures(s, dir, "md5")         // registered d04 (oracle family)
     ()
   }
 
@@ -89,8 +121,10 @@ object Dedup {
     * query rebuilds them from the current files.
     */
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
-    sigCache.remove((s, dir)).foreach(_.unpersist())
-    shingleCache.remove((s, dir)).foreach(_.unpersist())
+    Seq("xxhash64", "md5").foreach { fam =>
+      sigCache.remove((s, dir, fam)).foreach(_.unpersist())
+      shingleCache.remove((s, dir, fam)).foreach(_.unpersist())
+    }
   }
 
   private[operators] def shingleHashesOf(docs: DataFrame): DataFrame =
@@ -113,18 +147,25 @@ object Dedup {
     * ingest-time shingle build would otherwise pay at 100 TB.
     */
   private[graft] def ngramHashesOf(docs: DataFrame, n: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, family: String = "xxhash64"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val parts = col("toks").as("g0") +:
       (1 until n).map(i => expr(s"slice(toks, ${i + 1}, size(toks))").as(s"g$i"))
     val keep = col("doc_id") +: carry.map(col)
+    // xxhash64 hashes the gram's token columns directly; the md5 family
+    // hashes the space-joined gram STRING, because that is the exact
+    // value the DuckDB oracles md5 on their side.
+    val gramHash: Column = family match {
+      case "md5" => sharedHash60(concat_ws(" ", (0 until n).map(i => col(s"z.g$i")): _*))
+      case _ => xxhash64((0 until n).map(i => col(s"z.g$i")): _*)
+    }
     docs
       .select(keep :+ split(trim(lower(col("text"))), WS).as("toks"): _*)
       .select(keep :+ explode(array_distinct(arrays_zip(parts: _*))).as("z"): _*)
       // the last slice is the shortest: a null there marks the zip's
       // tail padding, i.e. windows shorter than n tokens
       .filter(col(s"z.g${n - 1}").isNotNull)
-      .select(keep :+ xxhash64((0 until n).map(i => col(s"z.g$i")): _*).as("h"): _*)
+      .select(keep :+ gramHash.as("h"): _*)
   }
 
   /** The distinct n-gram hash set of a benchmark/eval corpus — the
@@ -447,10 +488,149 @@ object Dedup {
   private val NumPerms = 64
   private val Bands = 16
   private val RowsPerBand = NumPerms / Bands
+  // Modulus for the md5 family's affine permutations: the Mersenne
+  // prime 2³¹−1. h31 and the coefficients are all < 2³¹, so a·h31+b
+  // stays below 2⁶² — no wraparound for ANSI mode to reject, and DuckDB
+  // evaluates the identical expression on the identical operand values.
+  private val MinhashP = 2147483647L
+  // 64 fixed affine-map coefficients (a_i ∈ [1, p−1], b_i ∈ [0, p−1]),
+  // drawn once from a seeded PRNG and embedded as VALUES literals in the
+  // d04 oracle (the round-2 shared-plane-family pattern).
+  private[operators] val minhashSeeds: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(20260812L)
+    Seq.fill(NumPerms)(
+      (1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
+  }
   // SimHash samples at most this many leading tokens per document —
   // bounds the packed 16-bit vote counters (capacity 65535) and the
   // per-doc work at any document length.
   private val SimHashMaxToks = 4096
+
+  /** Band-blocked MinHash near-dup pairs from a (doc_id, sig[64])
+    * signature table: 16 bands × 4 rows, bucket = the band's 4 minima
+    * joined as a string (plain equality — no second hash, and the exact
+    * value `string_agg(m, ',' ORDER BY i)` yields in DuckDB).
+    *
+    * Narrow-first (same layout as s03): the band self-join and the pair
+    * dedup move only (band, bucket, doc_id) rows — carrying the 64-long
+    * signature through them would shuffle each doc's sig once per band
+    * (16×) and twice more through the dedup. Signatures are fetched for
+    * the few SURVIVING pairs by two equi-joins against the signature
+    * table. No exact re-verification pass — the estimate IS the point
+    * of MinHash at 100 TB.
+    */
+  private[operators] def minhashPairsFromSig(sig: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => expr(s"sig[$i]")): _*).as("bucket"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    cand
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Public df-in/df-out MinHash near-dup operator over any corpus:
+    * 3-token shingles → 64-permutation signatures → band-blocked pairs
+    * with the signature-agreement Jaccard estimate. `hashFamily`
+    * "xxhash64" (default, fastest) or "md5" (the cross-engine family
+    * the registered d04 gate query uses). Output: (doc_a, doc_b,
+    * est_jaccard).
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5,
+      hashFamily: String = "xxhash64"): DataFrame =
+    minhashPairsFromSig(
+      minhashSignaturesOf(
+        ngramHashesOf(
+          docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+          3, Nil, hashFamily),
+        hashFamily),
+      threshold)
+
+  /** SimHash signatures: per-token hashes bit-voted into one long.
+    * 64 bits for xxhash64; 60 for the md5 family (its shared base hash
+    * is 60-bit). Packed voting: the per-position counters are carried
+    * as nBits/4 longs with 16-bit fields (4 positions each), so the
+    * aggregate is 15–16 sums + a count instead of 60–64 sums. Fields
+    * hold counts up to 65535; at most [[SimHashMaxToks]] tokens are
+    * sampled per doc, so a field can never overflow into its neighbor.
+    * Bit j of the simhash is 1 iff more than half the sampled hashes
+    * set it.
+    */
+  private[operators] def simhashSigs(docs: DataFrame, family: String): DataFrame = {
+    val nBits = if (family == "md5") 60 else 64
+    val tokHash: Column =
+      if (family == "md5") sharedHash60(col("tok")) else xxhash64(col("tok"))
+    val toks = docs
+      .select(col("doc_id"), explode(
+        slice(split(trim(lower(col("text"))), WS), 1, SimHashMaxToks)).as("tok"))
+      .withColumn("h", tokHash)
+    val packed: Seq[Column] = (0 until nBits / 4).map { k =>
+      val fields = (0 until 4).map { f =>
+        val j = k * 4 + f
+        s"(((h >> $j) & 1) << ${16 * f})"
+      }.mkString(" + ")
+      sum(expr(fields)).as(s"p$k")
+    } :+ count(lit(1)).as("n_toks")
+    val perDoc = toks.groupBy("doc_id").agg(packed.head, packed.tail: _*)
+    val simhash = (0 until nBits).map { j =>
+      val k = j / 4
+      val f = j % 4
+      when(expr(s"(p$k >> ${16 * f}) & 65535") * 2 > col("n_toks"), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    perDoc.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= `maxHamming`.
+    * Blocking on 4 equal-width bands (16 bits for the 64-bit family,
+    * 15 for the 60-bit md5 family) is LOSSLESS for distance <= 3
+    * (pigeonhole: 3 flipped bits touch at most 3 of 4 bands), so the
+    * result is exact over the signature space.
+    */
+  private[operators] def simhashPairsOf(docs: DataFrame, family: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBits = if (family == "md5") 60 else 64
+    val bandBits = nBits / 4
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashSigs(docs, family)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(s"transform(sequence(0, 3), k -> (simhash >> (k * $bandBits)) & $mask)")))
+      .toDF("doc_id", "simhash", "band", "key")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Public df-in/df-out SimHash near-dup operator over any corpus.
+    * `hashFamily` "xxhash64" (default) or "md5" (the cross-engine
+    * family the registered d05 gate query uses). Output: (doc_a,
+    * doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      hashFamily: String = "xxhash64"): DataFrame =
+    simhashPairsOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      hashFamily, maxHamming)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on the raw text. One shuffle; at 100 TB the
@@ -483,46 +663,16 @@ object Dedup {
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // MinHash + LSH banding: 64 perms, 16 bands × 4 rows. Candidates
-    // come from band-bucket equi-joins; exact Jaccard verifies. The
-    // scale path for d03 (bounded candidates per band instead of
-    // shared-shingle fan-out). Hash family isn't SQL-expressible →
-    // rows-only driver check; recall vs d03 asserted in DedupSpec.
-    "d04_dedup_minhash" -> ((s, dir) => {
-      // Bands via one xxhash64 over each 4-min group of the signature,
-      // candidates via band equi-join, similarity from signature
-      // agreement (the true MinHash estimate — no exact
-      // re-verification pass, which is the point of MinHash at 100 TB).
-      // Signatures come from the cached per-(session, dataset) table
-      // ([[minhashSignatures]]) — an ingest artifact like the shingle
-      // table it derives from.
-      val sig = minhashSignatures(s, dir)
-      val bandCols: Seq[Column] = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(((b * RowsPerBand until (b + 1) * RowsPerBand)
-            .map(i => expr(s"sig[$i]")) :+ lit(b)): _*).as("bucket"))
-      }
-      // Narrow-first (same layout as s03): the band self-join and the
-      // pair dedup move only (band, bucket, doc_id) rows — carrying the
-      // 64-long signature through them would shuffle each doc's sig
-      // once per band (16×) and twice more through the dedup. The
-      // signatures are fetched for the few SURVIVING pairs by two
-      // equi-joins against the cached signature table.
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      cand
-        .withColumn("est_jaccard", expr(
-          s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))
-        .filter(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    // come from band-bucket equi-joins; similarity is the signature-
+    // agreement estimate. The scale path for d03 (bounded candidates
+    // per band instead of shared-shingle fan-out). Registered with the
+    // md5 affine-permutation family, whose signatures DuckDB recomputes
+    // bit-for-bit from the seed literals in the oracle → full
+    // rows+schema+hash check; the xxhash64 family stays the library
+    // default via [[minhashPairs]].
+    "d04_dedup_minhash" -> ((s, dir) =>
+      minhashPairsFromSig(minhashSignatures(s, dir, "md5"))
+        .orderBy("doc_a", "doc_b")),
 
     // Near-dup clusters: connected components over the d03 pair graph,
     // labels = min doc_id per component — the "keep one canonical doc
@@ -534,49 +684,14 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs: 64-bit signature from token hashes; pairs
-    // with Hamming distance <= 3. Blocking on 4 × 16-bit bands is
-    // LOSSLESS for distance <= 3 (pigeonhole: 3 flipped bits touch at
-    // most 3 of 4 bands), so the result is exact. Rows-only check.
-    "d05_dedup_simhash" -> ((s, dir) => {
-      val toks = documents(s, dir)
-        .select(col("doc_id"), explode(
-          slice(split(trim(lower(col("text"))), WS), 1, SimHashMaxToks)).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      // Packed bit voting: the 64 per-position counters are carried as
-      // 16 longs with 16-bit fields (4 positions each), so the
-      // aggregate is 16 sums + a count instead of 64 sums. Fields hold
-      // counts up to 65535; the signature samples at most SimHashMaxToks
-      // tokens per doc (standard practice — the prefix fingerprints the
-      // doc) so a field can never overflow into its neighbor. Bit j of
-      // the simhash is 1 iff more than half the sampled hashes set it.
-      val packed: Seq[Column] = (0 until 16).map { k =>
-        val fields = (0 until 4).map { f =>
-          val j = k * 4 + f
-          s"(((h >> $j) & 1) << ${16 * f})"
-        }.mkString(" + ")
-        sum(expr(fields)).as(s"p$k")
-      } :+ count(lit(1)).as("n_toks")
-      val perDoc = toks.groupBy("doc_id").agg(packed.head, packed.tail: _*)
-      val simhash = (0 until 64).map { j =>
-        val k = j / 4
-        val f = j % 4
-        when(expr(s"(p$k >> ${16 * f}) & 65535") * 2 > col("n_toks"), lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sigs = perDoc.select(col("doc_id"), simhash.as("simhash"))
-      val bands = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)")))
-        .toDF("doc_id", "simhash", "band", "key")
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // SimHash near-dup pairs: pairs with Hamming distance <= 3 over
+    // bit-voted token-hash signatures; band blocking is lossless (see
+    // [[simhashPairsOf]]). Registered with the md5 60-bit family so the
+    // DuckDB oracle recomputes signatures, bands, and distances
+    // bit-for-bit → full rows+schema+hash check; the 64-bit xxhash64
+    // family stays the library default via [[simhashPairs]].
+    "d05_dedup_simhash" -> ((s, dir) =>
+      simhashPairsOf(documents(s, dir), "md5").orderBy("doc_a", "doc_b")),
 
     // Benchmark decontamination: the synthetic "eval suite" is every
     // 10th document; the rest of the corpus is screened against its
@@ -592,7 +707,72 @@ object Dedup {
     })
   )
 
+  // The d04 oracle's 64 (i, a_i, b_i) affine-map coefficients — the
+  // SAME values the Spark plan uses, embedded as VALUES literals (the
+  // round-2 shared-plane-family pattern: the oracle recomputes
+  // signatures, buckets, and estimates bitwise).
+  private def minhashSeedValues: String = minhashSeeds.zipWithIndex
+    .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+
   def oracles: Map[String, String] = Map(
+    "d04_dedup_minhash" ->
+      s"""WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         ex AS (
+           SELECT doc_id,
+             ('0x'||substr(md5(unnest(shingles)),1,15))::BIGINT % 2147483647 AS h31
+           FROM sh),
+         seeds(i, a, b) AS (VALUES $minhashSeedValues),
+         sig AS (
+           SELECT doc_id, i, MIN((h31 * a + b) % 2147483647) AS m
+           FROM ex CROSS JOIN seeds GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+           FROM sig GROUP BY doc_id, i // 4),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT doc_a, doc_b,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+           FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+           GROUP BY doc_a, doc_b)
+         SELECT doc_a, doc_b, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "d05_dedup_simhash" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         toks AS (SELECT doc_id, unnest(tokens[1:4096]) AS tok FROM docs),
+         h AS (
+           SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+         votes AS (
+           SELECT doc_id, j, SUM((h >> j) & 1) AS v
+           FROM h CROSS JOIN range(60) t(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT v.doc_id,
+             SUM(CASE WHEN 2 * v.v > c.n THEN (1::BIGINT << v.j::INTEGER) ELSE 0 END) AS simhash
+           FROM votes v JOIN cnt c ON c.doc_id = v.doc_id GROUP BY v.doc_id),
+         bands AS (
+           SELECT doc_id, simhash, k AS band, (simhash >> (k*15)::INTEGER) & 32767 AS key
+           FROM sig CROSS JOIN range(4) r(k))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",

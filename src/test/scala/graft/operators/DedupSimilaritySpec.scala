@@ -40,7 +40,7 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
-      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("hamming") >= 0 && r.getAs[Long]("hamming") <= 3)
     }
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)

@@ -39,6 +39,29 @@ class PublicApiSpec extends SparkSuite {
     assert(clusters.toSeq == Seq((101L, 101L), (102L, 101L), (104L, 101L)))
   }
 
+  test("minhashPairs and simhashPairs find near-dups on foreign columns, in both hash families") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (101L, base),
+      (102L, base + " extra"),                              // near-dup of 101
+      (103L, "completely different words in this sentence about streams and shards")
+    ).toDF("item_id", "body")
+    for (fam <- Seq("xxhash64", "md5")) {
+      val mh = Dedup.minhashPairs(docs, "item_id", "body", hashFamily = fam)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(mh.toSeq == Seq((101L, 102L)), s"minhash[$fam] got ${mh.toSeq}")
+      // SimHash bit flips under a one-token edit depend on vote margins
+      // (hash-family luck), so assert on an exact duplicate: identical
+      // text must give identical signatures → hamming 0 in any family.
+      val dupDocs = Seq((101L, base), (102L, base), (103L, "unrelated words "
+        + "about streams and shards and checkpoints")).toDF("item_id", "body")
+      val sh = Dedup.simhashPairs(dupDocs, "item_id", "body", hashFamily = fam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(sh.toSeq == Seq((101L, 102L, 0L)), s"simhash[$fam] got ${sh.toSeq}")
+    }
+  }
+
   test("surprisalScore ranks common-token docs below rare-token docs, with foreign columns") {
     import spark.implicits._
     // "common common common" vs one doc holding the only rare tokens
