@@ -155,6 +155,52 @@ object Pipeline {
           .as("q"),
         col("mn"), col("mx"))
 
+  /** Heuristic quality-filter chain (the C4/Gopher-style rule screen
+    * that precedes dedup in a training pipeline): per-document token
+    * statistics scored against configurable rules, each rule surfaced
+    * as its own column so a pipeline can audit WHY a document was
+    * dropped, plus the combined `keep` verdict.
+    *
+    * Rules: token count within [minToks, maxToks]; vocabulary ratio
+    * (distinct/total tokens) >= minVocabRatio (gibberish screen);
+    * top-token fraction <= maxTopFrac (repetition screen); mean token
+    * length within [minMeanLen, maxMeanLen] (symbol-soup screen);
+    * contains at least one stopword (language-integrity screen, the
+    * C4 heuristic).
+    *
+    * Two map-side-combinable aggregates — (doc, token) counts, then
+    * per-doc stats — i.e. one shuffle family on doc_id; ratios are
+    * IEEE divisions of exact integers (engine-reproducible). Linear
+    * and partition-parallel at any corpus size.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minToks: Long = 20, maxToks: Long = 1000,
+      minVocabRatio: Double = 0.2, maxTopFrac: Double = 0.2,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), WS)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    perTok.groupBy("doc_id").agg(
+        sum("c").as("n_toks"),
+        count(lit(1)).as("n_vocab"),
+        max("c").as("top_cnt"),
+        sum(length(col("tok")) * col("c")).as("n_tok_chars"),
+        max(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("has_stop"))
+      .withColumn("vocab_ratio", col("n_vocab") / col("n_toks"))
+      .withColumn("top_frac", col("top_cnt") / col("n_toks"))
+      .withColumn("mean_tok_len", col("n_tok_chars") / col("n_toks"))
+      .withColumn("keep",
+        col("n_toks").between(minToks, maxToks) &&
+          col("vocab_ratio") >= minVocabRatio &&
+          col("top_frac") <= maxTopFrac &&
+          col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
+          col("has_stop") === 1L)
+      .select("doc_id", "n_toks", "vocab_ratio", "top_frac", "mean_tok_len",
+        "has_stop", "keep")
+  }
+
   // Registered queries: the public operators applied to the driver's
   // test tables, plus the gate's total-order sort.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,7 +223,13 @@ object Pipeline {
     // 5% test / 5% val / 90% train, content-hash assigned.
     "p04_split_assign" -> ((s, dir) =>
       splitAssign(documents(s, dir), testRate = 3277, valRate = 3277)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Rule screen over the synthetic corpus; thresholds chosen so both
+    // verdicts occur (the corpus is ~30-word-vocabulary word salad:
+    // vocab_ratio and top_frac carry the signal).
+    "p05_quality_filter" -> ((s, dir) =>
+      qualityFilter(documents(s, dir)).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -220,6 +272,31 @@ object Pipeline {
            CASE WHEN substring(md5(text), 1, 4) < '0ccd' THEN 'test'
                 WHEN substring(md5(text), 1, 4) < '199a' THEN 'val'
                 ELSE 'train' END AS split
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "p05_quality_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+         st AS (
+           SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_toks,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(len(tok) * c) AS BIGINT) AS n_tok_chars,
+             CAST(MAX(CASE WHEN tok IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS has_stop
+           FROM pt GROUP BY doc_id)
+         SELECT doc_id, n_toks,
+           n_vocab / n_toks AS vocab_ratio,
+           top_cnt / n_toks AS top_frac,
+           n_tok_chars / n_toks AS mean_tok_len,
+           has_stop,
+           (n_toks BETWEEN 20 AND 1000
+             AND n_vocab / n_toks >= 0.2
+             AND top_cnt / n_toks <= 0.2
+             AND n_tok_chars / n_toks BETWEEN 2.0 AND 12.0
+             AND has_stop = 1) AS keep
+         FROM st ORDER BY doc_id"""
   )
 }

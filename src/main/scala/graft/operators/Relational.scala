@@ -616,6 +616,72 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Regex operator family over raw text: extract-all (word-boundary
+    // pattern), distinct-match counting, single-group extract, and a
+    // match-count filter — all codegen'd expressions on one scan, no
+    // shuffle before the final sort. \b and [a-z] classes behave
+    // identically in Java regex and RE2 (the shared-subset rule).
+    "q42_regex_extract" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("s_words", expr("regexp_extract_all(text, '\\\\bs[a-z]+', 0)"))
+        .withColumn("n_s_words", size(col("s_words")).cast("long"))
+        .withColumn("n_distinct_s", size(array_distinct(col("s_words"))).cast("long"))
+        .withColumn("first_st", regexp_extract(col("text"), "\\b(st[a-z]+)", 1))
+        .filter(col("n_s_words") >= 3)
+        .select("doc_id", "n_s_words", "n_distinct_s", "first_st")
+        .orderBy("doc_id")
+    }),
+
+    // Gaps-and-islands: merge each customer's orders into purchase
+    // "episodes" — runs where consecutive orders are <= 30 days apart.
+    // One window (lag + running sum of episode starts) and one
+    // aggregate, both partitioned by customer: a single exchange on
+    // o_custkey serves the window AND the group-by (no re-shuffle), and
+    // per-customer row counts are bounded, so the shape is linear and
+    // skew-free at 100 TB.
+    "q43_order_episodes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val run = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir)
+        .withColumn("prev_date", lag("o_orderdate", 1).over(byCust))
+        .withColumn("is_new", when(col("prev_date").isNull ||
+          datediff(col("o_orderdate"), col("prev_date")) > 30, 1L).otherwise(0L))
+        .withColumn("episode", sum("is_new").over(run))
+        .groupBy("o_custkey", "episode")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderdate").as("ep_start"),
+          max("o_orderdate").as("ep_end"),
+          round(sum("o_totalprice"), 3).as("ep_spend"))
+        .orderBy("o_custkey", "episode")
+    }),
+
+    // Ordered-sequence funnel over the event stream: first qualifying
+    // view -> click-within-24h -> purchase-within-24h per user, each
+    // stage strictly after the previous (the conversion-window form —
+    // an unbounded funnel is vacuous on a dense stream: every user
+    // eventually does everything). Three filtered min-aggregates
+    // chained by equi-joins on user_id — each stage's survivors shrink,
+    // every join is on the same key (one shuffle family), nothing is
+    // ever ordered globally.
+    "q44_event_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    }),
+
     // Map-typed column operations: build a status→count map per
     // customer (map_from_entries over a sorted entry list), then
     // map_keys/map_values/lookup/HOF-fold over it.
@@ -1056,6 +1122,58 @@ object Relational {
            string_agg(s_name, '|' ORDER BY s_name) AS roster
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "q42_regex_extract" ->
+      """WITH x AS (
+           SELECT doc_id,
+             regexp_extract_all(text, '\bs[a-z]+') AS s_words,
+             regexp_extract(text, '\b(st[a-z]+)', 1) AS first_st
+           FROM documents)
+         SELECT doc_id, CAST(len(s_words) AS BIGINT) AS n_s_words,
+           CAST(len(list_distinct(s_words)) AS BIGINT) AS n_distinct_s,
+           first_st
+         FROM x WHERE len(s_words) >= 3 ORDER BY doc_id""",
+
+    "q43_order_episodes" ->
+      """WITH x AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_date
+           FROM orders),
+         y AS (
+           SELECT *, CASE WHEN prev_date IS NULL
+               OR date_diff('day', prev_date, o_orderdate) > 30
+             THEN 1 ELSE 0 END AS is_new
+           FROM x),
+         z AS (
+           SELECT *, CAST(SUM(is_new) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode
+           FROM y)
+         SELECT o_custkey, episode, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderdate) AS ep_start, MAX(o_orderdate) AS ep_end,
+           round(SUM(o_totalprice), 3) AS ep_spend
+         FROM z GROUP BY o_custkey, episode ORDER BY o_custkey, episode""",
+
+    "q44_event_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, MIN(e.ts) AS t_click
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t_view
+             AND e.ts <= v.t_view + INTERVAL 24 HOURS
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS t_purchase
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             AND e.ts <= c.t_click + INTERVAL 24 HOURS
+           GROUP BY e.user_id)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
 
     "q35_map_fns" ->
       """WITH per AS (

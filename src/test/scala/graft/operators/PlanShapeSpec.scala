@@ -128,6 +128,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("[codegen id :"), "sampling fell out of codegen")
   }
 
+  test("q43: episode window and aggregate share one exchange on o_custkey") {
+    val p = plan("q43_order_episodes")
+    // lag + running-sum windows and the final group-by are all
+    // partitioned by o_custkey: the sort-based window output feeds the
+    // aggregate without re-shuffling (plus the gate's final order-by
+    // range exchange = 2 total).
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected 2 exchanges (custkey hash + output sort range), got $exchanges:\n$p")
+  }
+
+  test("p05: quality filter is two chained aggregates, no join") {
+    val p = graft.operators.Pipeline.qualityFilter(
+        graft.Tables.documents(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"quality filter joins:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregates")
+  }
+
   test("p01: packing pays exactly one exchange (the stratum window)") {
     val p = graft.operators.Pipeline.packSequences(
         graft.Tables.documents(spark, dir), budget = 512, strataCol = "lang")
