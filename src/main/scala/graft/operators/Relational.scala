@@ -682,6 +682,57 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Statistical aggregate family per return flag: correlation,
+    // covariance, stddev, variance, population skewness/kurtosis, and
+    // OLS regression slope/intercept — all single-pass partial
+    // aggregates (Spark's CentralMomentAgg / Corr / Covariance merge
+    // associatively), so the shape is one map-side-combined hash
+    // aggregate over 3 groups regardless of input size: the ideal
+    // 100 TB profile. Doubles rounded (merge order differs per engine).
+    "q45_stat_aggs" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qp"),
+          round(stddev_samp(col("l_extendedprice")), 3).as("sd_price"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3).as("icept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Weekly cohort retention over the event stream: cohort = ISO week
+    // of a user's first PURCHASE (the every-event cohort is vacuous on
+    // a dense stream — every user is active every week), activity = the
+    // user's purchase weeks; one distinct (user, week) activity grid;
+    // offset counts normalized by the cohort's week-0 size via a window
+    // over the (tiny) aggregated output. Everything before the final
+    // window shuffles on user_id only — first-touch and activity reuse
+    // one exchange family — and the window runs on ~cohorts×weeks rows,
+    // not on events, so the 100 TB cost is two hash aggregates.
+    "q46_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+      val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val counts = ev.join(first, "user_id")
+        .withColumn("week_no",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_no")
+        .agg(count(lit(1)).as("n_active"))
+      val byCohort = Window.partitionBy("cohort_week")
+      counts
+        .withColumn("cohort_n",
+          max(when(col("week_no") === 0, col("n_active"))).over(byCohort))
+        .select(col("cohort_week"), col("week_no"), col("n_active"),
+          round(col("n_active") / col("cohort_n"), 4).as("retention"))
+        .orderBy("cohort_week", "week_no")
+    }),
+
     // Map-typed column operations: build a status→count map per
     // customer (map_from_entries over a sorted entry list), then
     // map_keys/map_values/lookup/HOF-fold over it.
@@ -1174,6 +1225,57 @@ object Relational {
          SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    // DuckDB's skewness/kurtosis are bias-corrected SAMPLE statistics;
+    // Spark's are POPULATION moments (m3/m2^1.5, m4/m2^2-3). The twin
+    // derives the population forms from raw moments so both engines
+    // compute the same estimator, then rounds away merge-order noise.
+    "q45_stat_aggs" ->
+      """WITH m AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             corr(l_quantity, l_extendedprice) AS c,
+             covar_samp(l_quantity, l_extendedprice) AS cs,
+             stddev_samp(l_extendedprice) AS sd,
+             var_pop(l_quantity) AS vq,
+             AVG(l_extendedprice) AS mu,
+             AVG(l_extendedprice*l_extendedprice) AS r2,
+             AVG(l_extendedprice*l_extendedprice*l_extendedprice) AS r3,
+             AVG(l_extendedprice*l_extendedprice*l_extendedprice*l_extendedprice) AS r4,
+             regr_slope(l_extendedprice, l_quantity) AS sl,
+             regr_intercept(l_extendedprice, l_quantity) AS ic
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round(c, 6) AS corr_qp,
+           round(cs, 3) AS covar_qp,
+           round(sd, 3) AS sd_price,
+           round(vq, 6) AS var_qty,
+           round((r3 - 3*mu*r2 + 2*mu*mu*mu)
+             / pow(r2 - mu*mu, 1.5), 6) AS skew_price,
+           round((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
+             / pow(r2 - mu*mu, 2) - 3, 6) AS kurt_price,
+           round(sl, 4) AS slope,
+           round(ic, 3) AS icept
+         FROM m ORDER BY l_returnflag""",
+
+    "q46_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events WHERE event_type = 'purchase'),
+         f AS (
+           SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+         r AS (
+           SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_no,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM ev JOIN f USING (user_id)
+           GROUP BY 1, 2),
+         c AS (
+           SELECT *, MAX(CASE WHEN week_no = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_week) AS cohort_n
+           FROM r)
+         SELECT cohort_week, week_no, n_active,
+           round(n_active / cohort_n, 4) AS retention
+         FROM c ORDER BY cohort_week, week_no""",
 
     "q35_map_fns" ->
       """WITH per AS (

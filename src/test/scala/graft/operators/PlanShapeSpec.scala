@@ -139,6 +139,27 @@ class PlanShapeSpec extends SparkSuite {
       s"expected 2 exchanges (custkey hash + output sort range), got $exchanges:\n$p")
   }
 
+  test("q45: stat aggregate family is one two-phase hash aggregate, no join") {
+    val p = plan("q45_stat_aggs")
+    // corr/covar/moments/regr are all associative partial aggregates:
+    // the whole family must plan as partial + final over 3 groups with
+    // nothing joined and nothing windowed.
+    assert(!p.contains("Join"), s"stat agg family should be join-free:\n$p")
+    assert(!p.contains("Window"), s"stat agg family should be window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side partial agg:\n$p")
+  }
+
+  test("q46: cohort retention never nested-loops and windows tiny aggregated output") {
+    val p = plan("q46_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must stay an equi-join:\n$p")
+    // the cohort-size normalization is a window over the (cohort_week,
+    // week_no) aggregate — rows = cohorts × offsets, never raw events
+    assert(p.contains("Window"), s"expected the normalizing window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"distinct/first-touch/counts should all be two-phase aggregates:\n$p")
+  }
+
   test("p05: quality filter is two chained aggregates, no join") {
     val p = graft.operators.Pipeline.qualityFilter(
         graft.Tables.documents(spark, dir))
