@@ -32,7 +32,12 @@ object Similarity {
   }
 
   private val Dim = 64
-  // IVF: 16 cells, probe the 4 nearest (unit vectors → max dot = nearest).
+  // Registered-query IVF parameters: 16 cells ≈ √(corpus size) at the
+  // gate SFs, probe the 4 nearest (unit vectors → max dot = nearest).
+  // These are THIS DATASET'S parameters, not constants of the engine:
+  // the public [[buildIvfIndex]]/[[ivfTopK]]/[[semanticNearDup]] API
+  // takes cells/nProbe/nAssign as arguments (cells must grow ~√n for
+  // within-cell self-joins to stay subquadratic — see SCALE.md).
   private val IvfCells = 16
   private val IvfNProbe = 4
 
@@ -98,27 +103,13 @@ object Similarity {
     // nprobe partitions instead of the corpus. Rows-only driver check;
     // recall vs s01 asserted in DedupSimilaritySpec.
     "s04_sim_ivf" -> ((s, dir) => {
-      // The coarse quantizer + cell assignment come from the cached IVF
-      // index (ivfIndex below): index construction is ingest-time work
-      // — at 100 TB the cell id is a write-time partition key — so the
+      // Thin adapter over the public [[ivfTopK]]: the coarse quantizer
+      // + cell assignment come from the cached per-dataset index
+      // (ivfIndex below) — index construction is ingest-time work (at
+      // 100 TB the cell id is a write-time partition key), so the
       // query path is probe cost only.
-      val (cents, assigned) = ivfIndex(s, dir)
-      // each probe ranks centroids and keeps its nprobe closest cells
-      val q = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell"))
-      val probeCells = q.crossJoin(broadcast(cents))
-        .withColumn("cdist", dot("qv", "cv"))
-        .withColumn("crk", row_number().over(wCell))
-        .filter(col("crk") <= IvfNProbe)
-        .select(col("qid"), col("qv"), col("cell"))
-      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("cid"), dot("qv", "v").as("score"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("qid", "cid", "rnk", "score")
+      val probes = embeddings(s, dir).filter(col("vec_id") < 10).select("vec_id")
+      ivfTopK(ivfIndex(s, dir), probes, k = 5, nProbe = IvfNProbe)
         .orderBy("qid", "rnk")
     }),
 
@@ -138,7 +129,7 @@ object Similarity {
     // recall vs the all-pairs ground truth + exactness asserted in
     // DedupSimilaritySpec.
     "s06_semantic_neardup" -> ((s, dir) =>
-      semanticNearDupPairs(s, dir, NearDupThreshold, nAssign = 4)
+      semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-duplicate pairs: sign-LSH band blocking +
@@ -204,33 +195,68 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
   }
 
+  /** A built IVF (inverted-file) coarse index: `centroids` is
+    * (cell, cv: array<double>) — tiny, broadcast at query time — and
+    * `assigned` is (vec_id, v, cell), the corpus with each vector's
+    * nearest-centroid cell. At 100 TB `assigned` is a written table
+    * partitioned by `cell`, so a probe reads nProbe/cells of the
+    * corpus and a within-cell self-join runs partition-local.
+    */
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame, cells: Int)
+
+  /** Build an IVF coarse index over any embedding DataFrame — the
+    * public, parameterized index-construction API (ingest-time work;
+    * run it once per corpus release, persist/write `assigned`
+    * partitioned by cell, then serve [[ivfTopK]]/[[semanticNearDup]]
+    * queries against it).
+    *
+    * `cells` sizing: within-cell candidate volume is ~n²/cells, so
+    * cells must grow ~√n for cell-blocked self-joins ([[semanticNearDup]])
+    * to stay subquadratic, and probe cost per query is
+    * nProbe/cells × corpus. A fixed cell count against a growing
+    * corpus degrades toward all-pairs — see SCALE.md.
+    *
+    * Deterministic for a given (cells, seed): seeded KMeans, few
+    * iterations (a coarse quantizer only needs rough cells).
+    */
+  def buildIvfIndex(emb: DataFrame, cells: Int, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 5): IvfIndex = {
+    require(cells > 0, s"cells must be positive, got $cells")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val cents = emb.sparkSession.createDataFrame(centroids).toDF("cell", "cv")
+      .withColumn("cv", col("cv").cast("array<double>"))
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    IvfIndex(cents, assigned, cells)
+  }
+
   // Built IVF indexes, one per (session, dataset). Session identity is
   // part of the key so test sessions don't see each other's cached plans.
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfIndex]
 
-  /** IVF coarse index for s04: (centroids, cell assignments). Built once
-    * per (session, dataset) — seeded KMeans, deterministic — and kept
-    * persisted, the local-mode stand-in for a precomputed index table
-    * partitioned by cell id. Query-time work is then probe-side only.
+  /** Cached per-(session, dataset) IVF index for the registered s04/s06
+    * queries: [[buildIvfIndex]] at the gate parameters, with the cell
+    * assignment persisted — the local-mode stand-in for a precomputed
+    * index table partitioned by cell id. Query-time work is then
+    * probe-side only.
     */
-  private[operators] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[operators] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
     ivfIndexCache.getOrElseUpdate((s, dir), {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = vecs(s, dir).withColumn("fv", array_to_vector(col("v")))
-      // few iterations: the coarse quantizer only needs rough cells
-      val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.toSeq)
-      }.toSeq
-      val cents = s.createDataFrame(centroids).toDF("cell", "cv")
-        .withColumn("cv", col("cv").cast("array<double>"))
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("v"), col("cell")).persist()
+      val idx = buildIvfIndex(embeddings(s, dir), cells = IvfCells)
+      val assigned = idx.assigned.persist()
       assigned.count() // materialize: the index is built at ingest, not per query
-      (cents, assigned)
+      idx.copy(assigned = assigned)
     })
 
   /** Build the IVF index for a dataset ahead of queries (ingest-time
@@ -244,7 +270,36 @@ object Similarity {
     * the next query rebuilds the index from the current files.
     */
   def releaseIndex(s: SparkSession, dir: String): Unit =
-    ivfIndexCache.remove((s, dir)).foreach { case (_, assigned) => assigned.unpersist() }
+    ivfIndexCache.remove((s, dir)).foreach(_.assigned.unpersist())
+
+  /** Public df-in/df-out IVF ANN top-k over a built index: each probe
+    * (identified by `probeIds`, fetched from the index) ranks the
+    * centroids, keeps its `nProbe` closest cells, and is scored only
+    * against vectors assigned to those cells. Exact scores,
+    * approximate candidate set; recall is the nProbe/cells trade.
+    * Output: (qid, cid, rnk, score).
+    */
+  def ivfTopK(index: IvfIndex, probeIds: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id"): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    graft.functions.VectorDot.register(index.assigned.sparkSession)
+    val q = index.assigned
+      .join(broadcast(probeIds.select(col(idCol).as("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell"))
+    val probeCells = q.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", dot("qv", "cv"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = index.assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), dot("qv", "v").as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
 
   /** Public df-in/df-out exact top-k: for each probe row, the k nearest
     * corpus rows, identical-id matches excluded. Probe side is
