@@ -356,21 +356,24 @@ object Similarity {
       .select("qid", "cid", "rnk", "score")
   }
 
-  /** Cluster-blocked (SemDeDup-style) near-dup pairs over the cached
-    * IVF index: every vector is assigned to its `nAssign` nearest
-    * coarse cells (multi-probe — recall insurance against pairs split
-    * by a cell boundary), candidates come from the within-cell
-    * self-join, and survivors carry their EXACT cosine. Precision is
-    * therefore 1.0 by construction; recall is what the cell blocking
-    * trades (asserted in DedupSimilaritySpec). Output:
+  /** Public df-in/df-out cluster-blocked (SemDeDup-style) near-dup
+    * pairs over a built IVF index: every vector is assigned to its
+    * `nAssign` nearest coarse cells (multi-probe — recall insurance
+    * against pairs split by a cell boundary), candidates come from the
+    * within-cell self-join, and survivors carry their EXACT cosine.
+    * Precision is therefore 1.0 by construction; recall is what the
+    * cell blocking trades (asserted in DedupSimilaritySpec). At 100 TB
+    * `index.assigned` is a table partitioned by cell, so the self-join
+    * runs partition-local — never all-pairs. Output:
     * (id_a, id_b, cosine).
     */
-  private[operators] def semanticNearDupPairs(s: SparkSession, dir: String,
-      threshold: Double, nAssign: Int): DataFrame = {
-    val (cents, assigned) = ivfIndex(s, dir)
+  def semanticNearDup(index: IvfIndex, threshold: Double,
+      nAssign: Int = 4): DataFrame = {
+    require(nAssign > 0, s"nAssign must be positive, got $nAssign")
+    graft.functions.VectorDot.register(index.assigned.sparkSession)
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cell"))
-    val multi = assigned.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(cents))
+    val multi = index.assigned.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cdot", dot("v", "cv"))
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") <= nAssign)
