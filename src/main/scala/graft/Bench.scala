@@ -35,6 +35,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => Double.PositiveInfinity }
     }
+    // One untimed interleaved warm pass over the whole suite before any
+    // timed run: janino codegen + classloading for each query's plan
+    // otherwise lands inside run 1, making the median track run-1 JIT
+    // noise instead of plan cost (r4: median 60.5 s vs best-of 38.6 s,
+    // dominated by one slow first run).
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
     // Best-of-N per query: single-run times on this class of box vary
     // ±30% (JIT, GC, page cache), which would swamp round-over-round
     // plan-cost deltas.
@@ -42,11 +48,13 @@ object Bench {
     val runs = (1 to nRuns).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> runOnce(name, fn) }
     }
-    // Report best-of-N (the plan-cost signal) AND the median (carries
-    // its own run-to-run noise estimate, so round-over-round deltas can
-    // be judged against spread instead of hand-waved).
+    // Report best-of-N (the plan-cost signal) AND the trimmed median:
+    // with N ≥ 3 the single worst run is dropped before taking the
+    // median, so one GC/compaction stall can't dominate the reported
+    // spread (it still appears in bench_full.json's per-run times).
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
+      val s0 = xs.sorted
+      val s = if (s0.length >= 3) s0.dropRight(1) else s0
       if (s.isEmpty) -1.0
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
@@ -65,8 +73,11 @@ object Bench {
     // line carries only the required fields at 3-decimal precision
     // (~1.8 KB); the median map goes on its own EARLIER line and the
     // complete stats are persisted to target/bench_full.json.
+    // Locale.ROOT: under a comma-decimal default locale %.3f emits
+    // "0,466", which breaks the driver's JSON parse of the metric line.
     def fmt(dec: Int)(x: Double): String =
-      if (x < 0) "-1" else String.format(s"%.${dec}f", Double.box(x))
+      if (x < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(x))
     def qMap(dec: Int): String =
       results.map { case (k, (b, _)) => "\"" + k + "\":" + fmt(dec)(b) }
         .mkString("{", ",", "}")
@@ -79,7 +90,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
     val finalLine = { val l2 = assemble(2); if (l2.length <= 1800) l2 else assemble(1) }
     val qs = qMap(3)
-    val full = s"""{"best":$qs,"median":$meds,"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns}"""
+    // Per-run times (including any run the trimmed median dropped) so a
+    // noisy round can be diagnosed from the artifact itself.
+    val perRun = runs.map { r =>
+      r.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(3)(if (v.isInfinity) -1.0 else v)
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

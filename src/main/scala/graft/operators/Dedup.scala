@@ -323,12 +323,20 @@ object Dedup {
     * evaluated distributed exactly once either way, and the loop runs
     * on the materialized edge list — whose count is known at that
     * point. When it is at most `driverMaxEdges` (long-typed ids only),
-    * the loop is replaced by a driver-side union-find: a few million
-    * edges are tens of MBs, and log-rounds of distributed joins cost
-    * more in job scheduling than the entire problem. Above the
-    * threshold (the 100 TB regime — candidate-pair graphs with
-    * billions of edges) the pointer-jumping loop runs unchanged. Pass
-    * `driverMaxEdges = 0` to force the distributed loop.
+    * the loop is replaced by a driver-side union-find, and log-rounds
+    * of distributed joins cost more in job scheduling than the entire
+    * problem. Above the threshold (the 100 TB regime — candidate-pair
+    * graphs with billions of edges) the pointer-jumping loop runs
+    * unchanged. Pass `driverMaxEdges = 0` to force the distributed
+    * loop.
+    *
+    * `driverMaxEdges` counts DIRECTED edges — the input pair list
+    * after doubling to both directions — and bounds driver heap at
+    * ~16 bytes/directed edge steady-state (two primitive long arrays)
+    * plus ~24 bytes/node for the id-compacted union-find state; the
+    * collect itself transiently holds the boxed rows (~40 bytes/edge),
+    * so the 4M default peaks around ~230 MB and settles near ~80 MB —
+    * sized for a driver with a few GB of heap.
     */
   def connectedComponents(pairsDf: DataFrame,
       checkpointDir: Option[String] = None,
@@ -371,10 +379,17 @@ object Dedup {
     if (longIds && nEdges <= driverMaxEdges) {
       // Small materialized graph: solve on the driver (see scaladoc).
       // edges0 is checkpointed, so the collect re-reads cached blocks,
-      // not the upstream pipeline.
-      val es = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // not the upstream pipeline. Rows are copied straight into two
+      // primitive long arrays — the boxed collect result is transient.
+      val rows = edges0.collect()
       edges0.unpersist()
-      return driverUnionFind(pairs.sparkSession, es)
+      val srcs = new Array[Long](rows.length)
+      val dsts = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1); i += 1
+      }
+      return driverUnionFind(pairs.sparkSession, srcs, dsts)
     }
     val origParts = s.conf.get("spark.sql.shuffle.partitions")
     val loopParts =
@@ -438,36 +453,61 @@ object Dedup {
     * small-graph branch of [[connectedComponents]]: near-linear in
     * edge count, labels resolved to each component's minimum id in a
     * final pass (rank-based unions don't preserve min-roots).
+    *
+    * All state is primitive: node ids are compacted to dense ints
+    * (sort + dedupe + binary search), so the union-find holds one
+    * `Array[Int]` parent and one `Array[Byte]` rank — no boxed maps.
+    * Heap is ~16 bytes per directed edge (the caller's two long
+    * arrays) + ~24 bytes per node, hence the `driverMaxEdges` math in
+    * [[connectedComponents]].
     */
-  private def driverUnionFind(s: SparkSession, es: Array[(Long, Long)]): DataFrame = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
-    def find(x: Long): Long = {
+  private def driverUnionFind(s: SparkSession,
+      srcs: Array[Long], dsts: Array[Long]): DataFrame = {
+    // id compaction: sorted distinct node ids → dense [0, n) indexes
+    val all = new Array[Long](srcs.length + dsts.length)
+    System.arraycopy(srcs, 0, all, 0, srcs.length)
+    System.arraycopy(dsts, 0, all, srcs.length, dsts.length)
+    java.util.Arrays.sort(all)
+    var n = 0
+    var i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(all, n)
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Byte](n)
+    def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    es.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
+    var e = 0
+    while (e < srcs.length) {
+      val ra = find(idx(srcs(e)))
+      val rb = find(idx(dsts(e)))
       if (ra != rb) {
-        val (cmpA, cmpB) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
-        if (cmpA < cmpB) parent(ra) = rb
-        else if (cmpA > cmpB) parent(rb) = ra
-        else { parent(rb) = ra; rank(ra) = cmpA + 1 }
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
       }
+      e += 1
     }
-    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
-    parent.keys.foreach { id =>
-      val r = find(id)
-      minOf(r) = math.min(minOf.getOrElse(r, id), id)
+    // ids is ascending: walking it DESCENDING with unconditional writes
+    // leaves each root holding its smallest member — no sentinel value
+    // that a legitimate id could collide with.
+    val minOf = new Array[Long](n)
+    i = n - 1
+    while (i >= 0) {
+      minOf(find(i)) = ids(i)
+      i -= 1
     }
     val rows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(parent.keys.toArray.map(id =>
-        org.apache.spark.sql.Row(id, minOf(find(id)))): _*)
+      java.util.Arrays.asList(Array.tabulate(n)(j =>
+        org.apache.spark.sql.Row(ids(j), minOf(find(j)))): _*)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     s.createDataFrame(rows,
       StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
