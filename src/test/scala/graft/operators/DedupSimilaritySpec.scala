@@ -140,6 +140,44 @@ class DedupSimilaritySpec extends SparkSuite {
       s"recall collapsed: ${blocked.size}/${exact.size}")
   }
 
+  test("buildIvfIndex: recall holds across cell counts and candidate volume scales ~n^2/cells") {
+    val d01 = sf("sf0.01")
+    val e = graft.Tables.embeddings(spark, d01)
+    val n = e.count()
+    val exact = Similarity.embedNearDupExact(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Two cell counts, both different from the registered 16, at the
+    // same seed: the public API's `cells` parameter must actually steer
+    // the index (r4 critique: fixed cells → quadratic cells).
+    val idx8 = Similarity.buildIvfIndex(e, cells = 8)
+    val idx32 = Similarity.buildIvfIndex(e, cells = 32)
+    assert(idx8.centroids.count() == 8 && idx32.centroids.count() == 32)
+    // Within-cell self-join candidate volume Σ c_i² (single-assignment):
+    // balanced cells give exactly n²/cells, so quadrupling cells must
+    // cut the volume — allow KMeans imbalance, but require a real drop
+    // and that each stays within a small factor of the balanced ideal.
+    def candVol(idx: Similarity.IvfIndex): Long =
+      idx.assigned.groupBy("cell").count().collect()
+        .map(r => r.getLong(1) * r.getLong(1)).sum
+    val (v8, v32) = (candVol(idx8), candVol(idx32))
+    info(s"n=$n candVol cells=8: $v8 (ideal ${n * n / 8}), cells=32: $v32 (ideal ${n * n / 32})")
+    assert(v32 * 2 <= v8, s"quadrupling cells did not halve candidate volume: $v8 -> $v32")
+    assert(v8 <= 4 * n * n / 8, s"cells=8 volume $v8 exceeds 4x balanced ideal")
+    assert(v32 <= 4 * n * n / 32, s"cells=32 volume $v32 exceeds 4x balanced ideal")
+    // Recall holds at both geometries: nAssign=4 multi-assignment keeps
+    // boundary pairs even as cells shrink.
+    def recall(idx: Similarity.IvfIndex): Double = {
+      val got = Similarity.semanticNearDup(idx, Similarity.NearDupThreshold, nAssign = 4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+      got.size.toDouble / exact.size
+    }
+    val (r8, r32) = (recall(idx8), recall(idx32))
+    info(s"recall cells=8: $r8, cells=32: $r32")
+    assert(r8 >= 0.85, s"recall collapsed at cells=8: $r8")
+    assert(r32 >= 0.80, s"recall collapsed at cells=32: $r32")
+  }
+
   test("shingle DF cap bounds blocking candidates without changing Jaccard exactness") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
