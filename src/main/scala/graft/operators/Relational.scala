@@ -525,6 +525,51 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // Mergeable distribution twin of q39 — the scale path for window
+    // distribution over a LOW-CARDINALITY key (q39's 5-value priority
+    // partitions sort 1/5 of all orders in one task each; see
+    // SCALE.md). percent_rank / cume_dist / ntile are ESTIMATED per
+    // row from the q38 equi-width histogram sketch: two mergeable
+    // hash aggregates build the per-(priority, bucket) cumulative
+    // table (tiny: 5 × ≤1024 rows), which is broadcast back onto the
+    // facts — so the plan is map-side-combinable aggregates + one
+    // broadcast join + per-row arithmetic, and NO window function ever
+    // touches a fact row. Error is bounded by one bucket's population
+    // (all rows in a bucket share its lower-edge rank estimate).
+    // Estimates are deterministic integer/IEEE arithmetic written in
+    // the same op order as the oracle, so the gate hash-matches
+    // exactly despite being a sketch.
+    "q47_distribution_hist" -> ((s, dir) => {
+      val nb = 1024
+      val o = orders(s, dir)
+      val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val bucketed = o
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(greatest(
+              floor((col("o_totalprice") - col("mn")) / width), lit(0L)),
+              lit(nb - 1L)).cast("int")))
+      // The two window functions below run over the AGGREGATED
+      // histogram (≤ 5 × 1024 rows), not facts — that's the point.
+      val wCum = Window.partitionBy("o_orderpriority").orderBy("bucket")
+      val wAll = Window.partitionBy("o_orderpriority")
+      val cum = bucketed.groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_le", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("cum_lt", col("cum_le") - col("cnt"))
+        .select("o_orderpriority", "bucket", "cum_lt", "cum_le", "n")
+      bucketed.join(broadcast(cum), Seq("o_orderpriority", "bucket"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          least(expr("(4 * cum_lt) DIV n") + lit(1L), lit(4L)).cast("int").as("tile_est"),
+          (col("cum_lt").cast("double") / (col("n") - lit(1))).as("pr_est"),
+          (col("cum_le").cast("double") / col("n")).as("cd_est"))
+        .orderBy("o_orderkey")
+    }),
+
     // Time-series resample + forward fill: hourly sums per event type on
     // a DENSE hour grid (gaps get n=0 and carry the last observed value
     // forward) — the alignment step before any downstream join of
@@ -1117,6 +1162,35 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    // Same bucket arithmetic as q38 (floor → integral DOUBLE in DuckDB,
+    // LONG in Spark; CAST exact on both); `//` is DuckDB's integer
+    // division matching Spark's DIV, and each double division casts its
+    // numerator explicitly so both engines divide DOUBLE by BIGINT.
+    "q47_distribution_hist" ->
+      """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                        FROM orders),
+         b AS (SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(least(greatest(
+                             floor((o_totalprice - mn) / ((mx - mn) / 1024.0)), 0), 1023)
+                           AS INTEGER) END AS bucket
+               FROM orders, stats),
+         hist AS (SELECT o_orderpriority, bucket, COUNT(*) AS cnt
+                  FROM b GROUP BY 1, 2),
+         cum AS (SELECT o_orderpriority, bucket,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket)
+                        AS BIGINT) AS cum_le,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) - cnt
+                        AS BIGINT) AS cum_lt,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+                 FROM hist)
+         SELECT b.o_orderkey, b.o_orderpriority,
+           CAST(least((4 * cum_lt) // n + 1, 4) AS INTEGER) AS tile_est,
+           CAST(cum_lt AS DOUBLE) / (n - 1) AS pr_est,
+           CAST(cum_le AS DOUBLE) / n AS cd_est
+         FROM b JOIN cum USING (o_orderpriority, bucket)
          ORDER BY o_orderkey""",
 
     "q40_resample_ffill" ->

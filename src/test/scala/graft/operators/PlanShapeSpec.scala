@@ -119,6 +119,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(winIdx > aggIdx && aggIdx >= 0, s"window runs before aggregation:\n$p")
   }
 
+  test("q47: distribution estimates join a broadcast histogram; windows never touch facts") {
+    val p = plan("q47_distribution_hist")
+    // the cumulative table reaches the facts via a broadcast hash join,
+    // not a shuffled sort-merge join on (priority, bucket)
+    assert(p.contains("BroadcastHashJoin"), s"histogram not broadcast:\n$p")
+    // every Window operator consumes aggregated histogram rows (≤5×1024),
+    // never the fact table: an aggregate must print before the first window
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx > aggIdx && aggIdx >= 0, s"window runs before aggregation:\n$p")
+    // and the fact-side output itself needs no sort-based window at all:
+    // exactly the two windows the tiny histogram needs (formatted mode
+    // prints each node once in the tree and once in the detail section —
+    // count the "(n) Window" detail headers)
+    assert("""\(\d+\) Window""".r.findAllIn(p).size <= 2,
+      s"unexpected extra windows:\n$p")
+  }
+
   test("p02: stratified sampling is a pure scan+filter — zero exchanges") {
     val p = graft.operators.Pipeline.sampleStratified(
         graft.Tables.documents(spark, dir), rates = Map("en" -> 16384),
