@@ -70,7 +70,37 @@ object Joins {
     * scan. `hot` must contain exactly the `keys` columns.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      salts: Int, saltSource: Column, hot: DataFrame): DataFrame = {
+      salts: Int, saltSource: Column, hot: DataFrame): DataFrame =
+    saltedEquiJoin(left, right, keys, salts, saltSource, hot, "inner")
+
+  /** Skew-aware LEFT OUTER equi-join: identical results to
+    * `left.join(right, keys, "left")` — the common production shape
+    * (enrich a skewed fact against a dimension too big to broadcast,
+    * keeping unmatched facts). Same two-phase machinery as
+    * [[saltedInnerJoin]]: each left row carries exactly ONE salt value
+    * (hot keys → deterministic hash salt, cold keys → 0) while only
+    * hot-key RIGHT rows replicate across all salts, so an unmatched
+    * left row — hot or cold — survives exactly once with nulls: its
+    * single (keys, salt) probe finds either all of that key's right
+    * rows or nothing.
+    */
+  def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int, saltSource: Column, hotKeyThreshold: Long): DataFrame = {
+    require(hotKeyThreshold > 0, "hotKeyThreshold must be positive")
+    saltedLeftJoin(left, right, keys, salts, saltSource,
+      hotKeys(left, keys, hotKeyThreshold))
+  }
+
+  /** [[saltedLeftJoin]] with a precomputed hot-key set (the ingest-
+    * artifact form — see [[saltedInnerJoin]]'s stats overload).
+    */
+  def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int, saltSource: Column, hot: DataFrame): DataFrame =
+    saltedEquiJoin(left, right, keys, salts, saltSource, hot, "left")
+
+  private def saltedEquiJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], salts: Int, saltSource: Column, hot: DataFrame,
+      joinType: String): DataFrame = {
     require(salts > 0, "salts must be positive")
     // No detected skew → the literal plain join: the salt machinery
     // (two broadcast probes + the right-side generator + a composite
@@ -79,14 +109,14 @@ object Joins {
     // pay it. The emptiness probe is one head(1) job — trivial against
     // a materialized ingest-time stats table, and subsumed by the
     // detection aggregate in the threshold overload.
-    if (hot.isEmpty) return left.join(right, keys)
+    if (hot.isEmpty) return left.join(right, keys, joinType)
     val hotFlag = broadcast(hot.withColumn("__hot", lit(true)))
     val l = left.join(hotFlag, keys, "left")
       .withColumn("__salt",
         when(col("__hot"), pmod(xxhash64(saltSource), lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("__hot")
-    l.join(saltedRight(right, keys, salts, hot), keys :+ "__salt")
+    l.join(saltedRight(right, keys, salts, hot), keys :+ "__salt", joinType)
       .drop("__salt")
   }
 

@@ -817,6 +817,25 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Skew-aware LEFT OUTER enrichment — the production shape q36's
+    // inner join doesn't cover: a skewed fact enriched against a
+    // dimension subset, unmatched facts kept. Same precomputed hot-key
+    // stats and two-phase salting; the oracle is the PLAIN left join,
+    // so the gate proves unmatched hot rows survive exactly once (any
+    // drop or duplication shifts the null-status group's n/qty). The
+    // right side is filtered to 'F' orders so both hot and cold left
+    // rows genuinely go unmatched.
+    "q48_salted_left_join" -> ((s, dir) => {
+      val l = lineitem(s, dir).select("l_orderkey", "l_quantity", "l_linenumber")
+      val o = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Joins.saltedLeftJoin(l, o, Seq("l_orderkey"), salts = 8,
+          saltSource = col("l_linenumber"), hot = orderkeyHotStats(s, dir))
+        .groupBy(coalesce(col("o_orderstatus"), lit("_")).as("status"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("status")
+    }),
+
     // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
     // sketches are built once, then re-merged per region WITHOUT
     // re-scanning the facts — the pre-aggregate-then-merge pattern that
@@ -1370,6 +1389,15 @@ object Relational {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(l_quantity), 2) AS qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q48_salted_left_join" ->
+      """SELECT COALESCE(o_orderstatus, '_') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS qty
+         FROM lineitem
+         LEFT JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+                    WHERE o_orderstatus = 'F') o
+           ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

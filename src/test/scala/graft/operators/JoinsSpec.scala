@@ -46,6 +46,42 @@ class JoinsSpec extends SparkSuite {
     assert(two == plain)
   }
 
+  test("salted left join ≡ plain left join: unmatched hot and cold rows survive exactly once") {
+    import spark.implicits._
+    // one hot key (10k rows) + 100 cold keys on the left; the right
+    // covers only even keys, so the hot key 0 is MATCHED while odd
+    // cold keys are UNMATCHED — plus an extra variant where the hot
+    // key itself is unmatched.
+    val left = spark.range(10000).select(lit(0L).as("k"), col("id").as("payload"))
+      .unionByName(spark.range(1, 101).select(col("id").as("k"), col("id").as("payload")))
+    def check(right: org.apache.spark.sql.DataFrame): Unit = {
+      val plain = left.join(right, Seq("k"), "left")
+        .select("k", "payload", "tag").orderBy("k", "payload").collect().toSeq
+      val salted = Joins.saltedLeftJoin(left, right, Seq("k"), salts = 8,
+          saltSource = col("payload"), hotKeyThreshold = 1000L)
+        .select("k", "payload", "tag").orderBy("k", "payload").collect().toSeq
+      assert(salted == plain)
+      assert(plain.count(_.isNullAt(2)) > 0, "test lost its unmatched rows")
+    }
+    // matched hot key, unmatched odd cold keys
+    check(spark.range(0, 101, 2).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("tag")))
+    // UNMATCHED hot key: its 10k rows spread over 8 salts must all
+    // come back exactly once with a null tag
+    check(spark.range(1, 101, 2).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("tag")))
+  }
+
+  test("salted left join with no hot keys degenerates to the plain left join") {
+    val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
+    val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))
+    val out = Joins.saltedLeftJoin(ev, dim, Seq("user_id"), 4, col("event_id"),
+      hotKeyThreshold = Long.MaxValue)
+    assert(out.count() == ev.count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt"), s"salt machinery survived:\n$plan")
+  }
+
   test("no hot keys degenerates to the plain join (empty salted branch)") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))
