@@ -240,6 +240,53 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("p02/p04 content-hash filters: batch ≡ stream on a file-replay (stateless pipelines)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    // The sample/split decisions are pure functions of the text bytes
+    // (md5-prefix thresholds) — no watermark, no state, no RNG — so
+    // running the SAME transformation over readStream micro-batches
+    // must select the same rows and assign the same splits as one
+    // batch pass, regardless of how the files are batched.
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("hashreplay").toString
+    // two file batches so the stream genuinely runs >1 micro-batch
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    Thread.sleep(50) // distinct mtime: the file source orders batches by it
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val rates = Map("en" -> 16384)
+    val q1 = Pipeline.sampleStratified(streamed, rates, defaultRate = 32768,
+        strataCol = "lang")
+      .writeStream.format("memory").queryName("so_p02_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    val q2 = Pipeline.splitAssign(streamed, testRate = 3277, valRate = 3277)
+      .writeStream.format("memory").queryName("so_p04_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val sStream = spark.sql("SELECT doc_id, lang, bucket FROM so_p02_stream")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val sBatch = Pipeline.sampleStratified(docs, rates, defaultRate = 32768,
+          strataCol = "lang")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(sBatch.nonEmpty && sBatch.length < docs.count(),
+        "parity test is vacuous: sample kept nothing or everything")
+      assert(sStream.toSeq == sBatch.toSeq,
+        s"p02 stream sample differs from batch (${sStream.length} vs ${sBatch.length} rows)")
+      val aStream = spark.sql("SELECT doc_id, bucket, split FROM so_p04_stream")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val aBatch = Pipeline.splitAssign(docs, testRate = 3277, valRate = 3277)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(aStream.toSeq == aBatch.toSeq, "p04 stream split assignment differs from batch")
+      assert(aStream.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"),
+        "parity test is vacuous: not all three splits present")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("transformWithState sequence monitor flags duplicates and reordering per shard") {
     import spark.implicits._
     // transformWithState needs the RocksDB state store (multiple column
