@@ -449,6 +449,29 @@ object Dedup {
     }
   }
 
+  /** The end-to-end dedup step the pair-finding family feeds: given a
+    * near-duplicate pair list (from [[jaccardPairsOf]], [[minhashPairs]],
+    * [[simhashPairs]], or `Similarity.semanticNearDup`), keep exactly
+    * ONE representative per duplicate cluster — the minimum id, the
+    * [[connectedComponents]] label — and every unpaired document.
+    * Returns the surviving `docs` rows unchanged.
+    *
+    * Plan shape at 100 TB: the drop list (cluster members that are NOT
+    * the representative) is at most the duplicated fraction of the
+    * corpus — typically a few percent — so the final `left_anti` join
+    * broadcasts it when small and degrades to a shuffled anti join
+    * (one exchange each side) when not; the corpus itself is never
+    * shuffled twice. Components come from the same pointer-jumping /
+    * driver union-find machinery as d06.
+    */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+    val drops = connectedComponents(pairs, checkpointDir)
+      .filter(col("label") < col("id"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Driver-side weighted union-find with path compression for the
     * small-graph branch of [[connectedComponents]]: near-linear in
     * edge count, labels resolved to each component's minimum id in a
@@ -724,6 +747,17 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // End-to-end dedup — the corpus AFTER keeping one representative
+    // (min id) per exact-Jaccard duplicate cluster: what a training-
+    // data pipeline actually writes out, closing the pair-finding
+    // family into a corpus filter. Hash-checked: the oracle extends
+    // d06's recursive-CTE transitive closure and anti-selects
+    // non-minimum cluster members.
+    "d08_dedup_survivors" -> ((s, dir) =>
+      keepRepresentatives(documents(s, dir).select("doc_id", "lang", "n_chars"),
+          jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs: pairs with Hamming distance <= 3 over
     // bit-voted token-hash signatures; band blocking is lossless (see
     // [[simhashPairsOf]]). Registered with the md5 60-bit family so the
@@ -871,6 +905,39 @@ object Dedup {
            SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a)
          SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
          FROM tc GROUP BY a ORDER BY doc_id""",
+
+    // d06's transitive closure, anti-selected: a document is dropped
+    // iff some smaller id is reachable from it (MIN(b) < a), i.e. it
+    // is a cluster member but not the cluster's minimum.
+    "d08_dedup_survivors" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         good AS (
+           SELECT doc_a, doc_b FROM prs
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM good
+               UNION SELECT doc_b, doc_a FROM good),
+         tc(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT a FROM tc GROUP BY a HAVING MIN(b) < a)
+         ORDER BY d.doc_id""",
 
     "d07_decontaminate" ->
       """WITH docs AS (

@@ -140,6 +140,24 @@ class DedupSimilaritySpec extends SparkSuite {
       s"recall collapsed: ${blocked.size}/${exact.size}")
   }
 
+  test("d08 survivors keep exactly the cluster minima plus all unpaired docs") {
+    val all = graft.Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("d06_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = SparkEntry.queries("d08_dedup_survivors")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clusters.nonEmpty, "test is vacuous: no duplicate clusters at this SF")
+    // dropped = cluster members that aren't their cluster's minimum
+    val dropped = clusters.collect { case (id, label) if label < id => id }.toSet
+    assert(survivors == all -- dropped)
+    // exactly one survivor per cluster, and it's the label (min id)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      val kept = members.map(_._1).filter(survivors.contains)
+      assert(kept.toSeq == Seq(label), s"cluster $label kept $kept")
+    }
+  }
+
   test("buildIvfIndex: recall holds across cell counts and candidate volume scales ~n^2/cells") {
     val d01 = sf("sf0.01")
     val e = graft.Tables.embeddings(spark, d01)
