@@ -132,6 +132,21 @@ object Similarity {
       semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup end-to-end: the embedding corpus AFTER semantic dedup —
+    // s06's cluster-blocked near-dup pairs fed through
+    // Dedup.keepRepresentatives (connected components → keep each
+    // cluster's minimum vec_id + every unpaired vector). The full
+    // SemDeDup recipe as one composition of the two public APIs.
+    // KMeans isn't SQL-expressible → rows-only driver check;
+    // survivor-set invariants asserted in DedupSimilaritySpec.
+    "s07_semantic_survivors" -> ((s, dir) => {
+      val pairs = semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepRepresentatives(
+          embeddings(s, dir).select("vec_id", "label"), pairs, idCol = "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs: sign-LSH band blocking +
     // exact vector_dot verification. Candidates come from a (table,
     // bucket) equi-join — a shuffled hash join, never a nested-loop

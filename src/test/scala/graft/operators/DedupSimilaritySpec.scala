@@ -158,6 +158,31 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s07 semantic survivors: one representative per near-dup cluster, all unpaired kept") {
+    val d01 = sf("sf0.01")
+    val all = graft.Tables.embeddings(spark, d01).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("s06_semantic_neardup")(spark, d01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val surv = SparkEntry.queries("s07_semantic_survivors")(spark, d01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty, "test is vacuous: no semantic near-dup pairs")
+    // no near-dup pair survives whole: at most one endpoint remains
+    pairs.foreach { case (a, b) =>
+      assert(!(surv.contains(a) && surv.contains(b)), s"both of near-dup pair ($a,$b) kept")
+    }
+    // every vector not in any pair is untouched
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- paired).subsetOf(surv), "an unpaired vector was dropped")
+    // representative count: survivors among paired = number of clusters,
+    // and each is its cluster's minimum — verify via union-find here
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val minOfCluster = paired.groupBy(find).map { case (_, m) => m.min }.toSet
+    assert((surv & paired) == minOfCluster, "survivors among paired are not the cluster minima")
+  }
+
   test("buildIvfIndex: recall holds across cell counts and candidate volume scales ~n^2/cells") {
     val d01 = sf("sf0.01")
     val e = graft.Tables.embeddings(spark, d01)
