@@ -120,6 +120,47 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Bucketed range (interval) join: every left row whose `leftPoint`
+    * falls inside a right row's `[rightLo, rightHi]` (both inclusive),
+    * WITHOUT the BroadcastNestedLoopJoin Spark plans for a raw
+    * BETWEEN predicate — the plan that dies when both sides are big.
+    *
+    * The rewrite is the standard bucketization: each right interval is
+    * exploded to the `bucketWidth`-sized buckets it overlaps, each
+    * left point falls in exactly ONE bucket, and the join becomes an
+    * EQUI-join on the bucket id plus a residual BETWEEN filter. Since
+    * a left row has one bucket, each qualifying (left, right) pair
+    * meets exactly once — no post-join dedup. Right-side replication
+    * is span/bucketWidth + 1 rows per interval, so pick bucketWidth
+    * near the TYPICAL interval span: the equi-join then shuffles both
+    * sides by bucket (or broadcasts the smaller), partition-parallel
+    * at any scale, while candidate pairs per bucket stay bounded by
+    * the data that genuinely overlaps in time.
+    *
+    * `leftPoint` / `rightLo` / `rightHi` are expressions over the
+    * respective side's columns, already mapped to a common long axis
+    * (e.g. `datediff(col("d"), lit("1970-01-01"))` for dates,
+    * `unix_timestamp(...)` for timestamps). Values may be negative
+    * (floor division, not truncation, assigns buckets).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftPoint: Column,
+      rightLo: Column, rightHi: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bkt(c: Column): Column =
+      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    val l = left
+      .withColumn("__pt", leftPoint.cast("long"))
+      .withColumn("__bkt", bkt(col("__pt")))
+    val r = right
+      .withColumn("__lo", rightLo.cast("long"))
+      .withColumn("__hi", rightHi.cast("long"))
+    val rExp = r
+      .withColumn("__bkt", explode(sequence(bkt(col("__lo")), bkt(col("__hi")))))
+    l.join(rExp, Seq("__bkt"))
+      .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))
+      .drop("__bkt", "__pt", "__lo", "__hi")
+  }
+
   /** As-of join: every left row paired with the temporally closest
     * right row in its `byCols` group — the most recent right row with
     * `rightTs` ≤ `leftTs` (`direction = "backward"`, inclusive, the

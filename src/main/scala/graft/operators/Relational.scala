@@ -836,6 +836,31 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Fact-fact range (interval) join via [[Joins.rangeJoin]]: lineitem
+    // shipments falling inside sampled 7-day order windows. A raw
+    // BETWEEN join plans as a BroadcastNestedLoopJoin — fine for q34's
+    // 4-row literal band table, fatal when both sides are facts; the
+    // bucketized rewrite turns it into an equi-join on the time bucket
+    // (each interval exploded to ≤2 buckets at width 8 ≥ span 7, each
+    // point in exactly one) + residual filter, which shuffles/broadcasts
+    // like any other equi-join at any scale. Oracle: the plain BETWEEN
+    // join — proving the rewrite loses and invents nothing.
+    "q49_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01")
+      val iv = orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("iv_id"), col("o_orderdate").as("d0"),
+          date_add(col("o_orderdate"), 7).as("d1"))
+      val li = lineitem(s, dir).select("l_shipdate", "l_quantity")
+      Joins.rangeJoin(li, iv,
+          leftPoint = datediff(col("l_shipdate"), epoch),
+          rightLo = datediff(col("d0"), epoch),
+          rightHi = datediff(col("d1"), epoch),
+          bucketWidth = 8)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("iv_id")
+    }),
+
     // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
     // sketches are built once, then re-merged per region WITHOUT
     // re-scanning the facts — the pre-aggregate-then-merge pattern that
@@ -1398,6 +1423,15 @@ object Relational {
          LEFT JOIN (SELECT o_orderkey, o_orderstatus FROM orders
                     WHERE o_orderstatus = 'F') o
            ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q49_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS d0,
+                       o_orderdate + INTERVAL 7 DAY AS d1
+                     FROM orders WHERE o_orderkey % 1000 = 0)
+         SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+         FROM iv JOIN lineitem ON l_shipdate BETWEEN d0 AND d1
+         GROUP BY iv_id ORDER BY iv_id"""
   )
 }

@@ -97,6 +97,23 @@ class JoinsSpec extends SparkSuite {
     assert(!plan.contains("Generate"), s"right-side fan-out survived:\n$plan")
   }
 
+  test("rangeJoin ≡ plain BETWEEN join, including negative axis values and bucket edges") {
+    import spark.implicits._
+    val pts = Seq(-10L, -8L, -4L, -1L, 0L, 1L, 3L, 4L, 5L, 7L, 8L, 20L)
+      .toDF("p")
+    val ivs = Seq((1L, -9L, -2L), (2L, -4L, 4L), (3L, 0L, 6L), (4L, 5L, 7L),
+      (5L, 8L, 8L), (6L, 100L, 110L)).toDF("ivid", "lo", "hi")
+    val plain = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "ivid").orderBy("p", "ivid").collect().toSeq
+    for (w <- Seq(1L, 3L, 4L, 100L)) {
+      val bucketed = Joins.rangeJoin(pts, ivs, col("p"), col("lo"), col("hi"),
+          bucketWidth = w)
+        .select("p", "ivid").orderBy("p", "ivid").collect().toSeq
+      assert(bucketed == plain, s"bucketWidth=$w diverged from the BETWEEN join")
+    }
+    assert(plain.nonEmpty && plain.size < 12 * 6, "test is vacuous")
+  }
+
   test("salt column does not leak into the output schema") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))

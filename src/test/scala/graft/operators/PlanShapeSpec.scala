@@ -137,6 +137,15 @@ class PlanShapeSpec extends SparkSuite {
       s"unexpected extra windows:\n$p")
   }
 
+  test("q49: range join is a bucketed equi-join — no nested loop over facts") {
+    val p = plan("q49_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join nested-looped:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join went cartesian:\n$p")
+    // the bucket ids meet in a hash equi-join (broadcast here — the
+    // sampled interval side is tiny; shuffled hash at fact-fact scale)
+    assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
+  }
+
   test("p02: stratified sampling is a pure scan+filter — zero exchanges") {
     val p = graft.operators.Pipeline.sampleStratified(
         graft.Tables.documents(spark, dir), rates = Map("en" -> 16384),
