@@ -114,6 +114,31 @@ class JoinsSpec extends SparkSuite {
     assert(plain.nonEmpty && plain.size < 12 * 6, "test is vacuous")
   }
 
+  test("rangeJoin property: random points/intervals/widths match an independent oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (round <- 1 to 5) {
+      val pts = Seq.fill(60)(rnd.nextLong() % 1000).zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+      val ivs = Seq.fill(25) {
+        val a = rnd.nextLong() % 1000
+        val span = rnd.nextInt(120)
+        (a, a + span)
+      }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      // driver-side oracle: plain nested loop over the tiny case
+      val expected = (for {
+        (pid, p) <- pts; (ivid, lo, hi) <- ivs if p >= lo && p <= hi
+      } yield (pid, ivid)).sorted
+      val w = 1L + rnd.nextInt(150)
+      val got = Joins.rangeJoin(
+          pts.toDF("pid", "p"), ivs.toDF("ivid", "lo", "hi"),
+          col("p"), col("lo"), col("hi"), bucketWidth = w)
+        .select("pid", "ivid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected, s"round $round width $w diverged")
+    }
+  }
+
   test("salt column does not leak into the output schema") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))
