@@ -95,6 +95,33 @@ object Multimodal {
         octet_length(expr(
           s"substring(content, frame_idx * $frameSize + 1, $frameSize)")).as("frame_bytes"))
 
+  /** Public df-in/df-out nearest-neighbor resize over a binary column
+    * treated as a row-major `srcWidth`-byte-wide grid (the codec-free
+    * stand-in for image resize: real pixel decode needs codecs absent
+    * here, but the GRID MATH — source-index arithmetic, sampling
+    * pattern, output shape — is exactly what a real resize kernel
+    * does, and it is what Spark executes). Output: (doc_id, src_h,
+    * pix) with `pix` the outW×outH sampled bytes, row-major. Pure
+    * per-row expression arithmetic: zero shuffles, codegen'd,
+    * partition-parallel at any scale.
+    */
+  def resizeNearest(df: DataFrame, srcWidth: Int, outW: Int, outH: Int,
+      idCol: String = "doc_id", contentCol: String = "content"): DataFrame = {
+    require(srcWidth > 0 && outW > 0 && outH > 0, "dims must be positive")
+    df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
+      .withColumn("src_h",
+        expr(s"CAST(octet_length(content) DIV $srcWidth AS INT)"))
+      .filter(col("src_h") > 0)
+      // nearest-neighbor: out pixel p = (r, c) samples source byte at
+      // row (r*src_h) div outH, column (c*srcWidth) div outW
+      .withColumn("pix", expr(
+        s"""transform(sequence(0, ${outW * outH - 1}), p ->
+              CAST(ascii(substring(CAST(content AS STRING),
+                (((p DIV $outW) * src_h) DIV $outH) * $srcWidth
+                  + ((p % $outW) * $srcWidth) DIV $outW + 1, 1)) AS BIGINT))"""))
+      .select(col("doc_id"), col("src_h"), col("pix"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.
@@ -130,6 +157,20 @@ object Multimodal {
       frameSample(assets(s, dir).filter(col("modality") === "video"),
         frameSize = 256, stride = 4)
         .orderBy("doc_id", "frame_idx")),
+
+    // Image resize shape for "image" assets: the payload as a 32-wide
+    // byte grid, nearest-neighbor-sampled down to 8×8 — the codec-free
+    // resize kernel (real index arithmetic, stubbed pixels). Long-form
+    // scalar output for the gate: per-doc pixel sum + corner pixel.
+    // Oracle-checked (ASCII corpus: ascii(char) == content byte).
+    "m05_image_resize" -> ((s, dir) =>
+      resizeNearest(assets(s, dir).filter(col("modality") === "image"),
+          srcWidth = 32, outW = 8, outH = 8)
+        .select(col("doc_id"), col("src_h"),
+          expr("aggregate(pix, 0L, (acc, x) -> acc + x)").as("px_sum"),
+          element_at(col("pix"), 1).as("px_first"),
+          element_at(col("pix"), 64).as("px_last"))
+        .orderBy("doc_id")),
 
     // Audio resampling shape for "audio" assets: the binary payload is
     // treated as a stream of 2-byte PCM-ish samples, decimated 3:1
@@ -195,6 +236,23 @@ object Multimodal {
          SELECT doc_id, frame_idx,
            CAST(strlen(substring(text, frame_idx*256+1, 256)) AS INTEGER) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
+
+    // Same nearest-neighbor index arithmetic with `//` for Spark's DIV;
+    // out pixel p samples byte (((p//8)*src_h)//8)*32 + ((p%8)*32)//8.
+    "m05_image_resize" ->
+      """WITH img AS (SELECT doc_id, text,
+                        CAST(strlen(text) // 32 AS INTEGER) AS src_h
+                      FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, src_h,
+                  list_transform(generate_series(0, 63), p ->
+                    CAST(ascii(substring(text,
+                      (((p // 8) * src_h) // 8) * 32
+                        + ((p % 8) * 32) // 8 + 1, 1)) AS BIGINT)) AS pix
+                FROM img WHERE src_h > 0)
+         SELECT doc_id, src_h,
+           CAST(list_sum(pix) AS BIGINT) AS px_sum,
+           pix[1] AS px_first, pix[64] AS px_last
+         FROM px ORDER BY doc_id""",
 
     "m04_audio_resample" ->
       """WITH a AS (SELECT doc_id, text,
