@@ -142,10 +142,19 @@ object Joins {
     * (e.g. `datediff(col("d"), lit("1970-01-01"))` for dates,
     * `unix_timestamp(...)` for timestamps). Values may be negative
     * (floor division, not truncation, assigns buckets).
+    *
+    * `maxBucketsPerInterval` fails FAST (a clear per-row error, not an
+    * executor OOM) on pathological intervals: one open-ended sentinel
+    * bound (hi = year 9999 on a seconds axis) would otherwise ask
+    * `sequence()` for billions of elements and kill the whole job on
+    * one bad row. Raise it deliberately for genuinely huge spans, or
+    * better, pick a bucketWidth near the typical span.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, leftPoint: Column,
-      rightLo: Column, rightHi: Column, bucketWidth: Long): DataFrame = {
+      rightLo: Column, rightHi: Column, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     def bkt(c: Column): Column =
       floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
     val l = left
@@ -154,11 +163,17 @@ object Joins {
     val r = right
       .withColumn("__lo", rightLo.cast("long"))
       .withColumn("__hi", rightHi.cast("long"))
+      .withColumn("__nb", bkt(col("__hi")) - bkt(col("__lo")) + 1)
     val rExp = r
-      .withColumn("__bkt", explode(sequence(bkt(col("__lo")), bkt(col("__hi")))))
+      .withColumn("__bkt", explode(
+        when(col("__nb") > maxBucketsPerInterval,
+          raise_error(concat(lit("rangeJoin: interval spans "), col("__nb"),
+            lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
+              "widen bucketWidth or raise the limit"))))
+          .otherwise(sequence(bkt(col("__lo")), bkt(col("__hi"))))))
     l.join(rExp, Seq("__bkt"))
       .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))
-      .drop("__bkt", "__pt", "__lo", "__hi")
+      .drop("__bkt", "__pt", "__lo", "__hi", "__nb")
   }
 
   /** As-of join: every left row paired with the temporally closest

@@ -113,12 +113,15 @@ object Multimodal {
         expr(s"CAST(octet_length(content) DIV $srcWidth AS INT)"))
       .filter(col("src_h") > 0)
       // nearest-neighbor: out pixel p = (r, c) samples source byte at
-      // row (r*src_h) div outH, column (c*srcWidth) div outW
+      // row (r*src_h) div outH, column (c*srcWidth) div outW. The byte
+      // is read from the BINARY column (substring slices bytes on
+      // binary) and decoded via hex → conv, so values ≥ 0x80 come back
+      // as the raw byte — never a UTF-8 codepoint or a char offset.
       .withColumn("pix", expr(
         s"""transform(sequence(0, ${outW * outH - 1}), p ->
-              CAST(ascii(substring(CAST(content AS STRING),
+              CAST(conv(hex(substring(content,
                 (((p DIV $outW) * src_h) DIV $outH) * $srcWidth
-                  + ((p % $outW) * $srcWidth) DIV $outW + 1, 1)) AS BIGINT))"""))
+                  + ((p % $outW) * $srcWidth) DIV $outW + 1, 1)), 16, 10) AS BIGINT))"""))
       .select(col("doc_id"), col("src_h"), col("pix"))
   }
 

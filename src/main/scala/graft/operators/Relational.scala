@@ -478,7 +478,7 @@ object Relational {
       val nb = 1024
       val li = lineitem(s, dir)
       val stats = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
-      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val width = (col("mx") - col("mn")) / lit(nb.toDouble)
       val bucketed = li.select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
         .crossJoin(broadcast(stats))
         .withColumn("bucket",
@@ -543,7 +543,7 @@ object Relational {
       val nb = 1024
       val o = orders(s, dir)
       val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val width = (col("mx") - col("mn")) / lit(nb.toDouble)
       val bucketed = o
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .crossJoin(broadcast(stats))

@@ -28,19 +28,27 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Dedup, Pipeline}
 
+    // Each stage is persisted before its count: the funnel runs seven
+    // actions, and without pinning, stage k's lineage (quality join,
+    // shingle self-join, components, anti joins) would re-execute in
+    // every later action — the demo would measure recomputation, not
+    // the pipeline.
+    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df.persist(); df
+    }
     val docs = graft.Tables.documents(spark, sfDir)
     val n0 = docs.count()
 
     // 1. Quality screen (p05): rule-based keep flags, then filter.
     val quality = Pipeline.qualityFilter(docs)
-    val kept = docs.join(quality.filter(col("keep")).select("doc_id"), "doc_id")
+    val kept = pin(docs.join(quality.filter(col("keep")).select("doc_id"), "doc_id"))
     val n1 = kept.count()
 
     // 2. Near-dup dedup (d03 pairs → d08 survivors): one representative
     //    per exact-Jaccard cluster.
     val pairs = Dedup.nearDupPairs(kept, "doc_id", "text")
       .select("doc_a", "doc_b")
-    val deduped = Dedup.keepRepresentatives(kept, pairs)
+    val deduped = pin(Dedup.keepRepresentatives(kept, pairs))
     val n2 = deduped.count()
 
     // 3. Benchmark decontamination (d07): screen against a held-out
@@ -49,19 +57,19 @@ object PipelineDemo {
     val corpus = deduped.filter(col("doc_id") % 10 =!= 0)
     val contam = Dedup.decontaminate(corpus, benchmark)
       .filter(col("contamination") > 0.5).select("doc_id")
-    val clean = corpus.join(contam, Seq("doc_id"), "left_anti")
+    val clean = pin(corpus.join(contam, Seq("doc_id"), "left_anti"))
     val n3 = clean.count()
 
     // 4. Mixture sampling (p02): downweight the dominant language.
-    val sampled = clean.join(
+    val sampled = pin(clean.join(
       Pipeline.sampleStratified(clean, rates = Map("en" -> 49152),
-        defaultRate = 65536, strataCol = "lang").select("doc_id"), "doc_id")
+        defaultRate = 65536, strataCol = "lang").select("doc_id"), "doc_id"))
     val n4 = sampled.count()
 
     // 5. Split assignment (p04): content-hash train/val/test.
     val splits = Pipeline.splitAssign(sampled, testRate = 3277, valRate = 3277)
-    val train = sampled.join(
-      splits.filter(col("split") === "train").select("doc_id"), "doc_id")
+    val train = pin(sampled.join(
+      splits.filter(col("split") === "train").select("doc_id"), "doc_id"))
     val n5 = train.count()
 
     // 6. Sequence packing (p01): per-language token-budget bins.

@@ -139,6 +139,20 @@ class JoinsSpec extends SparkSuite {
     }
   }
 
+  test("rangeJoin fails fast (clear error, not an OOM) on a pathological interval") {
+    import spark.implicits._
+    val pts = Seq(1L).toDF("p")
+    val ivs = Seq((0L, Long.MaxValue / 4)).toDF("lo", "hi")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(pts, ivs, col("p"), col("lo"), col("hi"),
+        bucketWidth = 1).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("maxBucketsPerInterval")),
+      s"unexpected failure: ${chain(ex)}")
+  }
+
   test("salt column does not leak into the output schema") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))

@@ -231,6 +231,22 @@ class PublicApiSpec extends SparkSuite {
     assert(frames.toSeq == Seq((1L, 0, 256), (1L, 2, 88), (2L, 0, 100)))
   }
 
+  test("resizeNearest samples raw BYTES — values >= 0x80 and non-UTF-8 payloads intact") {
+    import spark.implicits._
+    // 4-wide source grid, 2 rows; bytes deliberately NOT valid UTF-8
+    // (0xC3 with a non-continuation successor, bare 0xFF): a char-based
+    // read would shift offsets and return codepoints, not bytes.
+    val payload = Array[Byte](0xC3.toByte, 0x41, 0xFF.toByte, 0x42,
+      0x80.toByte, 0x43, 0xFE.toByte, 0x44)
+    val df = Seq((1L, payload)).toDF("doc_id", "content")
+    val out = Multimodal.resizeNearest(df, srcWidth = 4, outW = 2, outH = 2)
+      .collect().head
+    assert(out.getInt(1) == 2) // src_h = 8 bytes / 4
+    // out pixel (r, c) samples source (r*2 div 2, c*4 div 2) = (r, 2c)
+    val pix = out.getSeq[Long](2)
+    assert(pix == Seq(0xC3L, 0xFFL, 0x80L, 0xFEL), s"got $pix")
+  }
+
   test("vector_cosine matches an independent computation; zero norms and nulls are safe") {
     import spark.implicits._
     graft.functions.VectorCosine.register(spark)
