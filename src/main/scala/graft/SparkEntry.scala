@@ -41,7 +41,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.Pipeline.queries
+      operators.Pipeline.queries ++
+      operators.Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
-      operators.Pipeline.oracles
+      operators.Pipeline.oracles ++
+      operators.Sketch.oracles
 }

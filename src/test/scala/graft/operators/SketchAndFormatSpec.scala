@@ -83,6 +83,31 @@ class SketchAndFormatSpec extends SparkSuite {
     }
   }
 
+  test("q50 CMS: never undercounts, and merge-of-partials == sketch-of-whole") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    // CMS guarantee on EVERY key, not just the registered top-20
+    val est = Sketch.cmsEstimate(Sketch.cmsBuild(toks, "tok"), toks, "tok")
+    val joined = est.join(exact, col("key") === col("tok")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CMS undercounted ${r.getAs[String]("key")}")
+    }
+    // merge algebra: per-half partial sketches summed == whole sketch
+    val halves = Seq(toks.filter(crc32(col("tok")) % 2 === 0),
+      toks.filter(crc32(col("tok")) % 2 === 1))
+    val merged = Sketch.cmsMerge(halves.map(Sketch.cmsBuild(_, "tok")): _*)
+      .orderBy("row", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val whole = Sketch.cmsBuild(toks, "tok")
+      .orderBy("row", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq == whole.toSeq, "CMS merge is not the sketch of the union")
+  }
+
   test("csv/json/orc sinks round-trip the data (engine source+sink surface)") {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
