@@ -38,8 +38,11 @@ object Sketch {
       (1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
   }
 
+  // ONE definition of the cross-engine hash: Dedup.sharedHash60 is the
+  // single Scala twin of the oracle's '0x'||substr(md5(x),1,15) cast —
+  // re-implementing it here would let the two silently desync.
   private def h31(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+    Dedup.sharedHash60(c) % P
 
   private def bucketExpr(row: Int) = {
     val (a, b) = cmsSeeds(row)
@@ -64,20 +67,23 @@ object Sketch {
   /** Merge partial sketches (counters add — the mergeable-rollup path:
     * per-shard/per-day partials combine without touching raw data).
     */
-  def cmsMerge(sketches: DataFrame*): DataFrame =
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
     sketches.reduce(_ unionByName _)
       .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+  }
 
   /** Point estimates for each distinct key in `keys(keyCol)`: min over
     * the d rows of that key's counter. The sketch is tiny (≤ d×w rows)
-    * and broadcast; keys never shuffle. CMS guarantee: estimate ≥ true
-    * count, always.
+    * and broadcast onto the key stream; the only exchange is the final
+    * per-key min aggregate (map-side combined — duplicate keys collapse
+    * before the shuffle). CMS guarantee: estimate ≥ true count, always.
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val rows = (0 until CmsRows).map { i =>
       struct(lit(i).as("row"), bucketExpr(i).as("bucket"))
     }
-    keys.select(col(keyCol).as("key")).distinct()
+    keys.select(col(keyCol).as("key"))
       .withColumn("__h", h31(col("key")))
       .select(col("key"), explode(array(rows: _*)).as("rb"))
       .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
@@ -98,7 +104,11 @@ object Sketch {
         .filter(col("tok") =!= "")
       val sketch = cmsBuild(toks, "tok")
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
-      cmsEstimate(sketch, toks, "tok")
+      // probe with the already-aggregated vocabulary, not the raw
+      // token stream — the third scan+tokenize of documents would
+      // otherwise re-execute (Spark doesn't materialize common
+      // subplans; the measured shingle-table pitfall)
+      cmsEstimate(sketch, exact.select("tok"), "tok")
         .withColumnRenamed("key", "tok")
         .join(exact, "tok")
         .orderBy(col("est").desc, col("tok"))
