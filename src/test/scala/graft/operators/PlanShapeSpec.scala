@@ -146,6 +146,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
   }
 
+  test("q50: CMS build is a two-phase aggregate and the sketch reaches probes by broadcast") {
+    val p = plan("q50_freq_sketch")
+    // counters built with map-side partial combine (the mergeable-
+    // sketch property in plan form)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // the d×w sketch is broadcast onto the probe keys, never shuffled
+    // against them
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sketch join shuffled:\n$p")
+  }
+
   test("p02: stratified sampling is a pure scan+filter — zero exchanges") {
     val p = graft.operators.Pipeline.sampleStratified(
         graft.Tables.documents(spark, dir), rates = Map("en" -> 16384),
