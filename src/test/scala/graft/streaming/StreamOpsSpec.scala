@@ -287,6 +287,38 @@ class StreamOpsSpec extends SparkSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("cmsBuild runs unchanged on a stream: complete-mode counters equal the batch sketch") {
+    import org.apache.spark.sql.functions._
+    // The count-min sketch is a pure streaming aggregate — same code
+    // path as batch (one API, both modes), counters maintained
+    // incrementally across micro-batches.
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cmsreplay").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    Thread.sleep(50)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = graft.operators.Sketch.cmsBuild(toks(streamed), "tok")
+      .writeStream.format("memory").queryName("so_cms_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT row, bucket, cnt FROM so_cms_stream")
+        .orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val batch = graft.operators.Sketch.cmsBuild(toks(docs), "tok")
+        .orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      assert(stream.toSeq == batch.toSeq, "streaming CMS counters differ from batch")
+    } finally q.stop()
+  }
+
   test("transformWithState sequence monitor flags duplicates and reordering per shard") {
     import spark.implicits._
     // transformWithState needs the RocksDB state store (multiple column
