@@ -132,6 +132,22 @@ object Similarity {
       semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .orderBy("id_a", "id_b")),
 
+    // Product-quantization ANN with exact rerank: the corpus compressed
+    // to 8 codes per vector (32–64× smaller than raw doubles) is ADC-
+    // scanned for a 50-candidate shortlist, then ONLY the shortlist's
+    // raw vectors are fetched for exact top-5 scoring — the memory half
+    // of the modern large-scale ANN recipe (IVF routes, PQ scores,
+    // rerank exact; compose buildPqIndex over IvfIndex.assigned at
+    // scale). KMeans codebooks aren't SQL-expressible → rows-only
+    // driver check; recall vs s01 and exact-score identity asserted in
+    // DedupSimilaritySpec.
+    "s08_pq_ann" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      pqRerankTopK(pqIndex(s, dir), e, e.filter(col("vec_id") < 10),
+          k = 5, shortlist = 50)
+        .orderBy("qid", "rnk")
+    }),
+
     // SemDeDup end-to-end: the embedding corpus AFTER semantic dedup —
     // s06's cluster-blocked near-dup pairs fed through
     // Dedup.keepRepresentatives (connected components → keep each
@@ -274,18 +290,35 @@ object Similarity {
       idx.copy(assigned = assigned)
     })
 
+  // Built PQ indexes, one per (session, dataset) — the ingest-artifact
+  // pattern (see ivfIndexCache).
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PqIndex]
+
+  private[operators] def pqIndex(s: SparkSession, dir: String): PqIndex =
+    pqIndexCache.getOrElseUpdate((s, dir), {
+      val idx = buildPqIndex(embeddings(s, dir))
+      val codes = idx.codes.persist()
+      codes.count() // materialize at ingest, not per query
+      idx.copy(codes = codes)
+    })
+
   /** Build the IVF index for a dataset ahead of queries (ingest-time
     * step; Bench calls this in its untimed warm-up).
     */
-  def prepareIndex(s: SparkSession, dir: String): Unit = { ivfIndex(s, dir); () }
+  def prepareIndex(s: SparkSession, dir: String): Unit = {
+    ivfIndex(s, dir); pqIndex(s, dir); ()
+  }
 
   /** Release the cached IVF index for a dataset: unpersists the cell
     * assignment table and drops the registry entry, freeing executor
     * storage. Also the invalidation hook after re-ingesting `dir` —
     * the next query rebuilds the index from the current files.
     */
-  def releaseIndex(s: SparkSession, dir: String): Unit =
+  def releaseIndex(s: SparkSession, dir: String): Unit = {
     ivfIndexCache.remove((s, dir)).foreach(_.assigned.unpersist())
+    pqIndexCache.remove((s, dir)).foreach(_.codes.unpersist())
+  }
 
   /** Public df-in/df-out IVF ANN top-k over a built index: each probe
     * (identified by `probeIds`, fetched from the index) ranks the
@@ -403,6 +436,119 @@ object Similarity {
         dot("a.v", "b.v").as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** A built product-quantization index: `codebooks` is (sub, code,
+    * cv: array<double>) — subs × codesPerSub sub-centroids, tiny and
+    * broadcast at query time — and `codes` is (vec_id, codes:
+    * array<int>), the corpus compressed to one small code per
+    * subspace. At 64 dims with 8 subspaces the index holds 8 codes
+    * (≤8 bytes) instead of 64 doubles (512 bytes) per vector — the
+    * 32–64× memory shrink that lets a 100 TB corpus' ANN index stay
+    * in executor/storage memory. Compose with [[IvfIndex]]: IVF picks
+    * the cells to probe, PQ scores the candidates without touching
+    * the raw vectors.
+    */
+  case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+    subs: Int, codesPerSub: Int, dim: Int)
+
+  /** Train a PQ index: per subspace, seeded KMeans over the subvectors
+    * (ingest-time work; at scale, fit on a sample and `transform` the
+    * corpus). Deterministic for a given (subs, codesPerSub, seed).
+    */
+  def buildPqIndex(emb: DataFrame, subs: Int = 8, codesPerSub: Int = 16,
+      seed: Long = 42, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 5): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = Dim
+    require(dim % subs == 0, s"dim $dim not divisible by subs $subs")
+    val subDim = dim / subs
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // One KMeans per subspace over that subspace's slice. The fits are
+    // sequential but each input is (n × subDim) — ingest-time cost.
+    val perSub = (0 until subs).map { j =>
+      val sliced = e.select(col("vec_id"),
+        slice(col("v"), j * subDim + 1, subDim).as("sv"))
+        .withColumn("fv", array_to_vector(col("sv")))
+      val model = new KMeans().setK(codesPerSub).setSeed(seed + j)
+        .setMaxIter(maxIter).setFeaturesCol("fv").setPredictionCol("code")
+        .fit(sliced)
+      val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (j, i, c.toArray.toSeq)
+      }
+      (model.transform(sliced).select(col("vec_id"), lit(j).as("sub"),
+        col("code")), cents)
+    }
+    val codes = perSub.map(_._1).reduce(_ unionByName _)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        c => c("code")).as("codes"))
+    val cbs = perSub.flatMap(_._2)
+    val codebooks = emb.sparkSession.createDataFrame(cbs)
+      .toDF("sub", "code", "cv")
+      .withColumn("cv", col("cv").cast("array<double>"))
+    PqIndex(codebooks, codes, subs, codesPerSub, dim)
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k over a PQ index: each
+    * probe dots its subvectors against ALL sub-centroids once (a
+    * subs × codesPerSub lookup table, ~128 doubles per probe), then
+    * every corpus vector is scored with `subs` table lookups — never a
+    * full-dimension dot product, never the raw corpus vectors. The LUT
+    * rides a broadcast; the per-(probe, vector) partial scores
+    * aggregate map-side. Output: (qid, cid, rnk, score) with `score`
+    * the ADC approximation of the dot product.
+    */
+  def pqTopK(index: PqIndex, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorDot.register(index.codes.sparkSession)
+    val subDim = index.dim / index.subs
+    val q = probes.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // LUT: (qid, sub, code, pdot)
+    val lut = q.crossJoin(broadcast(index.codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        expr(s"vector_dot(slice(qv, sub * $subDim + 1, $subDim), cv)").as("pdot"))
+    val exploded = index.codes
+      .select(col("vec_id").as("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    exploded.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(sum("pdot").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  /** PQ shortlist + exact rerank — the production ANN serving shape:
+    * the COMPRESSED corpus (8 codes/vector) is scanned with ADC table
+    * lookups to produce a `shortlist`-sized candidate set per probe,
+    * and only those candidates' raw vectors are fetched (an equi-join
+    * on vec_id — at 100 TB, point reads against the vector store) for
+    * exact scoring of the final top-k. Raw-vector I/O is
+    * shortlist/corpus of the brute-force path; scores are EXACT for
+    * everything returned. Output: (qid, cid, rnk, score).
+    */
+  def pqRerankTopK(index: PqIndex, corpus: DataFrame, probes: DataFrame,
+      k: Int, shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(index, probes, shortlist, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = corpus.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
   }
 
   /** Test-only ground truth for s03: exact all-pairs threshold join.

@@ -90,6 +90,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(hits >= ivf.length / 4, s"IVF recall collapsed: $hits/${ivf.length}")
   }
 
+  test("s08 PQ+rerank: exact scores, decent recall, deterministic codebooks") {
+    val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
+      .select("qid", "cid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pq = SparkEntry.queries("s08_pq_ann")(spark, dir)
+      .select("qid", "cid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pq.map(_._1._1).distinct.length == 10) // every probe answered
+    // rerank scores are EXACT: any pair brute force also ranked must
+    // carry the identical dot product
+    pq.foreach { case (k, s) =>
+      brute.get(k).foreach(b => assert(b == s, s"rerank score drifted for $k")) }
+    // recall floor: 8×16 codes + 50-candidate rerank measures 70%
+    // (sf0.001) / 80% (sf0.01) of true top-5 on this corpus
+    val hits = pq.count(p => brute.contains(p._1))
+    assert(hits >= pq.length * 3 / 5, s"PQ recall collapsed: $hits/${pq.length}")
+    // determinism: a fresh build at the same seed yields the same codes
+    val e = graft.Tables.embeddings(spark, dir)
+    val a = Similarity.buildPqIndex(e).codes.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val b = Similarity.buildPqIndex(e).codes.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(a.toSeq == b.toSeq, "PQ codebook training is not deterministic")
+  }
+
   test("d06 returns an empty cluster set (not a crash) when no near-dup pairs exist") {
     import spark.implicits._
     // corpus of fully distinct docs -> d03 pair graph is empty
