@@ -56,6 +56,14 @@ object Joins {
     * thing costs the plain join plus one count aggregate, one
     * broadcast, and O(hot right rows × salts) replication. With no hot
     * keys it degenerates to exactly the plain join.
+    *
+    * NOTE: this overload runs hot-key detection EAGERLY — a full count
+    * aggregate over `left` executes as a Spark job at call time (plan
+    * construction), serially per call site, before the joined frame is
+    * ever submitted. Fine for one-off queries; for repeated use or a
+    * 100 TB fact, materialize the key-frequency stats once at ingest
+    * and pass them to the precomputed-`hot` overload, which defers
+    * everything but a head(1) emptiness probe.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, saltSource: Column, hotKeyThreshold: Long): DataFrame = {
@@ -83,6 +91,10 @@ object Joins {
     * left row — hot or cold — survives exactly once with nulls: its
     * single (keys, salt) probe finds either all of that key's right
     * rows or nothing.
+    *
+    * NOTE: like [[saltedInnerJoin]]'s threshold overload, detection
+    * runs a Spark job eagerly at call time; prefer the precomputed-
+    * `hot` overload when the stats are an ingest artifact.
     */
   def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, saltSource: Column, hotKeyThreshold: Long): DataFrame = {
@@ -110,15 +122,23 @@ object Joins {
     // a materialized ingest-time stats table, and subsumed by the
     // detection aggregate in the threshold overload.
     if (hot.isEmpty) return left.join(right, keys, joinType)
-    val hotFlag = broadcast(hot.withColumn("__hot", lit(true)))
-    val l = left.join(hotFlag, keys, "left")
+    saltedLeft(left, keys, salts, saltSource, hot)
+      .join(saltedRight(right, keys, salts, hot), keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
+  /** The left side with its single deterministic salt per row: hot-key
+    * rows get hash(saltSource) mod salts, cold rows ride salt 0.
+    * Exposed for the JoinsSpec skew-evidence test, which measures the
+    * max shuffle-partition size of (keys, __salt) vs plain (keys).
+    */
+  private[operators] def saltedLeft(left: DataFrame, keys: Seq[String],
+      salts: Int, saltSource: Column, hot: DataFrame): DataFrame =
+    left.join(broadcast(hot.withColumn("__hot", lit(true))), keys, "left")
       .withColumn("__salt",
         when(col("__hot"), pmod(xxhash64(saltSource), lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("__hot")
-    l.join(saltedRight(right, keys, salts, hot), keys :+ "__salt", joinType)
-      .drop("__salt")
-  }
 
   /** Bucketed range (interval) join: every left row whose `leftPoint`
     * falls inside a right row's `[rightLo, rightHi]` (both inclusive),
@@ -155,22 +175,36 @@ object Joins {
       maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
-    def bkt(c: Column): Column =
-      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    // Bucket id = the bucket's LOWER EDGE (c - pmod(c, w)), computed in
+    // exact long arithmetic: a double floor-division quotient rounds
+    // above 2^53 (a nanosecond epoch axis lives there) and can land a
+    // point outside its interval's exploded bucket set — a silent
+    // false NEGATIVE the residual filter can't repair. pmod is exact
+    // over the full long range and floors correctly for negatives; the
+    // right side explodes edges with a stride-w sequence, so no
+    // division happens anywhere.
+    def edge(c: Column): Column = c - pmod(c, lit(bucketWidth))
     val l = left
       .withColumn("__pt", leftPoint.cast("long"))
-      .withColumn("__bkt", bkt(col("__pt")))
+      .withColumn("__bkt", edge(col("__pt")))
+    // The bucket-count guard only gates explosion size, so double
+    // arithmetic is fine HERE (a ~1-ulp error against a count
+    // threshold, vs exactness for the join keys above) and avoids
+    // long overflow when lo and hi sit at opposite extremes.
     val r = right
       .withColumn("__lo", rightLo.cast("long"))
       .withColumn("__hi", rightHi.cast("long"))
-      .withColumn("__nb", bkt(col("__hi")) - bkt(col("__lo")) + 1)
+      .withColumn("__nb",
+        ((col("__hi").cast("double") - col("__lo").cast("double"))
+          / lit(bucketWidth.toDouble)).cast("long") + 1)
     val rExp = r
       .withColumn("__bkt", explode(
         when(col("__nb") > maxBucketsPerInterval,
           raise_error(concat(lit("rangeJoin: interval spans "), col("__nb"),
             lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
               "widen bucketWidth or raise the limit"))))
-          .otherwise(sequence(bkt(col("__lo")), bkt(col("__hi"))))))
+          .otherwise(sequence(edge(col("__lo")), edge(col("__hi")),
+            lit(bucketWidth)))))
     l.join(rExp, Seq("__bkt"))
       .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))
       .drop("__bkt", "__pt", "__lo", "__hi", "__nb")

@@ -539,36 +539,8 @@ object Relational {
     // Estimates are deterministic integer/IEEE arithmetic written in
     // the same op order as the oracle, so the gate hash-matches
     // exactly despite being a sketch.
-    "q47_distribution_hist" -> ((s, dir) => {
-      val nb = 1024
-      val o = orders(s, dir)
-      val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-      val width = (col("mx") - col("mn")) / lit(nb.toDouble)
-      val bucketed = o
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .crossJoin(broadcast(stats))
-        .withColumn("bucket",
-          when(col("mx") === col("mn"), lit(0))
-            .otherwise(least(greatest(
-              floor((col("o_totalprice") - col("mn")) / width), lit(0L)),
-              lit(nb - 1L)).cast("int")))
-      // The two window functions below run over the AGGREGATED
-      // histogram (≤ 5 × 1024 rows), not facts — that's the point.
-      val wCum = Window.partitionBy("o_orderpriority").orderBy("bucket")
-      val wAll = Window.partitionBy("o_orderpriority")
-      val cum = bucketed.groupBy("o_orderpriority", "bucket")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum_le", sum("cnt").over(wCum))
-        .withColumn("n", sum("cnt").over(wAll))
-        .withColumn("cum_lt", col("cum_le") - col("cnt"))
-        .select("o_orderpriority", "bucket", "cum_lt", "cum_le", "n")
-      bucketed.join(broadcast(cum), Seq("o_orderpriority", "bucket"))
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          least(expr("(4 * cum_lt) DIV n") + lit(1L), lit(4L)).cast("int").as("tile_est"),
-          (col("cum_lt").cast("double") / (col("n") - lit(1))).as("pr_est"),
-          (col("cum_le").cast("double") / col("n")).as("cd_est"))
-        .orderBy("o_orderkey")
-    }),
+    "q47_distribution_hist" -> ((s, dir) =>
+      distributionHist(orders(s, dir)).orderBy("o_orderkey")),
 
     // Time-series resample + forward fill: hourly sums per event type on
     // a DENSE hour grid (gaps get n=0 and carry the last observed value
@@ -893,6 +865,47 @@ object Relational {
         .orderBy("hr", "event_type")
     })
   )
+
+  /** q47's body as a public df-in/df-out operator: per-row
+    * percent_rank / cume_dist / ntile ESTIMATES from the q38-style
+    * equi-width histogram sketch — two mergeable hash aggregates build
+    * the per-(priority, bucket) cumulative table (tiny: groups × ≤nb
+    * rows), which is broadcast back onto the facts, so NO window
+    * function ever touches a fact row (the scale-safe twin of q39's
+    * exact whole-partition windows). Error is bounded by one bucket's
+    * population. Degenerate one-row groups define pr_est = 0.0 (the
+    * convention percent_rank itself uses) instead of the 0/0 NaN the
+    * raw ratio would produce.
+    */
+  def distributionHist(o: DataFrame, nb: Int = 1024): DataFrame = {
+    val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    val width = (col("mx") - col("mn")) / lit(nb.toDouble)
+    val bucketed = o
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(greatest(
+            floor((col("o_totalprice") - col("mn")) / width), lit(0L)),
+            lit(nb - 1L)).cast("int")))
+    // The two window functions below run over the AGGREGATED
+    // histogram (≤ groups × nb rows), not facts — that's the point.
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    val wAll = Window.partitionBy("o_orderpriority")
+    val cum = bucketed.groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_le", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("cum_lt", col("cum_le") - col("cnt"))
+      .select("o_orderpriority", "bucket", "cum_lt", "cum_le", "n")
+    bucketed.join(broadcast(cum), Seq("o_orderpriority", "bucket"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        least(expr("(4 * cum_lt) DIV n") + lit(1L), lit(4L)).cast("int").as("tile_est"),
+        when(col("n") > 1,
+          col("cum_lt").cast("double") / (col("n") - lit(1)))
+          .otherwise(lit(0.0)).as("pr_est"),
+        (col("cum_le").cast("double") / col("n")).as("cd_est"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1232,7 +1245,8 @@ object Relational {
                  FROM hist)
          SELECT b.o_orderkey, b.o_orderpriority,
            CAST(least((4 * cum_lt) // n + 1, 4) AS INTEGER) AS tile_est,
-           CAST(cum_lt AS DOUBLE) / (n - 1) AS pr_est,
+           CASE WHEN n > 1 THEN CAST(cum_lt AS DOUBLE) / (n - 1)
+                ELSE 0.0 END AS pr_est,
            CAST(cum_le AS DOUBLE) / n AS cd_est
          FROM b JOIN cum USING (o_orderpriority, bucket)
          ORDER BY o_orderkey""",

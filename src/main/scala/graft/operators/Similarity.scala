@@ -137,14 +137,28 @@ object Similarity {
     // scanned for a 50-candidate shortlist, then ONLY the shortlist's
     // raw vectors are fetched for exact top-5 scoring — the memory half
     // of the modern large-scale ANN recipe (IVF routes, PQ scores,
-    // rerank exact; compose buildPqIndex over IvfIndex.assigned at
-    // scale). KMeans codebooks aren't SQL-expressible → rows-only
+    // rerank exact — s09/[[ivfPqTopK]] runs the full composition).
+    // KMeans codebooks aren't SQL-expressible → rows-only
     // driver check; recall vs s01 and exact-score identity asserted in
     // DedupSimilaritySpec.
     "s08_pq_ann" -> ((s, dir) => {
       val e = embeddings(s, dir)
       pqRerankTopK(pqIndex(s, dir), e, e.filter(col("vec_id") < 10),
           k = 5, shortlist = 50)
+        .orderBy("qid", "rnk")
+    }),
+
+    // The composed IVF→PQ→rerank serving plan: IVF routes each probe
+    // to its 4 nearest cells, PQ ADC-scores only those cells' codes
+    // for a 50-candidate shortlist, exact rerank returns the top-5 —
+    // the full production ANN recipe as one registered query. KMeans
+    // (both quantizers) isn't SQL-expressible → rows-only driver
+    // check; recall vs s01 and the routed-candidate scan-volume
+    // reduction asserted in DedupSimilaritySpec.
+    "s09_ivf_pq_ann" -> ((s, dir) => {
+      val probes = embeddings(s, dir).filter(col("vec_id") < 10)
+      ivfPqTopK(ivfIndex(s, dir), pqIndex(s, dir), probes,
+          k = 5, nProbe = IvfNProbe, shortlist = 50)
         .orderBy("qid", "rnk")
     }),
 
@@ -445,9 +459,9 @@ object Similarity {
     * subspace. At 64 dims with 8 subspaces the index holds 8 codes
     * (≤8 bytes) instead of 64 doubles (512 bytes) per vector — the
     * 32–64× memory shrink that lets a 100 TB corpus' ANN index stay
-    * in executor/storage memory. Compose with [[IvfIndex]]: IVF picks
-    * the cells to probe, PQ scores the candidates without touching
-    * the raw vectors.
+    * in executor/storage memory. [[ivfPqTopK]] runs the composition
+    * with [[IvfIndex]]: IVF picks the cells to probe, PQ scores the
+    * candidates without touching the raw vectors.
     */
   case class PqIndex(codebooks: DataFrame, codes: DataFrame,
     subs: Int, codesPerSub: Int, dim: Int)
@@ -461,7 +475,11 @@ object Similarity {
       maxIter: Int = 5): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = Dim
+    // Dimension comes from the data, not a module constant: one row's
+    // width (a head(1) job — ingest-time cost, like the KMeans fits).
+    val dimRow = emb.select(size(col(vecCol)).as("d")).head()
+    val dim = dimRow.getInt(0)
+    require(dim > 0, s"$vecCol is empty/null in the first row")
     require(dim % subs == 0, s"dim $dim not divisible by subs $subs")
     val subDim = dim / subs
     val e = emb.select(col(idCol).as("vec_id"),
@@ -541,10 +559,100 @@ object Similarity {
       .select(col("qid"), col("cid"))
     val c = corpus.select(col(idCol).as("cid"),
       col(vecCol).cast("array<double>").as("cv"))
-    val q = corpus.select(col(idCol).as("qid"),
+    // Query vectors come from `probes` (which carries them per pqTopK's
+    // contract) — probes need NOT be corpus rows — and only the probe
+    // side rides a broadcast: the corpus raw-vector projection stays
+    // the non-broadcast join input (at 100 TB it's the big side; the
+    // shortlist equi-join touches only cand×|probes| of it).
+    val q = probes.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     cand.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  /** The per-probe candidate set of the composed IVF→PQ route: each
+    * probe ranks the coarse centroids, keeps its `nProbe` closest
+    * cells, and its candidates are exactly the ids assigned to those
+    * cells. Exposed for DedupSimilaritySpec's scan-volume accounting
+    * (candidates here ≪ the full corpus every PQ-only probe scans).
+    * Input `q` is (qid, qv); output (qid, cid).
+    */
+  private[operators] def ivfRoutedCandidates(ivf: IvfIndex, q: DataFrame,
+      nProbe: Int): DataFrame = {
+    graft.functions.VectorDot.register(ivf.assigned.sparkSession)
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("cell"))
+    val probeCells = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("cdot", dot("qv", "cv"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nProbe)
+      .select(col("qid"), col("cell"))
+    // Narrow routing join: only (id, cell) rides it — vectors and codes
+    // are fetched later, and only for rows that survive their stage.
+    ivf.assigned.select(col("vec_id").as("cid"), col("cell"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+  }
+
+  /** The fully composed production ANN serving plan — IVF routes, PQ
+    * scores, exact rerank (the composition [[buildPqIndex]] and
+    * [[PqIndex]]'s docs promise):
+    *
+    *  1. ROUTE: each probe keeps its `nProbe` nearest coarse cells, so
+    *     candidates are nProbe/cells of the corpus — at 100 TB the cell
+    *     id is the write-time partition key and this is partition
+    *     pruning, not a scan.
+    *  2. SCORE: the routed candidates' PQ codes (8 small ints, never
+    *     the raw vectors) are ADC-scored against the probe's broadcast
+    *     lookup table, and the top `shortlist` per probe survive.
+    *  3. RERANK: ONLY the shortlist's raw vectors are fetched (an
+    *     equi-join on vec_id — point reads against the vector store)
+    *     for exact cosine scoring of the final top-k.
+    *
+    * Raw-vector I/O is shortlist×probes rows; ADC work is
+    * nProbe/cells × |corpus| code lookups per probe (vs the WHOLE
+    * corpus for [[pqTopK]] alone); exact work is the shortlist only
+    * (vs nProbe cells of raw vectors for [[ivfTopK]] alone). Scores
+    * are EXACT for everything returned; recall is the nProbe +
+    * shortlist trade (asserted vs the s01 ground truth in
+    * DedupSimilaritySpec). `probes` carries the query vectors and need
+    * not be corpus rows. Output: (qid, cid, rnk, score).
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, probes: DataFrame, k: Int,
+      nProbe: Int = 4, shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.functions.VectorDot.register(ivf.assigned.sparkSession)
+    val subDim = pq.dim / pq.subs
+    val q = probes.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cand = ivfRoutedCandidates(ivf, q, nProbe)
+    // Per-probe ADC lookup table: subs × codesPerSub partial dots.
+    val lut = q.crossJoin(broadcast(pq.codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        expr(s"vector_dot(slice(qv, sub * $subDim + 1, $subDim), cv)").as("pdot"))
+    // ADC-score only the routed candidates' codes. The LUT join keys on
+    // qid too (unlike pqTopK's corpus-wide scan, where every probe
+    // scores every code): candidates are already per-probe here.
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val short = pq.codes.select(col("vec_id").as("cid"), col("codes"))
+      .join(cand, Seq("cid"))
+      .select(col("qid"), col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "cid")
+      .agg(sum("pdot").as("adc"))
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= shortlist)
+      .select("qid", "cid")
+    // Exact rerank: raw vectors only for the shortlist.
+    val raw = ivf.assigned.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short.join(raw, Seq("cid")).join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -115,6 +115,46 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(a.toSeq == b.toSeq, "PQ codebook training is not deterministic")
   }
 
+  test("s09 composed IVF→PQ→rerank: exact scores, recall, and strictly less scan work than PQ-alone or IVF-alone") {
+    val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
+      .select("qid", "cid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val out = SparkEntry.queries("s09_ivf_pq_ann")(spark, dir)
+      .select("qid", "cid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.map(_._1._1).distinct.length == 10) // every probe answered
+    assert(out.forall(p => p._1._1 != p._1._2))    // no self-matches
+    // rerank scores are EXACT: any pair brute force also ranked must
+    // carry the identical dot product
+    out.foreach { case (k, s) =>
+      brute.get(k).foreach(b => assert(b == s, s"rerank score drifted for $k")) }
+    // composition recall ≈ IVF routing recall ∩ PQ shortlist recall;
+    // floor matches s04's (the routing dominates at these parameters)
+    val hits = out.count(p => brute.contains(p._1))
+    info(s"s09 recall vs brute force: $hits/${out.length}")
+    assert(hits >= out.length / 4, s"composed recall collapsed: $hits/${out.length}")
+    // Scan-volume accounting — the reason the composition exists:
+    //  * PQ alone ADC-scans the ENTIRE corpus per probe;
+    //  * IVF alone exact-scores its routed candidates' RAW vectors;
+    //  * the composition ADC-scans only the routed candidates and
+    //    touches raw vectors only for the shortlist.
+    val e = graft.Tables.embeddings(spark, dir)
+    val n = e.count()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val routed = Similarity.ivfRoutedCandidates(
+      Similarity.ivfIndex(spark, dir), q, nProbe = 4).count()
+    val pqAlone = 10L * (n - 1) // what s08's ADC stage scores
+    info(s"ADC candidates: routed=$routed vs pq-alone=$pqAlone (corpus n=$n)")
+    assert(routed < pqAlone / 2,
+      s"routing should cut ADC volume well below a full scan: $routed vs $pqAlone")
+    // raw-vector fetches: s09 touches shortlist×probes raw rows (the
+    // srk <= shortlist cap is structural), IVF-alone exact-scores every
+    // routed candidate's raw vector — strictly more at these parameters
+    assert(10L * 50 < routed,
+      s"rerank should fetch fewer raw vectors than IVF-alone scores: 500 vs $routed")
+  }
+
   test("d06 returns an empty cluster set (not a crash) when no near-dup pairs exist") {
     import spark.implicits._
     // corpus of fully distinct docs -> d03 pair graph is empty

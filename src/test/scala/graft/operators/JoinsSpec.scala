@@ -139,6 +139,56 @@ class JoinsSpec extends SparkSuite {
     }
   }
 
+  test("rangeJoin bucket assignment stays exact above 2^53 (nanosecond-epoch axis)") {
+    import spark.implicits._
+    // Up here a double floor-division quotient rounds, which can land a
+    // point outside its interval's exploded bucket set — a silent
+    // false negative the residual BETWEEN filter cannot repair. The
+    // long-exact edge arithmetic must keep every matching pair.
+    val base = Long.MaxValue - 1000L
+    val pts = Seq((1L, base + 3L), (2L, base + 997L), (3L, base))
+      .toDF("pid", "t")
+    val ivs = Seq((10L, base, base + 10L), (11L, base + 990L, base + 999L))
+      .toDF("ivid", "lo", "hi")
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = Joins.rangeJoin(pts, ivs, col("t"), col("lo"), col("hi"),
+          bucketWidth = w)
+        .select("pid", "ivid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (3L, 10L), (2L, 11L)),
+        s"bucketWidth=$w dropped or invented pairs near Long.MaxValue: $got")
+    }
+  }
+
+  test("salting shrinks the biggest join-key group ~salts× on a hot key") {
+    // The gate data is unskewed, so the registered q36/q48 only ever
+    // measure salting's overhead. This is the benefit side: a fact
+    // where ONE key holds 30% of all rows. The metric is the largest
+    // single (keys)-group — the IRREDUCIBLE input of whichever task
+    // receives it (AQE can split an oversized partition, but never a
+    // single key group) — against the largest (keys, salt) group.
+    // Group size, not partition id, keeps the measure deterministic:
+    // hashing two of the 8 salt groups into one shuffle partition is
+    // a birthday collision, not a salting failure.
+    val n = 20000L
+    val salts = 8
+    val left = spark.range(n).select(
+      when(col("id") % 10 < 3, 0L).otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("payload"))
+    val hot = Joins.hotKeys(left, Seq("k"), threshold = n / 10)
+    def maxGroup(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long =
+      df.groupBy(keys.map(col): _*).count()
+        .agg(max("count")).head().getLong(0)
+    val plainMax = maxGroup(left, Seq("k"))
+    val saltedMax = maxGroup(
+      Joins.saltedLeft(left, Seq("k"), salts, col("payload"), hot),
+      Seq("k", "__salt"))
+    info(s"max join-key group: plain=$plainMax salted=$saltedMax (salts=$salts)")
+    assert(plainMax >= n * 3 / 10, "hot key no longer dominates — test is vacuous")
+    assert(saltedMax * (salts / 2) <= plainMax,
+      s"salting won less than ${salts / 2}×: plain=$plainMax salted=$saltedMax")
+  }
+
   test("rangeJoin fails fast (clear error, not an OOM) on a pathological interval") {
     import spark.implicits._
     val pts = Seq(1L).toDF("p")

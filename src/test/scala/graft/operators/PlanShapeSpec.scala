@@ -224,6 +224,46 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Aggregate"), s"quantization aggregated (global stats pass?):\n$p")
   }
 
+  test("co-bucketed fact tables join with ZERO exchanges (SCALE.md bucketing claim)") {
+    // SCALE.md asserts that writing both facts bucketed by orderkey
+    // removes the fact-fact shuffle with unchanged query code. Pin it:
+    // bucketBy(8, orderkey) on both sides → the scan's output
+    // partitioning already satisfies the join's requirement, so the
+    // sort-merge join plans with NO Exchange anywhere.
+    val s = spark
+    val wh = java.nio.file.Files.createTempDirectory("bucketwh").toString
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = s.conf.get(bcKey)
+    s.conf.set(bcKey, "-1") // force the shuffle-join path broadcast would mask
+    try {
+      graft.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").option("path", s"$wh/ob")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("psb_orders")
+      graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$wh/lb")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("psb_lineitem")
+      val j = s.table("psb_lineitem").join(s.table("psb_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join should not shuffle either side:\n$p")
+      // the same join over the raw (unbucketed) parquet DOES shuffle —
+      // the comparison that makes the claim non-vacuous
+      val raw = graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .join(graft.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(raw.queryExecution.explainString(FormattedMode).contains("Exchange"),
+        "control: the unbucketed join should plan a shuffle")
+    } finally {
+      s.conf.set(bcKey, prevBc)
+      s.sql("DROP TABLE IF EXISTS psb_orders")
+      s.sql("DROP TABLE IF EXISTS psb_lineitem")
+    }
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

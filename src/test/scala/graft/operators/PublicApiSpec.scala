@@ -295,6 +295,40 @@ class PublicApiSpec extends SparkSuite {
     assert(ranked(1)._2 == ranked(2)._2)
   }
 
+  test("pqRerankTopK answers EXTERNAL probes (ids absent from the corpus), on a non-64-dim corpus") {
+    import spark.implicits._
+    // 8-dim vectors also exercise the inferred-dimension path in
+    // buildPqIndex (a hard-coded 64 would slice empty subvectors here).
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val corpus = (0L until 60L).map(i => (i, unit())).toDF("vid", "emb")
+    // probe id 1000 does not exist in the corpus; its vector is fresh
+    val probeVec = unit()
+    val probes = Seq((1000L, probeVec)).toDF("vid", "emb")
+    val idx = Similarity.buildPqIndex(corpus, subs = 4, codesPerSub = 8,
+      idCol = "vid", vecCol = "emb")
+    assert(idx.dim == 8, s"dim should be inferred from the data, got ${idx.dim}")
+    // shortlist >= corpus: the ADC stage keeps everything, so the
+    // rerank must return the EXACT brute-force top-k for the probe
+    val out = Similarity.pqRerankTopK(idx, corpus, probes, k = 3,
+        shortlist = 60, idCol = "vid", vecCol = "emb")
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 3, s"external probe was dropped: ${out.toSeq}")
+    assert(out.forall(_._1 == 1000L))
+    // independent driver-side oracle with the same sequential fold order
+    val expect = corpus.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).zip(probeVec).foldLeft(0.0) { case (a, (x, y)) => a + x * y }))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(out.map(o => (o._2, o._3)).toSeq == expect.toSeq,
+      s"got ${out.toSeq}, want ${expect.toSeq}")
+  }
+
   test("cosineTopK and annTopK agree on scores for shared pairs (foreign columns)") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
       .select(col("vec_id").as("eid"), col("embedding").as("vec"))

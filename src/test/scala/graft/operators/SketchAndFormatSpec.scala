@@ -108,6 +108,26 @@ class SketchAndFormatSpec extends SparkSuite {
     assert(merged.toSeq == whole.toSeq, "CMS merge is not the sketch of the union")
   }
 
+  test("distributionHist: one-row groups get pr_est 0.0 (never a 0/0 NaN)") {
+    import spark.implicits._
+    // group "B" has a single order — the raw cum_lt/(n-1) ratio is 0/0
+    val o = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 15.0)
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val out = Relational.distributionHist(o, nb = 8)
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.forall(r => !r._3.isNaN && !r._4.isNaN), s"NaN estimate: ${out.toSeq}")
+    val singleton = out.find(_._1 == 4L).get
+    assert(singleton._3 == 0.0, s"singleton pr_est should be 0.0: $singleton")
+    assert(singleton._4 == 1.0) // cume_dist of the only row
+    assert(singleton._2 == 1)   // first quartile
+    // the multi-row group still estimates a real distribution
+    assert(out.find(_._1 == 1L).get._3 == 0.0) // min of A
+    assert(out.find(_._1 == 3L).get._3 == 1.0) // max of A: cum_lt/(n-1) = 2/2
+  }
+
   test("csv/json/orc sinks round-trip the data (engine source+sink surface)") {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

@@ -210,14 +210,29 @@ class StreamOpsSpec extends SparkSuite {
     val t0 = "2026-01-01 00:00:00"
     val withTs = corpus.select(col("doc_id"), col("text"))
       .withColumn("event_ts", to_timestamp(lit(t0)))
+    // The file source orders batches by mtime. A sleep between writes
+    // is NOT enough on filesystems with 1-second mtime granularity
+    // (tied stamps could replay a sentinel BEFORE the corpus, advancing
+    // the watermark so the corpus arrives late and is dropped) — stamp
+    // each write's files with explicit, strictly increasing mtimes.
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def stampNewFiles(epochMs: Long): Unit =
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && !stamped.contains(f.getName))
+        .foreach { f =>
+          assert(f.setLastModified(epochMs), s"cannot set mtime on $f")
+          stamped += f.getName
+        }
+    val base = (System.currentTimeMillis() / 1000) * 1000 - 3600000L
     withTs.write.mode("overwrite").parquet(tmp)
+    stampNewFiles(base)
     for (h <- Seq(1, 2)) {
-      Thread.sleep(50) // distinct mtime: the file source orders batches by it
       withTs.sparkSession.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(-900L - h, "watermark sentinel",
             java.sql.Timestamp.valueOf(s"2026-01-01 0$h:00:00"))),
           withTs.schema)
         .write.mode("append").parquet(tmp)
+      stampNewFiles(base + h * 2000L)
     }
     val streamed = spark.readStream.schema(withTs.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -227,6 +242,10 @@ class StreamOpsSpec extends SparkSuite {
       .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
     try {
       q.processAllAvailable()
+      // the replay genuinely ran multiple micro-batches (one per file)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
       val stream = spark.sql(
           "SELECT doc_id, n_hits, n_grams, contamination FROM so_decon_stream")
         .orderBy("doc_id").collect()
@@ -251,9 +270,11 @@ class StreamOpsSpec extends SparkSuite {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text", "lang")
     val tmp = java.nio.file.Files.createTempDirectory("hashreplay").toString
-    // two file batches so the stream genuinely runs >1 micro-batch
+    // two file writes + maxFilesPerTrigger=1 → >1 micro-batch, whatever
+    // the files' mtimes are (the assertions are order-insensitive, so
+    // batch ORDER doesn't matter here — only that several batches ran,
+    // asserted on query progress below)
     docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
-    Thread.sleep(50) // distinct mtime: the file source orders batches by it
     docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
     val streamed = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -268,6 +289,10 @@ class StreamOpsSpec extends SparkSuite {
     try {
       q1.processAllAvailable()
       q2.processAllAvailable()
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+        "p02 replay should run >1 non-empty micro-batch")
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 2,
+        "p04 replay should run >1 non-empty micro-batch")
       val sStream = spark.sql("SELECT doc_id, lang, bucket FROM so_p02_stream")
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       val sBatch = Pipeline.sampleStratified(docs, rates, defaultRate = 32768,
@@ -295,8 +320,10 @@ class StreamOpsSpec extends SparkSuite {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("cmsreplay").toString
+    // order-insensitive (complete-mode counters): batch COUNT is what
+    // matters, and maxFilesPerTrigger=1 splits per file regardless of
+    // mtime ties — asserted on query progress below
     docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
-    Thread.sleep(50)
     docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
     def toks(df: org.apache.spark.sql.DataFrame) = df
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
@@ -308,6 +335,8 @@ class StreamOpsSpec extends SparkSuite {
       .outputMode("complete").trigger(Trigger.ProcessingTime(50)).start()
     try {
       q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "CMS replay should run >1 non-empty micro-batch")
       val stream = spark.sql("SELECT row, bucket, cnt FROM so_cms_stream")
         .orderBy("row", "bucket").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
