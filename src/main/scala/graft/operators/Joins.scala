@@ -260,4 +260,90 @@ object Joins {
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__match").as(asofCol))
   }
+
+  /** Driver-built Bloom filter over a key set: `words(i)` holds bits
+    * [64·i, 64·i+64) of a `bits`-bit filter, each key setting `hashes`
+    * positions (pmod(xxhash64(seed, key), bits)). A few KiB of longs —
+    * small enough to ride the query plan as a literal to every
+    * executor, the way Spark's own runtime row-level filters travel.
+    * No false negatives ever; false-positive rate is the standard
+    * (1 − e^(−hashes·n/bits))^hashes.
+    */
+  case class BloomFilter(words: Array[Long], bits: Int, hashes: Int) {
+    /** Number of distinct keys inserted (for FPP accounting). */
+    def loadFactor(n: Long): Double = hashes.toDouble * n / bits
+  }
+
+  /** Build a [[BloomFilter]] from the distinct values of `keyCol`.
+    *
+    * NOTE: runs eagerly — one two-phase aggregate over `keys` plus a
+    * ≤ bits/64-row collect execute at call time (like [[hotKeys]]'
+    * threshold overloads). At 100 TB the dim-side key set is an ingest
+    * artifact: build the filter once, keep the `BloomFilter` handle,
+    * and reuse it across queries via [[bloomMightContain]] /
+    * [[bloomSemiJoin]]'s prebuilt overload.
+    */
+  def buildBloom(keys: DataFrame, keyCol: Column, bits: Int = 1 << 16,
+      hashes: Int = 5): BloomFilter = {
+    require(bits >= 64 && bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
+    require(hashes > 0, s"hashes must be positive, got $hashes")
+    // Explode each key to its `hashes` bit positions, then one hash
+    // aggregate ORs the per-word masks: the shuffle carries at most
+    // bits/64 rows per input partition (map-side combine), never keys.
+    val posCols = (0 until hashes).map(sd =>
+      pmod(xxhash64(lit(sd), keyCol), lit(bits.toLong)))
+    val agg = keys
+      .select(explode(array(posCols: _*)).as("__pos"))
+      .select(shiftright(col("__pos"), 6).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L), col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__m"))
+      .collect()
+    val words = new Array[Long](bits / 64)
+    agg.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    BloomFilter(words, bits, hashes)
+  }
+
+  /** Membership predicate for a prebuilt [[BloomFilter]] — a pure
+    * scalar Column (xxhash64 + bit tests on an array literal, all
+    * codegen'd), so it evaluates inside the scan's WholeStageCodegen
+    * stage BEFORE any exchange: the pruning happens where the data is,
+    * with zero extra shuffle or join. False positives pass (the exact
+    * join downstream removes them); true keys always pass.
+    */
+  def bloomMightContain(bf: BloomFilter, key: Column): Column = {
+    val arr = lit(bf.words)
+    (0 until bf.hashes).map { sd =>
+      val pos = pmod(xxhash64(lit(sd), key), lit(bf.bits.toLong))
+      val word = element_at(arr, shiftright(pos, 6).cast("int") + lit(1))
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Semi join with Bloom pre-pruning — the 100 TB shape for "keep
+    * fact rows whose key exists in a dim too big to broadcast as an
+    * exact set": the filter's few KiB travel to the scan and drop
+    * most non-matching fact rows BEFORE the shuffle, so the exchange
+    * carries ~(matches + FPP·|fact|) rows instead of |fact|; the exact
+    * left-semi join then removes the false positives, making the
+    * result IDENTICAL to a plain semi join (Bloom has no false
+    * negatives). This is Spark's runtime row-level filtering exposed
+    * as a deterministic operator the caller controls and can feed an
+    * ingest-time filter.
+    *
+    * This overload builds the filter eagerly (see [[buildBloom]]'s
+    * note); pass a prebuilt one for repeated use.
+    */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, bits: Int = 1 << 16, hashes: Int = 5): DataFrame =
+    bloomSemiJoin(left, right, leftKey, rightKey,
+      buildBloom(right.select(col(rightKey)), col(rightKey), bits, hashes))
+
+  /** Prebuilt-filter overload: fully lazy, reuses an ingest artifact. */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, bf: BloomFilter): DataFrame = {
+    val r = right.select(col(rightKey).as("__bsj_k")).distinct()
+    left.filter(bloomMightContain(bf, col(leftKey)))
+      .join(r, col(leftKey) === col("__bsj_k"), "left_semi")
+  }
 }

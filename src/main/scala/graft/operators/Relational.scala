@@ -833,6 +833,49 @@ object Relational {
         .orderBy("iv_id")
     }),
 
+    // Bloom-pruned semi join via [[Joins.bloomSemiJoin]]: lineitems
+    // whose supplier sits in region ASIA. The dim keys fold into a
+    // few-KiB bit array that rides the plan to the fact scan, so most
+    // non-ASIA rows die inside the scan's codegen stage BEFORE the
+    // shuffle; the exact semi join then removes the Bloom's false
+    // positives. Oracle: the plain EXISTS — proving pre-pruning
+    // changes nothing. The 100 TB shape for dims too big to broadcast
+    // as exact sets (Spark's runtime row-level filter, caller-owned).
+    "q51_bloom_semi_join" -> ((s, dir) => {
+      val asiaSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir)
+            .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      Joins.bloomSemiJoin(lineitem(s, dir), asiaSupp,
+          "l_suppkey", "s_suppkey", bits = 1 << 14, hashes = 5)
+        .groupBy("l_shipmode")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_shipmode")
+    }),
+
+    // Time-range rolling window: per customer, the trailing-90-day
+    // order count and spend at every order (RANGE frame over event
+    // time, not ROWS — ties and gaps handled by time, the way a
+    // marketing/risk rolling feature is defined). Partitioned by
+    // o_custkey — high cardinality, so every window partition is tiny
+    // and the single exchange balances at any scale; the frame is a
+    // sliding two-pointer inside each partition, never a cross join.
+    // Cents-as-long arithmetic keeps the rolling sum order-independent
+    // and hash-exact (double accumulation order differs per engine).
+    "q52_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("long"))
+        .rangeBetween(-90L * 86400L, 0L)
+      orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("n_90d", count(lit(1)).over(w))
+        .withColumn("spend_90d", (sum("cents").over(w).cast("double") / 100.0))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "n_90d", "spend_90d")
+        .orderBy("o_orderkey")
+    }),
+
     // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
     // sketches are built once, then re-merged per region WITHOUT
     // re-scanning the facts — the pre-aggregate-then-merge pattern that
@@ -1446,6 +1489,26 @@ object Relational {
          SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(l_quantity), 2) AS qty
          FROM iv JOIN lineitem ON l_shipdate BETWEEN d0 AND d1
-         GROUP BY iv_id ORDER BY iv_id"""
+         GROUP BY iv_id ORDER BY iv_id""",
+
+    "q51_bloom_semi_join" ->
+      """SELECT l_shipmode, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (
+           SELECT 1 FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' AND s_suppkey = l_suppkey)
+         GROUP BY l_shipmode ORDER BY l_shipmode""",
+
+    "q52_rolling_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+           COUNT(*) OVER w AS n_90d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 AS spend_90d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey"""
   )
 }
