@@ -191,9 +191,14 @@ object Joins {
     // arithmetic is fine HERE (a ~1-ulp error against a count
     // threshold, vs exactness for the join keys above) and avoids
     // long overflow when lo and hi sit at opposite extremes.
+    // Inverted intervals (hi < lo — dirty data) match NOTHING, the
+    // same result a raw BETWEEN predicate gives: dropped here, before
+    // the positive-stride sequence() below would reject stop < start
+    // with an opaque runtime error on the whole job.
     val r = right
       .withColumn("__lo", rightLo.cast("long"))
       .withColumn("__hi", rightHi.cast("long"))
+      .filter(col("__hi") >= col("__lo"))
       .withColumn("__nb",
         ((col("__hi").cast("double") - col("__lo").cast("double"))
           / lit(bucketWidth.toDouble)).cast("long") + 1)

@@ -850,9 +850,10 @@ object Relational {
         .select(col("s_suppkey"))
       Joins.bloomSemiJoin(lineitem(s, dir), asiaSupp,
           "l_suppkey", "s_suppkey", bits = 1 << 14, hashes = 5)
-        .groupBy("l_shipmode")
-        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
-        .orderBy("l_shipmode")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // Time-range rolling window: per customer, the trailing-90-day
@@ -864,16 +865,42 @@ object Relational {
     // sliding two-pointer inside each partition, never a cross join.
     // Cents-as-long arithmetic keeps the rolling sum order-independent
     // and hash-exact (double accumulation order differs per engine).
+    // The RANGE axis is datediff days (TIMESTAMP_NTZ has no legal cast
+    // to BIGINT in Spark 4), so the frame unit matches the column's
+    // day granularity and the oracle's INTERVAL 90 DAY frame exactly.
     "q52_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").cast("long"))
-        .rangeBetween(-90L * 86400L, 0L)
+        .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+        .rangeBetween(-90L, 0L)
       orders(s, dir)
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
         .withColumn("n_90d", count(lit(1)).over(w))
         .withColumn("spend_90d", (sum("cents").over(w).cast("double") / 100.0))
         .select("o_orderkey", "o_custkey", "o_orderdate", "n_90d", "spend_90d")
         .orderBy("o_orderkey")
+    }),
+
+    // Prebuilt-filter Bloom path: [[Joins.buildBloom]] once, then
+    // [[Joins.bloomSemiJoin]]'s fully-lazy overload — the ingest-
+    // artifact story EXECUTED, not just documented. At 100 TB the dim
+    // key set folds into a few-KiB BloomFilter at ingest time and is
+    // reused across queries without re-aggregating the dim; here the
+    // BUILDING-segment customer keys prune the orders scan before its
+    // shuffle, and the exact semi join removes the Bloom's false
+    // positives — so the oracle is the plain EXISTS. Cents-as-long
+    // keeps the price sum order-independent and hash-exact.
+    "q53_bloom_prebuilt" -> ((s, dir) => {
+      val segKeys = customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = Joins.buildBloom(segKeys, col("c_custkey"),
+        bits = 1 << 12, hashes = 5)
+      Joins.bloomSemiJoin(orders(s, dir), segKeys, "o_custkey", "c_custkey", bf)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("sum_price"))
+        .orderBy("o_orderpriority")
     }),
 
     // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
@@ -1492,14 +1519,15 @@ object Relational {
          GROUP BY iv_id ORDER BY iv_id""",
 
     "q51_bloom_semi_join" ->
-      """SELECT l_shipmode, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
          FROM lineitem
          WHERE EXISTS (
            SELECT 1 FROM supplier
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            WHERE r_name = 'ASIA' AND s_suppkey = l_suppkey)
-         GROUP BY l_shipmode ORDER BY l_shipmode""",
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q52_rolling_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
@@ -1509,6 +1537,16 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "q53_bloom_prebuilt" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+         FROM orders
+         WHERE EXISTS (
+           SELECT 1 FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

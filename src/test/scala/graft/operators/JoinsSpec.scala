@@ -203,6 +203,86 @@ class JoinsSpec extends SparkSuite {
       s"unexpected failure: ${chain(ex)}")
   }
 
+  test("rangeJoin: inverted intervals (hi < lo) match nothing instead of erroring") {
+    import spark.implicits._
+    // Interval 2 (10→0) and 3 (9→2) are inverted AND cross bucket
+    // edges — the shape that made the positive-stride sequence() throw
+    // before the pre-filter. Raw-BETWEEN semantics: they match nothing.
+    val pts = Seq(0L, 5L, 10L).toDF("p")
+    val ivs = Seq((1L, 0L, 10L), (2L, 10L, 0L), (3L, 9L, 2L))
+      .toDF("ivid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, ivs, col("p"), col("lo"), col("hi"),
+        bucketWidth = 4)
+      .select("p", "ivid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (5L, 1L), (10L, 1L)),
+      s"inverted intervals changed the result: $got")
+  }
+
+  test("bloomSemiJoin ≡ plain left_semi even when false positives must occur") {
+    // A deliberately overloaded filter (256 bits, 400 keys) so that
+    // Bloom false positives are GUARANTEED among non-members — the
+    // exact semi join downstream must remove every one of them.
+    val left = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") * 7).as("v"))
+    val right = spark.range(0, 2000, 5).select(col("id").as("rk"))
+    val bf = Joins.buildBloom(right, col("rk"), bits = 256, hashes = 3)
+    val fp = left.filter(col("k") % 5 =!= 0)
+      .filter(Joins.bloomMightContain(bf, col("k"))).count()
+    assert(fp > 0, "filter not loaded enough to force false positives — vacuous")
+    val plain = left.join(right, col("k") === col("rk"), "left_semi")
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(plain.size == 400)
+    val prebuilt = Joins.bloomSemiJoin(left, right, "k", "rk", bf)
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(prebuilt == plain, "prebuilt-filter overload diverged from plain semi join")
+    val eager = Joins.bloomSemiJoin(left, right, "k", "rk",
+        bits = 256, hashes = 3)
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(eager == plain, "eager overload diverged from plain semi join")
+  }
+
+  test("bloom has no false negatives: every inserted key passes, long and string") {
+    val longKeys = spark.range(0, 5000).select(col("id").as("k"))
+    val bfLong = Joins.buildBloom(longKeys, col("k"), bits = 1 << 12, hashes = 5)
+    assert(longKeys.filter(!Joins.bloomMightContain(bfLong, col("k"))).count() == 0,
+      "a long key the filter saw at build time failed the probe")
+    val strKeys = spark.range(0, 3000)
+      .select(concat(lit("key-"), col("id")).as("k"))
+    val bfStr = Joins.buildBloom(strKeys, col("k"), bits = 1 << 12, hashes = 5)
+    assert(strKeys.filter(!Joins.bloomMightContain(bfStr, col("k"))).count() == 0,
+      "a string key the filter saw at build time failed the probe")
+  }
+
+  test("measured FPP stays near the standard (1-e^{-kn/m})^k bound") {
+    val n = 1000
+    val bits = 1 << 14
+    val hashes = 5
+    val keys = spark.range(0, n).select(col("id").as("k"))
+    val bf = Joins.buildBloom(keys, col("k"), bits, hashes)
+    val probes = 20000L
+    val fpCount = spark.range(1000000, 1000000 + probes)
+      .select(col("id").as("k"))
+      .filter(Joins.bloomMightContain(bf, col("k"))).count()
+    val fpp = fpCount.toDouble / probes
+    val theo = math.pow(1 - math.exp(-hashes.toDouble * n / bits), hashes)
+    info(f"measured FPP=$fpp%.5f theoretical=$theo%.5f (n=$n m=$bits k=$hashes)")
+    // 3× + additive slack absorbs binomial noise over 20k probes while
+    // still catching a broken bit layout (which lands near FPP ≈ 1)
+    assert(fpp <= theo * 3 + 0.01,
+      f"FPP $fpp%.5f far above theoretical $theo%.5f — bit layout broken?")
+  }
+
+  test("buildBloom rejects invalid parameters") {
+    val keys = spark.range(0, 10).select(col("id").as("k"))
+    intercept[IllegalArgumentException] {
+      Joins.buildBloom(keys, col("k"), bits = 100, hashes = 5) // not ×64
+    }
+    intercept[IllegalArgumentException] {
+      Joins.buildBloom(keys, col("k"), bits = 256, hashes = 0)
+    }
+  }
+
   test("salt column does not leak into the output schema") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id")
     val dim = ev.select(col("user_id")).distinct().withColumn("t", lit(1))

@@ -264,6 +264,39 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q51: bloom membership predicate runs in the scan's codegen stage, pre-exchange") {
+    import org.apache.spark.sql.functions.col
+    // (a) in q51's executed plan, a codegen'd Filter carrying the
+    // xxhash64 membership tests sits directly above the lineitem scan
+    // with NO Exchange in between: the pruning happens where the data
+    // is, before the shuffle pays for the rows it would have carried.
+    val df = SparkEntry.queries("q51_bloom_semi_join")(spark, dir)
+    df.collect() // finalize the adaptive plan on THIS QueryExecution
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val m = """\*\(\d+\) Filter [^\n]*xxhash64""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"membership predicate not a codegen'd Filter:\n$p")
+    val below = p.substring(m.get.start)
+    val scanIdx = below.indexOf("parquet")
+    assert(scanIdx >= 0, s"no parquet scan beneath the bloom filter:\n$below")
+    assert(!below.substring(0, scanIdx).contains("Exchange"),
+      s"an Exchange sits between the bloom filter and the scan:\n$below")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // (b) the predicate is a pure scalar filter: applying it alone adds
+    // zero exchanges and zero joins — the bit array rides the plan as a
+    // literal, not a join against a filter-side table.
+    val keys = spark.range(0, 1000).select(col("id").as("rk"))
+    val bf = Joins.buildBloom(keys, col("rk"), bits = 1 << 12, hashes = 5)
+    val fp = spark.range(0, 100000).select(col("id").as("k"))
+      .filter(Joins.bloomMightContain(bf, col("k")))
+      .queryExecution.explainString(FormattedMode)
+    assert(!fp.contains("Exchange"), s"bloom probe shuffled:\n$fp")
+    assert(!fp.contains("Join"), s"bloom probe joined:\n$fp")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
