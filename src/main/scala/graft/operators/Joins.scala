@@ -268,7 +268,8 @@ object Joins {
 
   /** Driver-built Bloom filter over a key set: `words(i)` holds bits
     * [64·i, 64·i+64) of a `bits`-bit filter, each key setting `hashes`
-    * positions (pmod(xxhash64(seed, key), bits)). A few KiB of longs —
+    * positions derived by double hashing (see [[bloomPositions]]).
+    * A few KiB of longs —
     * small enough to ride the query plan as a literal to every
     * executor, the way Spark's own runtime row-level filters travel.
     * No false negatives ever; false-positive rate is the standard
@@ -277,6 +278,27 @@ object Joins {
   case class BloomFilter(words: Array[Long], bits: Int, hashes: Int) {
     /** Number of distinct keys inserted (for FPP accounting). */
     def loadFactor(n: Long): Double = hashes.toDouble * n / bits
+  }
+
+  /** The `hashes` bit positions of `key` in a `bits`-bit filter —
+    * shared by build and probe so the layouts can never diverge.
+    * Kirsch–Mitzenmacher double hashing: TWO xxhash64 evaluations
+    * derive all k positions as h1 + i·stride (mod bits), instead of k
+    * independent hashes — this is what Guava/Parquet Bloom filters do,
+    * and it keeps probe-side expression count (and codegen size)
+    * constant as k grows. The stride is forced ODD, hence coprime with
+    * any power-of-two `bits`, so a key's k positions are pairwise
+    * DISTINCT when bits is a power of 2 — strictly better load
+    * behavior than k independent hashes, which collide with
+    * probability ~k²/2m. All values stay below 5·bits: no ANSI
+    * overflow on the full long-range hash outputs (they are reduced
+    * mod bits before any addition or multiplication).
+    */
+  private def bloomPositions(key: Column, bits: Int, hashes: Int): Seq[Column] = {
+    val m = lit(bits.toLong)
+    val h1 = pmod(xxhash64(lit(0), key), m)
+    val stride = pmod(xxhash64(lit(1), key), m) * lit(2L) + lit(1L)
+    (0 until hashes).map(i => pmod(h1 + lit(i.toLong) * pmod(stride, m), m))
   }
 
   /** Build a [[BloomFilter]] from the distinct values of `keyCol`.
@@ -295,8 +317,7 @@ object Joins {
     // Explode each key to its `hashes` bit positions, then one hash
     // aggregate ORs the per-word masks: the shuffle carries at most
     // bits/64 rows per input partition (map-side combine), never keys.
-    val posCols = (0 until hashes).map(sd =>
-      pmod(xxhash64(lit(sd), keyCol), lit(bits.toLong)))
+    val posCols = bloomPositions(keyCol, bits, hashes)
     val agg = keys
       .select(explode(array(posCols: _*)).as("__pos"))
       .select(shiftright(col("__pos"), 6).cast("int").as("__w"),
@@ -317,8 +338,7 @@ object Joins {
     */
   def bloomMightContain(bf: BloomFilter, key: Column): Column = {
     val arr = lit(bf.words)
-    (0 until bf.hashes).map { sd =>
-      val pos = pmod(xxhash64(lit(sd), key), lit(bf.bits.toLong))
+    bloomPositions(key, bf.bits, bf.hashes).map { pos =>
       val word = element_at(arr, shiftright(pos, 6).cast("int") + lit(1))
       call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
