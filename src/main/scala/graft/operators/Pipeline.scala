@@ -155,6 +155,86 @@ object Pipeline {
           .as("q"),
         col("mn"), col("mx"))
 
+  /** Deterministic training-order shuffle: assign each document to one
+    * of `nShards` output shards and give it a reproducible position
+    * within its shard — the "global shuffle" a training pipeline needs
+    * before writing batch files, WITHOUT an RNG: both decisions derive
+    * from md5(text), so re-runs, other engines, and upstream
+    * repartitions produce byte-identical shard files.
+    *
+    * Shard = equal-width range over the first 4 hex digits of the hash
+    * (bucket·nShards div 65536 — uniform because md5 is); the
+    * within-shard key is the NEXT 12 hex digits, independent of the
+    * bits that chose the shard, with `idCol` as the collision tbreak.
+    * One exchange (hash by shard) + per-shard sort — exactly the write
+    * pattern of a sharded training-data job at any scale; shards are
+    * equal-sized in expectation, so no straggler task.
+    *
+    * Output: (id, shard, ord, rnk) — `rnk` the document's 1-based
+    * training position within its shard.
+    */
+  def shuffleShard(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col(idCol))
+    docs
+      .withColumn("h", md5(col(textCol)))
+      // integer `div` (exact at any magnitude), as in [[packSequences]]
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) " +
+          s"* $nShards div 65536").cast("int"))
+      .withColumn("ord", substring(col("h"), 5, 12))
+      .withColumn("rnk", row_number().over(w))
+      .select(col(idCol), col("shard"), col("ord"), col("rnk"))
+  }
+
+  /** Corpus-mixture sampling to TARGET PROPORTIONS: `weights` gives the
+    * desired composition of the output (e.g. en:2, de:1, fr:1 → half
+    * the output English); strata absent from the map are dropped. The
+    * operator solves for the largest output achievable WITHOUT
+    * upsampling — T = min over strata of n_s/w_s "docs per unit
+    * weight" — and keeps each stratum at rate w_s·T/n_s via the same
+    * content-hash thresholds as [[sampleStratified]] (the binding
+    * stratum keeps everything; rate 1 is exact when w_s·T = n_s).
+    *
+    * Two tiny aggregates (stratum counts → one global min) feed a
+    * broadcast of |strata| thresholds back onto the corpus; the corpus
+    * itself is scanned once and never shuffled — the mixture math
+    * rides on ingest-time stats, the 100 TB shape. Content-hash
+    * selection keeps byte-identical duplicates together and makes the
+    * sample engine-reproducible, like every sampler in this file.
+    *
+    * Output: the kept rows' (id, stratum, bucket).
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      strataCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.foreach { case (k, v) =>
+      require(v > 0, s"weight for $k must be positive, got $v") }
+    val wcol = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = docs.select(col(strataCol).as("__stratum"), wcol.as("__w"))
+      .filter(col("__w").isNotNull)
+      .groupBy("__stratum", "__w").agg(count(lit(1)).as("__n"))
+    val minCap = counts.agg(min(col("__n").cast("double") / col("__w")).as("__t"))
+    // threshold per stratum as a zero-padded 4-hex string; rate 1 (the
+    // binding stratum) floors to 65536 → "g", above every hex bucket
+    val thr = counts.crossJoin(broadcast(minCap))
+      .withColumn("__rate16",
+        floor(col("__w") * col("__t") / col("__n").cast("double") * 65536).cast("long"))
+      .select(col("__stratum"),
+        when(col("__rate16") >= 65536, lit("g"))
+          .otherwise(lpad(lower(hex(col("__rate16"))), 4, "0")).as("__thr"))
+    docs
+      .withColumn("bucket", substring(md5(col(textCol)), 1, 4))
+      .join(broadcast(thr), col(strataCol) === col("__stratum"))
+      .filter(col("bucket") < col("__thr"))
+      .select(col(idCol), col(strataCol), col("bucket"))
+  }
+
   /** Heuristic quality-filter chain (the C4/Gopher-style rule screen
     * that precedes dedup in a training pipeline): per-document token
     * statistics scored against configurable rules, each rule surfaced
@@ -229,7 +309,21 @@ object Pipeline {
     // verdicts occur (the corpus is ~30-word-vocabulary word salad:
     // vocab_ratio and top_frac carry the signal).
     "p05_quality_filter" -> ((s, dir) =>
-      qualityFilter(documents(s, dir)).orderBy("doc_id"))
+      qualityFilter(documents(s, dir)).orderBy("doc_id")),
+
+    // Deterministic 16-shard training shuffle.
+    "p06_shuffle_shard" -> ((s, dir) =>
+      shuffleShard(documents(s, dir), nShards = 16)
+        .orderBy("doc_id")),
+
+    // Target mixture en:de:fr = 2:1:1 (es/zh dropped); fr is the
+    // binding stratum at these corpus counts, so its rate-1 keep-all
+    // edge ("g" threshold) is exercised at every SF.
+    "p07_mixture_sample" -> ((s, dir) =>
+      mixtureSample(documents(s, dir),
+          weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),
+          strataCol = "lang")
+        .orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -297,6 +391,41 @@ object Pipeline {
              AND top_cnt / n_toks <= 0.2
              AND n_tok_chars / n_toks BETWEEN 2.0 AND 12.0
              AND has_stop = 1) AS keep
-         FROM st ORDER BY doc_id"""
+         FROM st ORDER BY doc_id""",
+
+    "p06_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substring(h, 1, 4)) AS BIGINT) * 16 // 65536
+               AS INTEGER) AS shard,
+             substring(h, 5, 12) AS ord
+           FROM h)
+         SELECT doc_id, shard, ord,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+             AS INTEGER) AS rnk
+         FROM s ORDER BY doc_id""",
+
+    "p07_mixture_sample" ->
+      """WITH c AS (
+           SELECT lang,
+             CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.0
+                       WHEN 'fr' THEN 1.0 END AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents
+           WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+         t AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS t FROM c),
+         thr AS (
+           SELECT lang,
+             CASE WHEN CAST(floor(w * t / CAST(n AS DOUBLE) * 65536) AS BIGINT)
+                    >= 65536 THEN 'g'
+                  ELSE lpad(lower(hex(
+                    CAST(floor(w * t / CAST(n AS DOUBLE) * 65536) AS BIGINT))),
+                    4, '0') END AS thr
+           FROM c, t)
+         SELECT d.doc_id, d.lang, substring(md5(d.text), 1, 4) AS bucket
+         FROM documents d JOIN thr ON d.lang = thr.lang
+         WHERE substring(md5(d.text), 1, 4) < thr.thr
+         ORDER BY d.doc_id"""
   )
 }

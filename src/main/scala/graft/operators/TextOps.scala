@@ -201,6 +201,38 @@ object TextOps {
         round(col("max_c") / col("n_tokens"), 4).as("top_tok_ratio"),
         round(col("n_distinct") / col("n_tokens").cast("double"), 4).as("ttr"))
 
+  /** Heuristic PII redaction — the scrub pass a training pipeline runs
+    * before text ever reaches tokenization: emails, IPv4 addresses and
+    * phone-like digit runs are replaced with typed placeholder tags,
+    * and per-category match counts are kept so the pipeline can audit
+    * redaction volume per source. A heuristic screen, not a compliance
+    * guarantee — the patterns are the standard high-precision ones and
+    * deliberately simple enough to behave identically under Java regex
+    * and RE2 (no backreferences, no lookaround).
+    *
+    * Replacement order matters and is fixed: emails first (their local
+    * parts contain digit runs), then IPv4 (dotted quads would
+    * otherwise be half-eaten by the phone pattern), then phones.
+    * Counts are measured on the RAW text per category.
+    *
+    * A pure codegen'd per-row map — zero shuffles, embarrassingly
+    * parallel at any corpus size.
+    *
+    * Output: (doc_id, clean, n_emails, n_ips, n_phones).
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d -]{7,}\\d"
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>").as("clean"),
+      regexp_count(col(textCol), lit(email)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4)).cast("int").as("n_ips"),
+      regexp_count(col(textCol), lit(phone)).cast("int").as("n_phones"))
+  }
+
   // Registered queries are the public operators applied to the
   // `documents` test table (plus the gate's total-order sort, which a
   // library operator does not impose).
@@ -228,7 +260,22 @@ object TextOps {
       tfidfTopTerms(documents(s, dir), k = 3).orderBy("doc_id", "rnk")),
 
     "t07_text_surprisal" -> ((s, dir) =>
-      surprisalScore(documents(s, dir)).orderBy("doc_id"))
+      surprisalScore(documents(s, dir)).orderBy("doc_id")),
+
+    // The corpus is digit-free word salad, so deterministic PII is
+    // injected into every third document IN THE QUERY (mirrored in the
+    // oracle): one email, one phone, one IPv4 — exercising all three
+    // patterns, the replacement order, and the untouched pass-through.
+    "t08_pii_redact" -> ((s, dir) => {
+      val injected = documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or +1 555 123 4567 at 10.0.0."),
+            pmod(col("doc_id"), lit(256)).cast("string")))
+          .otherwise(col("text")))
+      redactPii(injected).orderBy("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -340,6 +387,28 @@ object TextOps {
            CAST(SUM(st) AS BIGINT) AS sum_st,
            CAST(SUM(st) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal
          FROM toks JOIN st USING (tok)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "t08_pii_redact" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1 555 123 4567 at 10.0.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
+         FROM inj ORDER BY doc_id"""
   )
 }

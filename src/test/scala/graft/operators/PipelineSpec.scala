@@ -116,6 +116,85 @@ class PipelineSpec extends SparkSuite {
       s"dup split leak: $i vs ${i + 150}"))
   }
 
+  test("shuffleShard: full coverage, contiguous ranks, md5-derived shards, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"shuffled body ${i % 150}")).toDF("rid", "body")
+    val out = Pipeline.shuffleShard(docs, nShards = 8, idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.length == 300, "every row must be assigned")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // ranks are exactly 1..n within each shard (a training order, not
+    // just a sort key)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard ranks not contiguous")
+    }
+    // shard and order derive from md5(text): recompute independently
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdInst.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (rid, shard, ord, _) =>
+      val h = md5hex(s"shuffled body ${rid % 150}")
+      assert(shard == java.lang.Long.parseLong(h.substring(0, 4), 16) * 8 / 65536,
+        s"row $rid shard mismatch")
+      assert(ord == h.substring(4, 16), s"row $rid ord mismatch")
+    }
+    // byte-identical duplicate texts land in the same shard at adjacent
+    // positions (same (ord) key, id tie-break)
+    val byText = out.groupBy(r => r._1 % 150).values
+    byText.foreach { pair =>
+      assert(pair.map(_._2).distinct.length == 1, "dup texts split across shards")
+      assert(math.abs(pair.map(_._4).max - pair.map(_._4).min) == 1,
+        "dup texts not adjacent in training order")
+    }
+    // determinism: second run identical
+    val again = Pipeline.shuffleShard(docs, nShards = 8, idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("mixtureSample: binding stratum kept whole, thresholds honored, absent strata dropped") {
+    import spark.implicits._
+    // en=200 docs at weight 2, de=70 at 1, fr=50 at 1 → capacities
+    // 100/70/50 → T=50 → rates en=0.5 ('8000'), de=50/70, fr=1 (all).
+    val docs = ((1L to 200L).map(i => (i, "en", s"english doc $i")) ++
+        (201L to 270L).map(i => (i, "de", s"german doc $i")) ++
+        (271L to 320L).map(i => (i, "fr", s"french doc $i")) ++
+        (321L to 340L).map(i => (i, "zh", s"chinese doc $i")))
+      .toDF("rid", "grp", "body")
+    val out = Pipeline.mixtureSample(docs,
+        weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),
+        strataCol = "grp", idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(!out.exists(_._2 == "zh"), "unweighted stratum must be dropped")
+    assert(out.count(_._2 == "fr") == 50, "binding stratum must keep every row")
+    // en threshold is exactly floor(0.5·65536) = 0x8000
+    assert(out.filter(_._2 == "en").forall(_._3 < "8000"))
+    val enKept = out.count(_._2 == "en")
+    val deKept = out.count(_._2 == "de")
+    // md5 uniformity puts binomial(200, .5) and binomial(70, 50/70)
+    // far from 0 and n — loose sanity that the rates actually applied
+    assert(enKept > 60 && enKept < 140, s"en kept $enKept of 200 at rate 0.5")
+    assert(deKept > 30 && deKept < 70, s"de kept $deKept of 70 at rate 5/7")
+    // deterministic
+    val again = Pipeline.mixtureSample(docs,
+        weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),
+        strataCol = "grp", idCol = "rid", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("mixtureSample corpus scan pays no shuffle (thresholds broadcast back)") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"text $i")).toDF("rid", "grp", "body")
+    val plan = Pipeline.mixtureSample(docs, weights = Map("a" -> 1.0, "b" -> 1.0),
+        strataCol = "grp", idCol = "rid", textCol = "body")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("decontaminate flags only docs sharing an 8-gram with the benchmark, with exact counts") {
     import spark.implicits._
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

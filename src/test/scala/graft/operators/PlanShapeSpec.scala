@@ -216,6 +216,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 exchange (stratum repartition), got $exchanges:\n$p")
   }
 
+  test("p06: training shuffle pays exactly one exchange (the shard window)") {
+    val p = graft.operators.Pipeline.shuffleShard(
+        graft.Tables.documents(spark, dir), nShards = 16)
+      .queryExecution.explainString(FormattedMode)
+    // one hash exchange on shard feeds the rank window; nothing else
+    // shuffles — the write pattern of a sharded training-data job
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (shard hash), got $exchanges:\n$p")
+  }
+
   test("p03: quantization is a per-row map — zero exchanges, no aggregate") {
     val p = graft.operators.Pipeline.quantizeEmbeddings(
         graft.Tables.embeddings(spark, dir))

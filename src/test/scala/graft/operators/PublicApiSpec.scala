@@ -216,6 +216,24 @@ class PublicApiSpec extends SparkSuite {
     assert(TextOps.repetitionScore(docs, "k", "body").count() == docs.count())
   }
 
+  test("redactPii replaces emails/IPs/phones with exact counts and passes clean text through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.co or d@e.org now"),
+      (2L, "call 123-456-7890 or visit 10.0.0.1 and 192.168.1.255"),
+      (3L, "ring +44 20 7946 0958 today"),
+      (4L, "nothing sensitive in here at all")
+    ).toDF("k", "body")
+    val out = TextOps.redactPii(docs, idCol = "k", textCol = "body")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out(0) == ((1L, "mail <EMAIL> or <EMAIL> now", 2, 0, 0)))
+    // the IP is replaced as an IP, not half-eaten by the phone pattern
+    assert(out(1) == ((2L, "call <PHONE> or visit <IP> and <IP>", 0, 2, 1)))
+    assert(out(2) == ((3L, "ring <PHONE> today", 0, 0, 1)))
+    assert(out(3) == ((4L, "nothing sensitive in here at all", 0, 0, 0)))
+  }
+
   test("multimodal binaryMeta/frameSample run on foreign columns without decoding") {
     import spark.implicits._
     val assets = Seq(
