@@ -179,12 +179,12 @@ object Pipeline {
       s"nShards must be in [1, 65536], got $nShards")
     val w = Window.partitionBy("shard").orderBy(col("ord"), col(idCol))
     docs
-      .withColumn("h", md5(col(textCol)))
+      .withColumn("__ss_h", md5(col(textCol)))
       // integer `div` (exact at any magnitude), as in [[packSequences]]
       .withColumn("shard",
-        expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) " +
+        expr(s"CAST(conv(substring(__ss_h, 1, 4), 16, 10) AS BIGINT) " +
           s"* $nShards div 65536").cast("int"))
-      .withColumn("ord", substring(col("h"), 5, 12))
+      .withColumn("ord", substring(col("__ss_h"), 5, 12))
       .withColumn("rnk", row_number().over(w))
       .select(col(idCol), col("shard"), col("ord"), col("rnk"))
   }
@@ -198,33 +198,59 @@ object Pipeline {
     * content-hash thresholds as [[sampleStratified]] (the binding
     * stratum keeps everything; rate 1 is exact when w_s·T = n_s).
     *
-    * Two tiny aggregates (stratum counts → one global min) feed a
-    * broadcast of |strata| thresholds back onto the corpus; the corpus
-    * itself is scanned once and never shuffled — the mixture math
-    * rides on ingest-time stats, the 100 TB shape. Content-hash
-    * selection keeps byte-identical duplicates together and makes the
-    * sample engine-reproducible, like every sampler in this file.
+    * By default the stratum counts come from an extra aggregate pass
+    * over `docs` — i.e. the corpus is READ TWICE (once for counts,
+    * once for the filtered output). At 100 TB pass `stratumCounts`
+    * instead: an ingest-time stats table of (`strataCol`, `n`) rows —
+    * the same pattern as q36's hot-key stats — which makes the
+    * operator a single corpus scan with a broadcast of |strata|
+    * thresholds, never shuffled. Content-hash selection keeps
+    * byte-identical duplicates together and makes the sample
+    * engine-reproducible, like every sampler in this file.
+    *
+    * A weighted stratum with NO corpus rows makes the requested
+    * mixture unsatisfiable at any size (T would be 0); that fails at
+    * execution with a clear error rather than silently returning a
+    * wrong mixture. (If NO weighted stratum is present the result is
+    * empty — T = 0 honored literally.)
     *
     * Output: the kept rows' (id, stratum, bucket).
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
       strataCol: String, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      stratumCounts: Option[DataFrame] = None): DataFrame = {
     require(weights.nonEmpty, "weights must not be empty")
     weights.foreach { case (k, v) =>
       require(v > 0, s"weight for $k must be positive, got $v") }
     val wcol = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    val counts = docs.select(col(strataCol).as("__stratum"), wcol.as("__w"))
-      .filter(col("__w").isNotNull)
-      .groupBy("__stratum", "__w").agg(count(lit(1)).as("__n"))
-    val minCap = counts.agg(min(col("__n").cast("double") / col("__w")).as("__t"))
+    val counts = stratumCounts match {
+      case Some(stats) => stats
+        .select(col(strataCol).as("__stratum"), wcol.as("__w"),
+          col("n").cast("long").as("__n"))
+        .filter(col("__w").isNotNull)
+      case None => docs.select(col(strataCol).as("__stratum"), wcol.as("__w"))
+        .filter(col("__w").isNotNull)
+        .groupBy("__stratum", "__w").agg(count(lit(1)).as("__n"))
+    }
+    val minCap = counts.agg(
+      min(col("__n").cast("double") / col("__w")).as("__t"),
+      count(lit(1)).as("__k"))
     // threshold per stratum as a zero-padded 4-hex string; rate 1 (the
-    // binding stratum) floors to 65536 → "g", above every hex bucket
+    // binding stratum) floors to 65536 → "g", above every hex bucket.
+    // A missing weighted stratum (fewer count rows than weights) means
+    // T=0 — unsatisfiable — surfaced as an execution-time error.
     val thr = counts.crossJoin(broadcast(minCap))
       .withColumn("__rate16",
-        floor(col("__w") * col("__t") / col("__n").cast("double") * 65536).cast("long"))
+        when(col("__k") < weights.size,
+          raise_error(concat(lit("mixtureSample: only "), col("__k"),
+            lit(s" of ${weights.size} weighted strata present in the corpus; " +
+              "the requested mixture is unsatisfiable without upsampling"))))
+          .otherwise(
+            floor(col("__w") * col("__t") / col("__n").cast("double") * 65536)
+              .cast("long")))
       .select(col("__stratum"),
         when(col("__rate16") >= 65536, lit("g"))
           .otherwise(lpad(lower(hex(col("__rate16"))), 4, "0")).as("__thr"))
@@ -316,9 +342,10 @@ object Pipeline {
       shuffleShard(documents(s, dir), nShards = 16)
         .orderBy("doc_id")),
 
-    // Target mixture en:de:fr = 2:1:1 (es/zh dropped); fr is the
-    // binding stratum at these corpus counts, so its rate-1 keep-all
-    // edge ("g" threshold) is exercised at every SF.
+    // Target mixture en:de:fr = 2:1:1 (es/zh dropped). Whichever
+    // stratum binds (fr at sf0.01, de at sf0.001/sf0.1 — the fixture
+    // counts differ per SF) rides through at rate 1, so the keep-all
+    // "g"-threshold edge is exercised at every SF.
     "p07_mixture_sample" -> ((s, dir) =>
       mixtureSample(documents(s, dir),
           weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),

@@ -866,8 +866,12 @@ object Relational {
     // Cents-as-long arithmetic keeps the rolling sum order-independent
     // and hash-exact (double accumulation order differs per engine).
     // The RANGE axis is datediff days (TIMESTAMP_NTZ has no legal cast
-    // to BIGINT in Spark 4), so the frame unit matches the column's
-    // day granularity and the oracle's INTERVAL 90 DAY frame exactly.
+    // to BIGINT in Spark 4). Day units equal the oracle's timestamp
+    // INTERVAL 90 DAY frame ONLY because every fixture o_orderdate is
+    // midnight (verified); with intraday times the two frames diverge
+    // (same-day rows become RANGE peers here, and the 90-day horizon
+    // rounds to day boundaries) — reuse with real timestamps should
+    // order by unix_timestamp and a seconds frame on BOTH sides.
     "q52_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))

@@ -184,6 +184,34 @@ class PipelineSpec extends SparkSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("mixtureSample fails loudly when a weighted stratum has no corpus rows") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, "en", s"text $i")).toDF("rid", "grp", "body")
+    val ex = intercept[Exception] {
+      Pipeline.mixtureSample(docs, weights = Map("en" -> 1.0, "fr" -> 1.0),
+        strataCol = "grp", idCol = "rid", textCol = "body").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("mixtureSample")),
+      s"expected the unsatisfiable-mixture error, got: ${chain(ex)}")
+  }
+
+  test("mixtureSample with an ingest-time stats table matches the derived-counts path") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "a", s"alpha $i")) ++
+        (101L to 140L).map(i => (i, "b", s"beta $i"))).toDF("rid", "grp", "body")
+    val weights = Map("a" -> 1.0, "b" -> 1.0)
+    val derived = Pipeline.mixtureSample(docs, weights, "grp", "rid", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val stats = Seq(("a", 100L), ("b", 40L)).toDF("grp", "n")
+    val viaStats = Pipeline.mixtureSample(docs, weights, "grp", "rid", "body",
+        stratumCounts = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(derived.nonEmpty && derived.toSeq == viaStats.toSeq,
+      "stats-table path diverged from derived counts")
+  }
+
   test("mixtureSample corpus scan pays no shuffle (thresholds broadcast back)") {
     import spark.implicits._
     val docs = (1L to 100L).map(i =>
