@@ -215,6 +215,62 @@ object Joins {
       .drop("__bkt", "__pt", "__lo", "__hi", "__nb")
   }
 
+  /** Bucketed interval-OVERLAP join: every (left, right) pair whose
+    * inclusive intervals [leftLo, leftHi] and [rightLo, rightHi]
+    * intersect — the interval×interval sibling of [[rangeJoin]]'s
+    * point×interval, and the same escape from the
+    * BroadcastNestedLoopJoin a raw `llo <= rhi AND rlo <= lhi`
+    * predicate plans.
+    *
+    * Both sides explode to the `bucketWidth`-sized buckets they
+    * overlap and meet in an EQUI-join on the bucket id. A pair that
+    * shares several buckets would meet several times, so exactly one
+    * meeting is kept — the canonical bucket containing
+    * max(leftLo, rightLo), the later interval's start, which both
+    * intervals cover whenever they overlap at all. No post-join
+    * dedup aggregate, just a filter that rides the joined row.
+    *
+    * Same contracts as [[rangeJoin]]: bounds are expressions already
+    * mapped to a common long axis, negatives fine (exact long edge
+    * arithmetic, no division), inverted intervals match nothing,
+    * `maxBucketsPerInterval` fails fast per row on pathological spans.
+    * Replication is span/bucketWidth + 1 per row ON EACH SIDE — pick
+    * bucketWidth near the typical span of the LONGER side so the
+    * equi-join shuffles both sides by bucket, partition-parallel at
+    * any scale.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      leftLo: Column, leftHi: Column, rightLo: Column, rightHi: Column,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    def edge(c: Column): Column = c - pmod(c, lit(bucketWidth))
+    // one exploded side; p distinguishes left/right internals so user
+    // columns are untouched and the join's residual can see both
+    def exploded(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
+      df.withColumn(s"__${p}lo", lo.cast("long"))
+        .withColumn(s"__${p}hi", hi.cast("long"))
+        .filter(col(s"__${p}hi") >= col(s"__${p}lo"))
+        .withColumn("__nb",
+          ((col(s"__${p}hi").cast("double") - col(s"__${p}lo").cast("double"))
+            / lit(bucketWidth.toDouble)).cast("long") + 1)
+        .withColumn("__bkt", explode(
+          when(col("__nb") > maxBucketsPerInterval,
+            raise_error(concat(lit("overlapJoin: interval spans "), col("__nb"),
+              lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
+                "widen bucketWidth or raise the limit"))))
+            .otherwise(sequence(edge(col(s"__${p}lo")), edge(col(s"__${p}hi")),
+              lit(bucketWidth)))))
+        .drop("__nb")
+    exploded(left, leftLo, leftHi, "l")
+      .join(exploded(right, rightLo, rightHi, "r"), Seq("__bkt"))
+      .filter(col("__llo") <= col("__rhi") && col("__rlo") <= col("__lhi"))
+      // exactly-once: keep the meeting in the bucket of max(lo, lo)
+      .filter(col("__bkt") ===
+        edge(greatest(col("__llo"), col("__rlo"))))
+      .drop("__bkt", "__llo", "__lhi", "__rlo", "__rhi")
+  }
+
   /** As-of join: every left row paired with the temporally closest
     * right row in its `byCols` group — the most recent right row with
     * `rightTs` ≤ `leftTs` (`direction = "backward"`, inclusive, the

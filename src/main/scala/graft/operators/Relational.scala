@@ -907,6 +907,31 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Interval-overlap join via [[Joins.overlapJoin]]: two sampled
+    // order cohorts as [orderdate, +14d] and [orderdate, +10d]
+    // windows, counting overlapping pairs per left order — the
+    // campaign/session/outage "whose windows intersected" shape that a
+    // raw overlap predicate plans as a nested loop. Both sides explode
+    // to 16-day buckets and meet in one hash equi-join; the canonical-
+    // bucket filter keeps each pair exactly once (no dedup aggregate).
+    // Oracle: the plain overlap predicate on raw dates.
+    "q54_interval_overlap" -> ((s, dir) => {
+      val day = (c: Column) => datediff(c, lit("1970-01-01"))
+      val a = orders(s, dir).filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          day(col("o_orderdate")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 14)
+      val b = orders(s, dir).filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          day(col("o_orderdate")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 10)
+      Joins.overlapJoin(a, b, col("a_lo"), col("a_hi"),
+          col("b_lo"), col("b_hi"), bucketWidth = 16)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"), min("b_id").as("first_b"))
+        .orderBy("a_id")
+    }),
+
     // Mergeable-sketch rollup (Datasketches HLL): per-nation customer
     // sketches are built once, then re-merged per region WITHOUT
     // re-scanning the facts — the pre-aggregate-then-merge pattern that
@@ -1551,6 +1576,18 @@ object Relational {
          WHERE EXISTS (
            SELECT 1 FROM customer
            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey)
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q54_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id, o_orderdate AS alo,
+                      o_orderdate + INTERVAL 14 DAY AS ahi
+                    FROM orders WHERE o_orderkey % 500 = 0),
+           b AS (SELECT o_orderkey AS b_id, o_orderdate AS blo,
+                      o_orderdate + INTERVAL 10 DAY AS bhi
+                    FROM orders WHERE o_orderkey % 300 = 0)
+         SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           MIN(b_id) AS first_b
+         FROM a JOIN b ON alo <= bhi AND blo <= ahi
+         GROUP BY a_id ORDER BY a_id"""
   )
 }

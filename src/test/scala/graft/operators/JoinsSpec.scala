@@ -219,6 +219,52 @@ class JoinsSpec extends SparkSuite {
       s"inverted intervals changed the result: $got")
   }
 
+  test("overlapJoin ≡ plain overlap-predicate join, exactly once per pair, across widths") {
+    import spark.implicits._
+    // touching endpoints, containment, negatives, bucket-edge spans,
+    // and a disjoint interval; inverted right interval matches nothing
+    val as = Seq((1L, -10L, -2L), (2L, -4L, 4L), (3L, 0L, 6L), (4L, 5L, 7L),
+      (5L, 8L, 8L), (6L, 100L, 110L)).toDF("aid", "alo", "ahi")
+    val bs = Seq((10L, -3L, -3L), (11L, -20L, 50L), (12L, 6L, 8L),
+      (13L, 111L, 120L), (14L, 9L, 2L)).toDF("bid", "blo", "bhi")
+    val plain = as.join(bs, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").orderBy("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (w <- Seq(1L, 3L, 4L, 16L, 1000L)) {
+      val got = Joins.overlapJoin(as, bs, col("alo"), col("ahi"),
+          col("blo"), col("bhi"), bucketWidth = w)
+        .select("aid", "bid").orderBy("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == plain, s"bucketWidth=$w diverged from the overlap join")
+      assert(got.distinct == got, s"bucketWidth=$w emitted a pair twice")
+    }
+    assert(plain.nonEmpty && plain.size < 6 * 5, "test is vacuous")
+  }
+
+  test("overlapJoin property: random interval sets match a driver-side oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (round <- 1 to 5) {
+      def ivs(n: Int, span: Int) = Seq.fill(n) {
+        val a = rnd.nextLong() % 800
+        (a, a + rnd.nextInt(span))
+      }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val as = ivs(40, 60)
+      val bs = ivs(30, 150)
+      val expected = (for {
+        (aid, alo, ahi) <- as; (bid, blo, bhi) <- bs
+        if alo <= bhi && blo <= ahi
+      } yield (aid, bid)).sorted
+      val w = 1L + rnd.nextInt(120)
+      val got = Joins.overlapJoin(
+          as.toDF("aid", "alo", "ahi"), bs.toDF("bid", "blo", "bhi"),
+          col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected, s"round $round width $w diverged")
+    }
+  }
+
   test("bloomSemiJoin ≡ plain left_semi even when false positives must occur") {
     // A deliberately overloaded filter (256 bits, 400 keys) so that
     // Bloom false positives are GUARANTEED among non-members — the

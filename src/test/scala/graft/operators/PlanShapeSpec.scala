@@ -146,6 +146,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
   }
 
+  test("q54: interval-overlap join is a bucketed equi-join — no nested loop") {
+    val p = plan("q54_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"overlap join nested-looped:\n$p")
+    assert(!p.contains("CartesianProduct"), s"overlap join went cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
+  }
+
   test("q50: CMS build is a two-phase aggregate and the sketch reaches probes by broadcast") {
     val p = plan("q50_freq_sketch")
     // counters built with map-side partial combine (the mergeable-
