@@ -462,6 +462,51 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // MEMORY-SAFE exact percentiles — the third member of the
+    // percentile trio: q31 is exact but holds every group's values in
+    // one in-memory aggregation buffer (OOMs at 100 TB; gate-only by
+    // design), q38 is mergeable but approximate (one-bucket error),
+    // and THIS is exact and cannot OOM: a rank window over a
+    // value-sorted partition (Spark's window sort is EXTERNAL — it
+    // spills to disk, an agg buffer cannot), then only the two
+    // boundary rows per requested percentile survive into a tiny
+    // min() aggregate, and the interpolation v_lo + frac·(v_hi − v_lo)
+    // runs on |groups| rows. Honest scale limit: a window partition is
+    // one task, so a LOW-cardinality mega-group (like this 3-flag
+    // gate fixture) still sorts serially per group — spilled, not
+    // crashed, but wall-clock-bound; q38's sketch stays the
+    // recommendation there. For the common keyed case (percentile per
+    // customer/item/day — thousands of groups) this is the exact shape
+    // that scales. The oracle mirrors the SAME rank/interpolation
+    // arithmetic in the same operation order (not quantile_cont, whose
+    // internal lerp order is the engine's own), so the result is
+    // hash-exact; SketchAndFormatSpec asserts q55 ≡ q31 on the shared
+    // percentiles — two independent exact algorithms agreeing.
+    "q55_percentile_rank" -> ((s, dir) => {
+      val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+      val ranked = lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("v")).cast("long") - 1)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val aggCols = ps.flatMap { case (nm, p) =>
+        val pos = lit(p) * (col("n") - 1)
+        Seq(min(when(col("rn") === floor(pos), col("v"))).as(s"__lo_$nm"),
+          min(when(col("rn") === ceil(pos), col("v"))).as(s"__hi_$nm"))
+      }
+      val g = ranked.groupBy("l_returnflag")
+        .agg(max("n").as("n"), aggCols: _*)
+      val sel = col("l_returnflag") +: col("n") +: ps.map { case (nm, p) =>
+        val pos = lit(p) * (col("n") - 1)
+        val frac = pos - floor(pos)
+        round(col(s"__lo_$nm") + frac * (col(s"__hi_$nm") - col(s"__lo_$nm")), 4)
+          .as(nm)
+      }
+      g.select(sel: _*).orderBy("l_returnflag")
+    }),
+
     // Mergeable percentile rollup — the scale-safe twin of q31 (whose
     // exact percentile buffers every group's values in one aggregation
     // buffer; see SCALE.md). The sketch here is an equi-width histogram
@@ -1277,6 +1322,33 @@ object Relational {
            ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
            ROUND(quantile_cont(l_discount, 0.25), 4) AS disc_p25
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // rank/interpolation arithmetic mirrored operation-for-operation
+    // from the Spark plan (see q55's scaladoc) — NOT quantile_cont
+    "q55_percentile_rank" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS BIGINT) - 1 AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, MAX(n) AS n,
+             MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                 THEN v END) AS lo50,
+             MIN(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT)
+                 THEN v END) AS hi50,
+             MIN(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                 THEN v END) AS lo90,
+             MIN(CASE WHEN rn = CAST(ceil(0.9 * (n - 1)) AS BIGINT)
+                 THEN v END) AS hi90
+           FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           ROUND(lo50 + (0.5 * (n - 1) - floor(0.5 * (n - 1))) * (hi50 - lo50),
+             4) AS p50,
+           ROUND(lo90 + (0.9 * (n - 1) - floor(0.9 * (n - 1))) * (hi90 - lo90),
+             4) AS p90
+         FROM g ORDER BY l_returnflag""",
 
     // Same histogram sketch, same bucket arithmetic: floor() yields an
     // integral DOUBLE in DuckDB (vs Spark's LONG) so the CAST to

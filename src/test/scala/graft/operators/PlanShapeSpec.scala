@@ -146,6 +146,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
   }
 
+  test("q55: exact percentiles via a spillable window sort — no percentile agg buffer") {
+    val p = plan("q55_percentile_rank")
+    // the whole point: exact percentiles WITHOUT an aggregation buffer
+    // holding a group's every value (q31's shape) — the heavy lifting
+    // is a Window over an external (spillable) sort, and the aggregates
+    // that follow are plain min/max over boundary rows
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q55 fell back to a percentile aggregate buffer:\n$p")
+    assert(p.contains("Window"), s"expected the rank window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("q54: interval-overlap join is a bucketed equi-join — no nested loop") {
     val p = plan("q54_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"overlap join nested-looped:\n$p")

@@ -83,6 +83,20 @@ class SketchAndFormatSpec extends SparkSuite {
     }
   }
 
+  test("q55 rank-interpolated percentiles equal q31's exact aggregate percentiles") {
+    // Two independent exact algorithms — q31's sort-based aggregation
+    // buffer vs q55's rank window + boundary-row interpolation — must
+    // produce the same p50/p90 per group (both round to 4dp).
+    val q31 = graft.SparkEntry.queries("q31_percentiles")(spark, dir)
+      .select("l_returnflag", "p50", "p90").orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val q55 = graft.SparkEntry.queries("q55_percentile_rank")(spark, dir)
+      .select("l_returnflag", "p50", "p90").orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(q31.nonEmpty && q31.toSeq == q55.toSeq,
+      s"exact algorithms disagree: q31=${q31.toSeq} q55=${q55.toSeq}")
+  }
+
   test("q50 CMS: never undercounts, and merge-of-partials == sketch-of-whole") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
