@@ -997,6 +997,19 @@ object Relational {
         .orderBy("n_regionkey")
     }),
 
+    // Distributed global ranking via [[globalRank]] — the leaderboard /
+    // global-sample-order shape: every order ranked by price across
+    // the WHOLE table without a single-partition window (the facts
+    // stay range-partitioned across tasks; see the operator scaladoc).
+    // (o_totalprice, o_orderkey) is a total order, so the oracle's
+    // ROW_NUMBER over the same keys is deterministic.
+    "q56_global_rank" -> ((s, dir) => {
+      globalRank(orders(s, dir),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_orderkey", "o_totalprice", "rnk")
+        .orderBy("rnk")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1009,6 +1022,49 @@ object Relational {
         .orderBy("hr", "event_type")
     })
   )
+
+  /** Global 1-based rank over a TOTAL order, without the
+    * one-partition window `row_number().over(Window.orderBy(...))`
+    * plans — the shape that serializes a 100 TB sort through a single
+    * task and that every keyed window in this file deliberately avoids.
+    *
+    * The distributed recipe: `repartitionByRange` on the sort key
+    * splits the total order across N partitions (a parallel range
+    * sort, TeraSort's shape), `sortWithinPartitions` orders each one,
+    * and `monotonically_increasing_id()` — contiguous within a
+    * partition by construction — yields each row's LOCAL index, while
+    * one tiny aggregate (one row per partition) computes each
+    * partition's global OFFSET via a prefix sum. rank = offset +
+    * local index + 1. The only single-partition work is the prefix
+    * sum over N partition counts; facts are never coalesced.
+    *
+    * `sortCols` must define a TOTAL order (append a unique id as the
+    * final tie-break): with ties, which tied row gets which rank would
+    * depend on range-boundary placement.
+    *
+    * Output: every input row + `rnk`.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      numParts: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must not be empty")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    // per-partition counts + min id → prefix-sum offsets; N rows total,
+    // so the one-partition window here is over a fingernail of data
+    val offs = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), min("__mid").as("__mn"))
+      .withColumn("__off",
+        sum("__n").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__n"))
+      .select("__pid", "__mn", "__off")
+    sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("rnk", col("__off") + (col("__mid") - col("__mn")) + 1)
+      .drop("__pid", "__mid", "__mn", "__off")
+  }
 
   /** q47's body as a public df-in/df-out operator: per-row
     * percent_rank / cume_dist / ntile ESTIMATES from the q38-style
@@ -1660,6 +1716,12 @@ object Relational {
          SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
            MIN(b_id) AS first_b
          FROM a JOIN b ON alo <= bhi AND blo <= ahi
-         GROUP BY a_id ORDER BY a_id"""
+         GROUP BY a_id ORDER BY a_id""",
+
+    "q56_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS BIGINT) AS rnk
+         FROM orders ORDER BY rnk"""
   )
 }

@@ -216,6 +216,31 @@ class PublicApiSpec extends SparkSuite {
     assert(TextOps.repetitionScore(docs, "k", "body").count() == docs.count())
   }
 
+  test("globalRank equals the one-partition window's ranks while staying partitioned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 5000L).map(i => (i, rnd.nextInt(1000), s"row $i"))
+      .toDF("id", "score", "payload")
+    val sort = Seq(col("score").desc, col("id").asc)
+    val got = Relational.globalRank(df, sort, numParts = 8)
+    // the facts are range-partitioned across tasks, never coalesced to 1
+    assert(got.rdd.getNumPartitions > 1,
+      "globalRank collapsed the data to one partition")
+    val gotRows = got.select("id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val winRows = df.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(sort: _*))
+          .cast("long"))
+      .select("id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(gotRows.toSeq == winRows.toSeq,
+      "distributed ranks differ from the window row_number")
+    // ranks are a permutation of 1..n
+    assert(gotRows.map(_._2).sorted.toSeq == (1L to 5000L).toSeq)
+    // every input column rides through
+    assert(got.columns.toSeq == Seq("id", "score", "payload", "rnk"))
+  }
+
   test("redactPii replaces emails/IPs/phones with exact counts and passes clean text through") {
     import spark.implicits._
     val docs = Seq(
