@@ -289,6 +289,41 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Passage-level duplicate detection (the Lee et al. 2021
+    * "Deduplicating Training Data" sub-document shape): chunk each
+    * document into fixed-width `w`-word passages, hash each passage,
+    * and report every passage text that occurs in ≥ 2 DISTINCT
+    * documents — shared boilerplate, quoted runs, and template headers
+    * that whole-document dedup can't see. Within-document repeats
+    * (n_docs = 1) deliberately do NOT surface; that's t05's
+    * repetition-score job.
+    *
+    * Scale shape: one explode (each token lands in exactly one chunk,
+    * so output rows = tokens / w) into one map-side-combinable hash
+    * aggregate on the 128-bit passage hash — linear in corpus size, no
+    * all-pairs anything, hot passages cost one combiner cell per task.
+    * Output: (ph, n_docs, n_occ, sample_doc).
+    */
+  def passageDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16): DataFrame = {
+    require(w >= 1, s"passage width must be >= 1, got $w")
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("__np",
+        ceil(size(col("toks")).cast("double") / w).cast("int"))
+      .filter(col("__np") >= 1) // empty docs have no passages
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, __np - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")).as("passage"))
+      .select(col("doc_id"), md5(col("passage")).as("ph"))
+      .groupBy("ph")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("sample_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Public df-in/df-out near-dup operator: exact n-gram Jaccard pairs
     * over ANY corpus with an id column and a text column (the engine's
     * library surface — the registered d03 query is this applied to the
@@ -778,6 +813,19 @@ object Dedup {
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
         benchmark = docs.filter(col("doc_id") % 10 === 0))
         .orderBy("doc_id")
+    }),
+
+    // Passage-level dedup via [[passageDups]]. Cross-doc duplicated
+    // passages are guaranteed at every scale factor by re-injecting
+    // every 50th document under a shifted id IN THE QUERY (mirrored in
+    // the oracle); the corpus's natural near-dups contribute whatever
+    // unedited 8-word runs they share. Width 8 (not the 16 default) so
+    // near-dup runs survive token edits more often.
+    "d09_passage_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      passageDups(docs.unionByName(copies), w = 8).orderBy("ph")
     })
   )
 
@@ -957,6 +1005,31 @@ object Dedup {
          SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
            CAST(n_grams AS BIGINT) AS n_grams,
            n_hits / n_grams AS contamination
-         FROM hits h JOIN cnt USING (doc_id) ORDER BY doc_id"""
+         FROM hits h JOIN cnt USING (doc_id) ORDER BY doc_id""",
+
+    // Chunking mirrors the Spark plan: token i (1-based) belongs to
+    // chunk floor((i-1)/8); list_slice's inclusive 1-based bounds match
+    // Spark's slice(toks, start, length).
+    "d09_passage_dedup" ->
+      """WITH inj AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 50 = 0),
+         d AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM inj),
+         c AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                   i -> array_to_string(
+                     list_slice(toks, CAST(i * 8 + 1 AS INTEGER),
+                       CAST(i * 8 + 8 AS INTEGER)), ' '))) AS passage
+               FROM d WHERE len(toks) >= 1),
+         h AS (SELECT doc_id, md5(passage) AS ph FROM c)
+         SELECT ph, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS sample_doc
+         FROM h GROUP BY ph HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY ph"""
   )
 }

@@ -1010,6 +1010,40 @@ object Relational {
         .orderBy("rnk")
     }),
 
+    // Exact weighted quantiles via [[weightedQuantiles]] — the
+    // sampling-weight statistic a mixture pipeline reports (price
+    // quantiles under quantity weight here). One spill-backed RANGE
+    // window over (supplier, price) plus one hash aggregate: no
+    // in-memory per-group value buffer, so the q31 OOM shape is
+    // structurally impossible. Partitioned by l_suppkey — high
+    // cardinality, balanced at any scale. Weights are integral, so
+    // the cumulative sums are order-independent and hash-exact; the
+    // q × total threshold is a single IEEE double product, identical
+    // in every engine. Oracle: the same cumulative-weight definition
+    // spelled out in DuckDB window SQL.
+    "q57_weighted_median" -> ((s, dir) => {
+      weightedQuantiles(
+          lineitem(s, dir).select("l_suppkey", "l_extendedprice", "l_quantity"),
+          "l_suppkey", "l_extendedprice", col("l_quantity"),
+          Seq("wp50" -> 0.5, "wp90" -> 0.9))
+        .orderBy("l_suppkey")
+    }),
+
+    // Robust outlier detection via [[madOutliers]] — per-customer
+    // median-absolute-deviation flagging, the quality gate a corpus
+    // pipeline runs per source/user to catch anomalous records.
+    // Both medians are LOWER medians from the rank-window trick
+    // (values the data actually contains — no interpolation, no
+    // rounding), so every comparison is deterministic IEEE
+    // arithmetic and the DuckDB twin matches hash-exactly.
+    "q58_mad_outlier" -> ((s, dir) => {
+      madOutliers(
+          orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_custkey", "o_totalprice", k = 3.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "med", "adev", "mad")
+        .orderBy("o_orderkey")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1064,6 +1098,82 @@ object Relational {
     sorted.join(broadcast(offs), Seq("__pid"))
       .withColumn("rnk", col("__off") + (col("__mid") - col("__mn")) + 1)
       .drop("__pid", "__mid", "__mn", "__off")
+  }
+
+  /** Exact weighted quantiles per group via a cumulative-weight RANGE
+    * window — the weighted twin of q55's rank-window percentiles. The
+    * lower weighted q-quantile is the smallest value whose cumulative
+    * weight reaches q × total weight: one sort-window pass (RANGE
+    * frame, so tied values share the full tie-group cumulative weight
+    * — tie-order independent) plus one hash aggregate. The window sort
+    * is spill-backed; no per-group value buffer ever materializes, so
+    * this survives groups of any size — but partition BY a
+    * high-cardinality group for balance (for few-group corpora use
+    * q55's form, which aggregates instead of windowing).
+    *
+    * `weightCol` is cast to long: integral weights make the cumulative
+    * sums order-independent and hash-exact across engines; the only
+    * float op is the q × total threshold, one IEEE double product.
+    *
+    * Output: one row per group — the group column, one column per
+    * (name, q) in `qs` holding the lower weighted q-quantile of
+    * `valueCol`, and `total_weight`.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: Column, qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "qs must not be empty")
+    require(qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantiles must lie in (0, 1], got $qs")
+    val cum = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(groupCol)
+    val staged = df
+      .withColumn("__wt", weightCol.cast("long"))
+      .withColumn("__cw", sum("__wt").over(cum))
+      .withColumn("__tw", sum("__wt").over(whole))
+    val aggs = qs.map { case (nm, q) =>
+      min(when(
+        col("__cw").cast("double") >= lit(q) * col("__tw").cast("double"),
+        col(valueCol))).as(nm)
+    } :+ max("__tw").as("total_weight")
+    staged.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Robust per-group outlier detection by median absolute deviation:
+    * returns the rows whose |value − median(group)| exceeds
+    * `k` × MAD(group), with `med`/`adev`/`mad` appended. The robust
+    * twin of z-score filtering — one wild value shifts a mean/stddev
+    * gate but not this one.
+    *
+    * Both medians are LOWER medians picked by the rank-window trick
+    * (smallest value whose rank reaches half the group) — values the
+    * data actually contains, never an interpolated float — so every
+    * downstream comparison is deterministic IEEE arithmetic on
+    * engine-exact inputs; nothing needs rounding. Two window+aggregate
+    * passes and two joins, all hash-partitioned on the group key:
+    * balanced whenever the key has high cardinality (per-customer,
+    * per-user, per-source — the shape a quality pipeline runs).
+    *
+    * Degenerate case: when over half a group's values are identical,
+    * MAD = 0 and every row off the median is flagged — the standard
+    * MAD convention; callers wanting leniency there should floor the
+    * MAD before scaling.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val byV = Window.partitionBy(groupCol).orderBy(vCol)
+      in.withColumn("__rn", row_number().over(byV).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+        .groupBy(groupCol)
+        .agg(min(when(col("__rn") * 2 >= col("__n"), col(vCol))).as(out))
+    }
+    val med = lowerMedian(df, valueCol, "med")
+    val dev = df.join(med, groupCol)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(mad, groupCol).filter(col("adev") > lit(k) * col("mad"))
   }
 
   /** q47's body as a public df-in/df-out operator: per-row
@@ -1722,6 +1832,48 @@ object Relational {
       """SELECT o_orderkey, o_totalprice,
            CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
              AS BIGINT) AS rnk
-         FROM orders ORDER BY rnk"""
+         FROM orders ORDER BY rnk""",
+
+    // Same cumulative-weight lower-quantile definition as
+    // [[weightedQuantiles]]: smallest v whose cum weight reaches q×total.
+    "q57_weighted_median" ->
+      """WITH t AS (SELECT l_suppkey, l_extendedprice AS v,
+                      CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+           c AS (SELECT l_suppkey, v,
+                   SUM(wt) OVER (PARTITION BY l_suppkey ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_suppkey) AS tw FROM t)
+         SELECT l_suppkey,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+                    THEN v END) AS wp50,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.9 * CAST(tw AS DOUBLE)
+                    THEN v END) AS wp90,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+         FROM c GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    // Rank-window lower medians (value and |value−med|), then the
+    // k×MAD gate — mirrors [[madOutliers]] exactly, no interpolation.
+    "q58_mad_outlier" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+           r1 AS (SELECT o_custkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice) AS rn,
+                    COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM o),
+           med AS (SELECT o_custkey,
+                     MIN(CASE WHEN rn * 2 >= n THEN o_totalprice END) AS med
+                   FROM r1 GROUP BY o_custkey),
+           dev AS (SELECT o.*, med, ABS(o_totalprice - med) AS adev
+                   FROM o JOIN med USING (o_custkey)),
+           r2 AS (SELECT o_custkey, adev,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY adev) AS rn,
+                    COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM dev),
+           mad AS (SELECT o_custkey,
+                     MIN(CASE WHEN rn * 2 >= n THEN adev END) AS mad
+                   FROM r2 GROUP BY o_custkey)
+         SELECT o_orderkey, o_custkey, o_totalprice, med, adev, mad
+         FROM dev JOIN mad USING (o_custkey)
+         WHERE adev > 3.0 * mad
+         ORDER BY o_orderkey"""
   )
 }

@@ -36,6 +36,11 @@ object TextOps {
   private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
+  // The Gopher quality-filter stopword set (Rae et al. 2021, §A1.1):
+  // a document must contain at least two of these to pass.
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Token counting: whitespace tokens, alpha tokens, BPE-ish regex
     * tokens, average token length. Public df-in/df-out operator.
     */
@@ -236,6 +241,93 @@ object TextOps {
   // Registered queries are the public operators applied to the
   // `documents` test table (plus the gate's total-order sort, which a
   // library operator does not impose).
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    * published pre-training repetition/format filter): word-count
+    * bounds, mean word length 3–10, symbol-to-word ratio (# and …),
+    * bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    * and the two-stopword floor. Output is one row per doc with every
+    * signal exposed (so a pipeline can tune thresholds) plus the
+    * conjunction `gopher_pass`. Pure higher-order-function expression
+    * pipeline — single scan, codegen'd, no UDFs, no shuffle.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    val hashCnt = length(col("text")) -
+      length(replace(col("text"), lit("#"), lit("")))
+    // "..." count: the length delta is always a multiple of 3, so the
+    // double division and the int cast are both exact.
+    val ellCnt = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("int")
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        split(trim(col("text")), WS).as("words"),
+        split(col("text"), "\n").as("lines"),
+        (hashCnt + ellCnt).as("n_symbols"))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("__wlen"),
+        size(expr("filter(words, w -> w rlike '[A-Za-z]')")).as("__alpha"),
+        col("n_symbols"),
+        size(col("lines")).as("n_lines"),
+        size(expr("filter(lines, l -> ltrim(l) like '- %' or ltrim(l) like '* %')"))
+          .as("__bullet"),
+        size(expr("filter(lines, l -> rtrim(l) like '%...')")).as("__ell"),
+        size(expr(s"filter(array($stops), sw -> array_contains(words, sw))"))
+          .as("stop_count"))
+      .withColumn("mean_word_len",
+        round(col("__wlen").cast("double") / col("n_words"), 4))
+      .withColumn("alpha_frac",
+        round(col("__alpha").cast("double") / col("n_words"), 4))
+      .withColumn("symbol_ratio",
+        round(col("n_symbols").cast("double") / col("n_words"), 4))
+      .withColumn("bullet_frac",
+        round(col("__bullet").cast("double") / col("n_lines"), 4))
+      .withColumn("ellipsis_frac",
+        round(col("__ell").cast("double") / col("n_lines"), 4))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") >= 0.8 && col("stop_count") >= 2)
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "symbol_ratio", "n_lines", "bullet_frac", "ellipsis_frac",
+        "stop_count", "gopher_pass")
+  }
+
+  /** Inverted-index build: token → document frequency + a bounded
+    * posting sample (the `k` smallest doc ids, comma-joined). The
+    * search/decontamination index shape, built scale-right: df is a
+    * map-side-combinable count, and the postings are truncated to `k`
+    * per token BEFORE any list materializes — a streaming row_number
+    * window, never `collect_list` over an unbounded group, so a token
+    * appearing in every document of a 100 TB corpus still costs O(k)
+    * memory. One exploded-token shuffle feeds both aggregates; the
+    * final join is co-partitioned on the token.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 10, minDf: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), WS))).as("tok"))
+    val dfCnt = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val heads = toks
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("tok").orderBy("doc_id")))
+      .filter(col("__rn") <= k)
+      .groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("__p"))
+      .select(col("tok"),
+        array_join(expr("transform(__p, x -> cast(x as string))"), ",")
+          .as("postings"))
+    dfCnt.join(heads, "tok").filter(col("df") >= minDf)
+      .select("tok", "df", "postings")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_tokens" -> ((s, dir) =>
       tokenStats(documents(s, dir)).orderBy("doc_id")),
@@ -275,7 +367,29 @@ object TextOps {
             pmod(col("doc_id"), lit(256)).cast("string")))
           .otherwise(col("text")))
       redactPii(injected).orderBy("doc_id")
-    })
+    }),
+
+    // The corpus is single-line digit-free word salad, so the line- and
+    // symbol-shaped Gopher signals are exercised by injecting bullets,
+    // ellipsis lines, and # runs into slices of the corpus IN THE QUERY
+    // (mirrored CASE-for-CASE in the oracle; branch order matters for
+    // doc_ids divisible by several moduli). The untouched docs exercise
+    // the word-count / word-length / stopword rules on real data.
+    "t09_gopher_rules" -> ((s, dir) => {
+      val injected = documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"),
+            lit("\n- bullet one\n- bullet two\n* bullet three")))
+          .when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit("\nto be continued...\nand then...")))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" ## ## ## ## ## ##")))
+          .otherwise(col("text")))
+      gopherRules(injected).orderBy("doc_id")
+    }),
+
+    "t10_inverted_index" -> ((s, dir) =>
+      invertedIndex(documents(s, dir), k = 10, minDf = 3L).orderBy("tok"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -409,6 +523,82 @@ object TextOps {
              '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
            CAST(len(regexp_extract_all(text,
              '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
-         FROM inj ORDER BY doc_id"""
+         FROM inj ORDER BY doc_id""",
+
+    // Injection CASE mirrors the Spark query branch-for-branch; chr(10)
+    // is the same \n Spark's lit embeds.
+    "t09_gopher_rules" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN text || chr(10) || '- bullet one'
+                 || chr(10) || '- bullet two' || chr(10) || '* bullet three'
+               WHEN doc_id % 5 = 0 THEN text || chr(10) || 'to be continued...'
+                 || chr(10) || 'and then...'
+               WHEN doc_id % 7 = 0 THEN text || ' ## ## ## ## ## ##'
+               ELSE text END AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS words,
+             string_split(text, chr(10)) AS lines,
+             (length(text) - length(replace(text, '#', '')))
+               + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                   AS INTEGER) AS n_symbols
+           FROM inj),
+         m AS (
+           SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS n_words,
+             list_aggregate(list_transform(words, w -> length(w)), 'sum')
+               AS wlen,
+             CAST(len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS alpha,
+             n_symbols,
+             CAST(len(lines) AS INTEGER) AS n_lines,
+             CAST(len(list_filter(lines, l -> ltrim(l) LIKE '- %'
+               OR ltrim(l) LIKE '* %')) AS INTEGER) AS bullet,
+             CAST(len(list_filter(lines,
+               l -> rtrim(l) LIKE '%...')) AS INTEGER) AS ell,
+             CAST(len(list_filter(
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+               sw -> list_contains(words, sw))) AS INTEGER) AS stop_count
+           FROM base),
+         r AS (
+           SELECT doc_id, n_words,
+             ROUND(CAST(wlen AS DOUBLE) / n_words, 4) AS mean_word_len,
+             ROUND(CAST(alpha AS DOUBLE) / n_words, 4) AS alpha_frac,
+             ROUND(CAST(n_symbols AS DOUBLE) / n_words, 4) AS symbol_ratio,
+             n_lines,
+             ROUND(CAST(bullet AS DOUBLE) / n_lines, 4) AS bullet_frac,
+             ROUND(CAST(ell AS DOUBLE) / n_lines, 4) AS ellipsis_frac,
+             stop_count
+           FROM m)
+         SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           n_lines, bullet_frac, ellipsis_frac, stop_count,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1
+            AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+            AND alpha_frac >= 0.8 AND stop_count >= 2) AS gopher_pass
+         FROM r ORDER BY doc_id""",
+
+    "t10_inverted_index" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             FROM documents) x),
+         dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM toks GROUP BY tok),
+         heads AS (
+           SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+                    ORDER BY doc_id) AS postings
+           FROM (SELECT tok, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+                 FROM toks) y
+           WHERE rn <= 10 GROUP BY tok)
+         SELECT dfc.tok, dfc.df, heads.postings
+         FROM dfc JOIN heads ON dfc.tok = heads.tok
+         WHERE df >= 3 ORDER BY dfc.tok"""
   )
 }

@@ -387,4 +387,124 @@ class PublicApiSpec extends SparkSuite {
       exactScores.get(k).foreach(s => assert(s == r.getDouble(3), s"score mismatch for $k"))
     }
   }
+
+  test("weightedQuantiles equals brute-force weight expansion, handles ties, on foreign columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 1 to 6; _ <- 1 to 40
+    } yield (s"grp$g", rnd.nextInt(20) * 0.5, 1L + rnd.nextInt(9)) // ties guaranteed
+    val df = rows.toDF("bucket", "price", "qty")
+    val got = Relational.weightedQuantiles(df, "bucket", "price", col("qty"),
+        Seq("wq25" -> 0.25, "wq50" -> 0.5, "wq99" -> 0.99))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // oracle: expand each row into `qty` copies, take the lower quantile
+    val byGroup = rows.groupBy(_._1)
+    for ((g, rs) <- byGroup) {
+      val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val tw = expanded.length.toLong
+      def lower(q: Double): Double =
+        expanded(math.ceil(q * tw).toInt - 1)
+      val (wq25, wq50, wq99, totW) = got(g)
+      assert(totW == tw, s"$g total weight")
+      assert(wq25 == lower(0.25), s"$g wq25: got $wq25 want ${lower(0.25)}")
+      assert(wq50 == lower(0.5), s"$g wq50")
+      assert(wq99 == lower(0.99), s"$g wq99")
+    }
+    // q = 1.0 is the max; weight 1 everywhere degenerates to plain quantiles
+    val unit = Relational.weightedQuantiles(df, "bucket", "price", lit(1L),
+      Seq("wmax" -> 1.0)).collect()
+    val maxes = df.groupBy("bucket").agg(max("price")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    unit.foreach(r => assert(r.getDouble(1) == maxes(r.getString(0))))
+  }
+
+  test("madOutliers flags exactly the rows beyond k x MAD, including the MAD=0 degenerate group") {
+    import spark.implicits._
+    // group a: values 10..16 plus a wild 100 -> med=13, adevs {0..3, 87},
+    // mad=2 (lower median of sorted adevs 0,1,1,2,2,3,3,87), gate 3*2=6
+    val a = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 100.0).map(("a", _))
+    // group b: over half identical -> mad=0, every off-median row flags
+    val b = Seq(5.0, 5.0, 5.0, 5.0, 7.0, 3.0).map(("b", _))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("rid", "grp", "v")
+    val out = Relational.madOutliers(df, "grp", "v", k = 3.0)
+      .select("grp", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(identity)
+    assert(out.toSeq == Seq(("a", 100.0), ("b", 3.0), ("b", 7.0)), s"got ${out.toSeq}")
+    // med/adev/mad columns ride along with the original columns
+    val cols = Relational.madOutliers(df, "grp", "v").columns.toSeq
+    assert(cols == Seq("grp", "rid", "v", "med", "adev", "mad"))
+  }
+
+  test("gopherRules: each rule trips independently on crafted docs") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word${i % 7} the of and").mkString(" ") // 200 words
+    val docs = Seq(
+      (1L, fifty),                                        // passes everything
+      (2L, "too short to pass the gate"),                 // word count < 50
+      (3L, fifty + " ####### ####### " + "# ".repeat(30)),// symbol ratio
+      (4L, fifty + "\n" + (1 to 60).map(_ => "- bullet").mkString("\n")), // bullets
+      (5L, (1 to 60).map(_ => "zz...").mkString("\n")),   // ellipsis lines
+      (6L, (1 to 60).map(_ => "12345 678").mkString(" ")) // no alpha, no stops
+    ).toDF("k", "body")
+    val got = TextOps.gopherRules(docs, idCol = "k", textCol = "body")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("gopher_pass"), "doc 1 should pass")
+    assert(!byId(2L).getAs[Boolean]("gopher_pass") &&
+      byId(2L).getAs[Int]("n_words") < 50)
+    assert(!byId(3L).getAs[Boolean]("gopher_pass") &&
+      byId(3L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!byId(4L).getAs[Boolean]("gopher_pass") &&
+      byId(4L).getAs[Double]("bullet_frac") >= 0.9)
+    assert(!byId(5L).getAs[Boolean]("gopher_pass") &&
+      byId(5L).getAs[Double]("ellipsis_frac") >= 0.3)
+    assert(!byId(6L).getAs[Boolean]("gopher_pass") &&
+      byId(6L).getAs[Double]("alpha_frac") < 0.8 &&
+      byId(6L).getAs[Int]("stop_count") < 2)
+    // stopword counting is distinct-word presence, not occurrences
+    assert(byId(1L).getAs[Int]("stop_count") == 3) // the, of, and
+  }
+
+  test("invertedIndex: df counts the whole corpus while postings cap at the k smallest ids") {
+    import spark.implicits._
+    // 'common' in all 12 docs, 'rare' in 2, 'mid' in docs 3..8
+    val docs = (1L to 12L).map { i =>
+      val extra = (if (i <= 2) " rare" else "") +
+        (if (i >= 3 && i <= 8) " mid" else "")
+      (i, s"common filler$i$extra")
+    }.toDF("k", "body")
+    val got = TextOps.invertedIndex(docs, idCol = "k", textCol = "body",
+        k = 4, minDf = 2L)
+      .orderBy("tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("common", 12L, "1,2,3,4"), // df counts all 12; postings cap at 4
+      ("mid", 6L, "3,4,5,6"),
+      ("rare", 2L, "1,2")), s"got ${got.toSeq}")
+    // minDf prunes the filler singletons
+    assert(!got.exists(_._1.startsWith("filler")))
+  }
+
+  test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
+    val docs = Seq(
+      (1L, shared + " tail one"),
+      (2L, shared + " other words here"),       // same first chunk as doc 1
+      (3L, "unique text that nobody else has"), // no dup
+      (4L, "x y z " + shared + " pad1 pad2 pad3 pad4 pad5") // chunk grid offset by 3
+    ).toDF("k", "body")
+    val out = Dedup.passageDups(docs, idCol = "k", textCol = "body", w = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out(0)._2 == 2L && out(0)._4 == 1L) // docs 1+2; doc 4's copy is offset
+    // within-doc repetition alone never flags
+    val rep = Seq((9L, (shared + " " + shared))).toDF("k", "body")
+    assert(Dedup.passageDups(rep, "k", "body", w = 8).count() == 0)
+  }
 }
