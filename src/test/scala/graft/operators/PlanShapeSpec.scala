@@ -326,6 +326,60 @@ class PlanShapeSpec extends SparkSuite {
     assert(!fp.contains("Join"), s"bloom probe joined:\n$fp")
   }
 
+  test("t09: gopher rules are a pure per-row map — zero exchanges, no aggregate, no join") {
+    val p = graft.operators.TextOps.gopherRules(
+        graft.Tables.documents(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"gopherRules shuffled:\n$p")
+    assert(!p.contains("Join"), s"gopherRules joined:\n$p")
+  }
+
+  test("q57: weighted quantiles pay exactly one exchange (window + agg share the group key)") {
+    val p = graft.operators.Relational.weightedQuantiles(
+        graft.Tables.lineitem(spark, dir), "l_suppkey", "l_extendedprice",
+        org.apache.spark.sql.functions.col("l_quantity"), Seq("wp50" -> 0.5))
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (group hash), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"weightedQuantiles joined:\n$p")
+  }
+
+  test("d09: passage dedup is explode + aggregate — no join, bounded exchanges") {
+    val p = graft.operators.Dedup.passageDups(
+        graft.Tables.documents(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"passageDups joined:\n$p")
+    // countDistinct plans as a two-level aggregate: one exchange on
+    // (ph, doc_id), one on ph — never more
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("t10: inverted index joins its two aggregates co-partitioned on tok — 2 exchanges total") {
+    val p = graft.operators.TextOps.invertedIndex(
+        graft.Tables.documents(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inverted index planned an all-pairs join:\n$p")
+    // df-count agg and the window-truncated postings agg each shuffle
+    // on tok once; the final join reuses both partitionings
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (one per aggregate), got $exchanges:\n$p")
+  }
+
+  test("q58: MAD outliers keep every stage on the group key — no broadcast-nested-loop, no cartesian") {
+    val p = graft.operators.Relational.madOutliers(
+        graft.Tables.orders(spark, dir), "o_custkey", "o_totalprice")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"madOutliers planned an all-pairs join:\n$p")
+    // two window passes + two joins, all hash-partitioned on o_custkey;
+    // exchange reuse keeps the count bounded
+    val exchanges = ("\\) Exchange".r.findAllIn(p).length
+      + "\\) ReusedExchange".r.findAllIn(p).length)
+    assert(exchanges <= 5, s"exchange count blew up ($exchanges):\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
