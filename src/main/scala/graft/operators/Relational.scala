@@ -1162,18 +1162,27 @@ object Relational {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     require(k > 0.0, s"k must be positive, got $k")
-    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
-      val byV = Window.partitionBy(groupCol).orderBy(vCol)
-      in.withColumn("__rn", row_number().over(byV).cast("long"))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
-        .groupBy(groupCol)
-        .agg(min(when(col("__rn") * 2 >= col("__n"), col(vCol))).as(out))
-    }
-    val med = lowerMedian(df, valueCol, "med")
-    val dev = df.join(med, groupCol)
+    // Both medians as whole-partition window aggregates over the same
+    // hash partitioning: ONE exchange on the group key, two in-
+    // partition sorts (by value, then by |dev|), zero joins — the
+    // med/mad stats flow to every row inside its window partition
+    // instead of through an aggregate + self-join (which would scan
+    // and shuffle the input twice).
+    val whole = Window.partitionBy(groupCol)
+    val byV = whole.orderBy(valueCol)
+    val staged = df
+      .withColumn("__rn", row_number().over(byV).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("med",
+        min(when(col("__rn") * 2 >= col("__n"), col(valueCol))).over(whole))
       .withColumn("adev", abs(col(valueCol) - col("med")))
-    val mad = lowerMedian(dev, "adev", "mad")
-    dev.join(mad, groupCol).filter(col("adev") > lit(k) * col("mad"))
+    val byA = whole.orderBy("adev")
+    staged
+      .withColumn("__rn2", row_number().over(byA).cast("long"))
+      .withColumn("mad",
+        min(when(col("__rn2") * 2 >= col("__n"), col("adev"))).over(whole))
+      .filter(col("adev") > lit(k) * col("mad"))
+      .drop("__rn", "__rn2", "__n")
   }
 
   /** q47's body as a public df-in/df-out operator: per-row

@@ -367,17 +367,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 exchanges (one per aggregate), got $exchanges:\n$p")
   }
 
-  test("q58: MAD outliers keep every stage on the group key — no broadcast-nested-loop, no cartesian") {
+  test("q58: MAD outliers pay exactly one exchange — stacked windows, zero joins") {
     val p = graft.operators.Relational.madOutliers(
         graft.Tables.orders(spark, dir), "o_custkey", "o_totalprice")
       .queryExecution.explainString(FormattedMode)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"madOutliers planned an all-pairs join:\n$p")
-    // two window passes + two joins, all hash-partitioned on o_custkey;
-    // exchange reuse keeps the count bounded
-    val exchanges = ("\\) Exchange".r.findAllIn(p).length
-      + "\\) ReusedExchange".r.findAllIn(p).length)
-    assert(exchanges <= 5, s"exchange count blew up ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"madOutliers joined (agg + self-join shape came back):\n$p")
+    // one hash exchange on the group key feeds both median passes;
+    // the second pass re-sorts in place (same partitioning)
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (group hash), got $exchanges:\n$p")
   }
 
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {

@@ -435,9 +435,9 @@ class PublicApiSpec extends SparkSuite {
       .select("grp", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
       .sortBy(identity)
     assert(out.toSeq == Seq(("a", 100.0), ("b", 3.0), ("b", 7.0)), s"got ${out.toSeq}")
-    // med/adev/mad columns ride along with the original columns
+    // med/adev/mad columns ride along after the original columns
     val cols = Relational.madOutliers(df, "grp", "v").columns.toSeq
-    assert(cols == Seq("grp", "rid", "v", "med", "adev", "mad"))
+    assert(cols == Seq("rid", "grp", "v", "med", "adev", "mad"))
   }
 
   test("gopherRules: each rule trips independently on crafted docs") {
