@@ -186,6 +186,14 @@ object Similarity {
     // DuckDB oracle, so the blocked result is hash-checked exactly;
     // recall vs the all-pairs ground truth is asserted in
     // DedupSimilaritySpec (98.9% at sf0.01 with these parameters).
+    // Self-kNN join via [[knnJoin]]: every vector's top-5 neighbors —
+    // the kNN graph. Same shared plane family as s02, so the DuckDB
+    // oracle derives identical buckets and the result is hash-checked
+    // end to end; recall vs the brute-force graph asserted in
+    // DedupSimilaritySpec.
+    "s10_knn_join" -> ((s, dir) =>
+      knnJoin(embeddings(s, dir), k = 5).orderBy("qid", "rnk")),
+
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
       // bucket) rows — carrying the vectors through it would shuffle
@@ -412,6 +420,52 @@ object Similarity {
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+      .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  /** Self-kNN similarity join: EVERY vector finds its `k` nearest
+    * neighbors in the same corpus — the kNN-graph builder feeding
+    * embedding clustering, diversity sampling, and graph-based dedup.
+    * Unlike [[annTopK]] (tiny probe set, broadcast), both sides here
+    * are the full corpus, so the blocking is a shuffle hash self-join
+    * on the LSH (table, bucket) keys: candidates are only same-bucket
+    * pairs (≈ Σ n_b² per bucket across 8 tables — the same skew
+    * economics as s03's near-dup blocking, bounded by bucket width),
+    * scored exactly with the codegen'd `vector_dot`, then top-k'd per
+    * query by a streaming row_number window. Nothing is ever
+    * broadcast; every stage shuffles on keys that scale with the
+    * corpus. Neighbors missed when no table co-buckets them are the
+    * recall trade (measured in DedupSimilaritySpec); returned scores
+    * are exact.
+    *
+    * Narrow-first, like s03: the bucket self-join moves only
+    * (id, tbl, bucket) — carrying vectors through it would shuffle
+    * each one once per colliding table — and candidate pairs are
+    * deduped across tables BEFORE the two vector-fetch joins, so each
+    * surviving pair is scored once.
+    *
+    * Output: (qid, cid, rnk, score), rnk 1..≤k per qid.
+    */
+  def knnJoin(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bk = lshBuckets(e, annPlanes, BitsPerTable)
+      .select("vec_id", "tbl", "bucket")
+    val cand = bk.select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      .join(bk.select(col("vec_id").as("cid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
       .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -737,6 +791,37 @@ object Similarity {
                   WHERE q.vec_id < 10),
          scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
                     FROM cand JOIN e eq ON eq.vec_id = qid JOIN e ec ON ec.vec_id = cid),
+         r AS (SELECT qid, cid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+               FROM scored)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+    },
+
+    // s02's bucket derivation with every vector as a probe (the self-
+    // join), k=5.
+    "s10_knn_join" -> {
+      val vals = annPlaneBits.zipWithIndex
+        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH planes(pid, bits) AS (VALUES $vals),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pv AS (SELECT pid, list_transform(generate_series(0, 63),
+                  d -> CASE WHEN ((bits >> d) & 1) = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+                FROM planes),
+         sig AS (SELECT e.vec_id, pv.pid // $BitsPerTable AS tbl,
+                        (pv.pid % $BitsPerTable) AS slot,
+                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
+                 FROM e CROSS JOIN pv),
+         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
+                  FROM sig GROUP BY vec_id, tbl),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  FROM buck q JOIN buck c
+                    ON c.tbl = q.tbl AND c.bucket = q.bucket
+                   AND c.vec_id != q.vec_id),
+         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
+                    FROM cand JOIN e eq ON eq.vec_id = qid
+                              JOIN e ec ON ec.vec_id = cid),
          r AS (SELECT qid, cid, score,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
                FROM scored)

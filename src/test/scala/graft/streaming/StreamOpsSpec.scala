@@ -347,6 +347,42 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("gopherRules: batch ≡ stream on a file-replay (stateless quality gate)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    // The Gopher filter is per-row expression arithmetic — the same
+    // call gates an ingest stream with identical verdicts, the shape
+    // of a quality firewall in front of a training-data lake.
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n- bullet\n- bullet\n- bullet")))
+          .otherwise(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("gopherreplay").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = TextOps.gopherRules(streamed)
+      .writeStream.format("memory").queryName("so_t09_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "t09 replay should run >1 non-empty micro-batch")
+      val cols = "doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, " +
+        "n_lines, bullet_frac, ellipsis_frac, stop_count, gopher_pass"
+      val stream = spark.sql(s"SELECT $cols FROM so_t09_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = TextOps.gopherRules(docs).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(batch.exists(r => r(6).asInstanceOf[Double] > 0),
+        "parity test is vacuous: no bullet lines landed")
+      assert(stream.toSeq == batch.toSeq, "stream verdicts differ from batch")
+    } finally q.stop()
+  }
+
   test("cmsBuild runs unchanged on a stream: complete-mode counters equal the batch sketch") {
     import org.apache.spark.sql.functions._
     // The count-min sketch is a pure streaming aggregate — same code
