@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -125,6 +125,66 @@ object Multimodal {
       .select(col("doc_id"), col("src_h"), col("pix"))
   }
 
+  /** Perceptual average-hash (aHash) over the byte grid: resize to 8×8
+    * via [[resizeNearest]], threshold each sample against the integer
+    * mean, pack the 64 verdict bits as FOUR 16-BIT BANDS (pixel j sets
+    * bit j%16 of band j DIV 16) plus a 16-hex-char display form. Bands
+    * — not one 64-bit long — are the canonical representation: the
+    * near-dup blocking consumes them directly, and 16-bit values stay
+    * sign-free in every engine (DuckDB refuses `1 << 63`, and a signed
+    * 64-bit pack would need the d05 oracle's reduced-width workaround).
+    * Same codec caveat as [[resizeNearest]]: real pixel decode needs
+    * codecs absent here; the thresholding/packing arithmetic is
+    * exactly what an aHash kernel does and is what Spark executes.
+    * Pure per-row expression pipeline — zero shuffles, codegen'd.
+    */
+  def perceptualHash(df: DataFrame, srcWidth: Int, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    def hx(c: Column): Column = lpad(hex(c.cast("long")), 4, "0")
+    resizeNearest(df, srcWidth, 8, 8, idCol, contentCol)
+      .withColumn("__mean",
+        expr("aggregate(pix, 0L, (a, x) -> a + x) DIV 64"))
+      .withColumn("__bands", expr(
+        """transform(sequence(0, 3), k ->
+             aggregate(transform(sequence(0, 15), i ->
+               IF(element_at(pix, k * 16 + i + 1) >= __mean,
+                  shiftleft(1, i), 0)), 0, (a, x) -> a | x))"""))
+      .select(col("doc_id"),
+        expr("element_at(__bands, 1)").as("b0"),
+        expr("element_at(__bands, 2)").as("b1"),
+        expr("element_at(__bands, 3)").as("b2"),
+        expr("element_at(__bands, 4)").as("b3"))
+      .withColumn("phash",
+        concat(hx(col("b3")), hx(col("b2")), hx(col("b1")), hx(col("b0"))))
+  }
+
+  /** Perceptual near-dup pairs: assets whose aHashes differ by at most
+    * `maxHamming` of 64 bits — the image-dedup shape (crops ≠, but
+    * re-encodes/minor edits collide). Blocking is d05's pigeonhole:
+    * ≤ 3 flipped bits touch at most 3 of the 4 bands, so one band
+    * matches exactly and the band equi-join is LOSSLESS for
+    * maxHamming ≤ 3 — a shuffled hash join on (band, value), never
+    * all-pairs. Output: (id_a, id_b, hamming).
+    */
+  def phashNearDup(df: DataFrame, srcWidth: Int, maxHamming: Int = 3,
+      idCol: String = "doc_id", contentCol: String = "content"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking is lossless only for maxHamming <= 3, got $maxHamming")
+    val withBands = perceptualHash(df, srcWidth, idCol, contentCol)
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(expr("array(b0, b1, b2, b3)")))
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "key")
+    withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("""CAST(bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+                   + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)
+                AS INT)""").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.
@@ -193,6 +253,22 @@ object Multimodal {
                       CAST(ascii(substring(CAST(content AS STRING), i * 2 + 1, 1)) AS BIGINT)),
                     0L, (acc, x) -> acc + x)""").as("amp_sum"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual (aHash) near-dup over the image assets via
+    // [[phashNearDup]]. Exact byte copies of every 30th document are
+    // injected under shifted ids IN THE QUERY (mirrored in the oracle)
+    // so hamming-0 pairs exist at every SF; the corpus's natural
+    // near-dup texts contribute whatever nearby grids they produce.
+    // The oracle computes the ALL-PAIRS hamming relation, so the gate
+    // also proves the 4-band blocking loses nothing.
+    "m06_phash_neardup" -> ((s, dir) => {
+      val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      val copies = imgs.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 999999)
+      phashNearDup(imgs.unionByName(copies), srcWidth = 32, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -268,6 +344,48 @@ object Multimodal {
          SELECT doc_id, n_samples, CAST(len(kept) AS INTEGER) AS n_kept,
            CAST(list_sum(list_transform(kept,
              i -> ascii(substring(text, i*2+1, 1)))) AS BIGINT) AS amp_sum
-         FROM k ORDER BY doc_id"""
+         FROM k ORDER BY doc_id""",
+
+    // m05's pixel-index arithmetic → integer-mean threshold → four
+    // 16-bit bands, then the ALL-PAIRS hamming relation (no blocking):
+    // matching the Spark result proves the band equi-join is lossless,
+    // not just consistent.
+    "m06_phash_neardup" ->
+      """WITH imgs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 999999 AS doc_id, text FROM documents
+           WHERE doc_id % 30 = 0),
+         img AS (SELECT doc_id, text,
+                   CAST(strlen(text) // 32 AS INTEGER) AS src_h FROM imgs),
+         g AS (SELECT doc_id,
+                 list_transform(generate_series(0, 63), p ->
+                   CAST(ascii(substring(text,
+                     (((p // 8) * src_h) // 8) * 32
+                       + ((p % 8) * 32) // 8 + 1, 1)) AS BIGINT)) AS pix
+               FROM img WHERE src_h > 0),
+         m AS (SELECT doc_id, pix, list_sum(pix) // 64 AS mean FROM g),
+         h AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 15),
+                   i -> CASE WHEN pix[i+1] >= mean
+                        THEN (1 << i) ELSE 0 END)) AS INTEGER) AS b0,
+                 CAST(list_sum(list_transform(generate_series(0, 15),
+                   i -> CASE WHEN pix[16+i+1] >= mean
+                        THEN (1 << i) ELSE 0 END)) AS INTEGER) AS b1,
+                 CAST(list_sum(list_transform(generate_series(0, 15),
+                   i -> CASE WHEN pix[32+i+1] >= mean
+                        THEN (1 << i) ELSE 0 END)) AS INTEGER) AS b2,
+                 CAST(list_sum(list_transform(generate_series(0, 15),
+                   i -> CASE WHEN pix[48+i+1] >= mean
+                        THEN (1 << i) ELSE 0 END)) AS INTEGER) AS b3
+               FROM m)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+         ORDER BY id_a, id_b"""
   )
 }

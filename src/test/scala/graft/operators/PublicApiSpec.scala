@@ -490,6 +490,36 @@ class PublicApiSpec extends SparkSuite {
     assert(!got.exists(_._1.startsWith("filler")))
   }
 
+  test("perceptualHash + phashNearDup: aHash bit math by hand, lossless band blocking") {
+    import spark.implicits._
+    // srcWidth=8 on 64-byte content → the 8×8 resize is the identity
+    // grid, so every bit is hand-computable.
+    val a = ("a" * 32 + "z" * 32).getBytes("UTF-8") // mean 109 → top half set
+    val b = ("a" * 32 + "z" * 32).getBytes("UTF-8") // identical → hamming 0
+    val c = ("z" + "a" * 31 + "z" * 32).getBytes("UTF-8") // one flipped bit
+    val d = ("a" * 32 + "b" * 32).getBytes("UTF-8") // all ≥ mean 97 → 32 bits off A
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("k", "bytes")
+    val h = Multimodal.perceptualHash(docs, srcWidth = 8,
+        idCol = "k", contentCol = "bytes")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))
+    assert(h(0) == ((1L, 0, 0, 0xFFFF, 0xFFFF, "FFFFFFFF00000000")), s"got ${h(0)}")
+    assert(h(3) == ((4L, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF, "FFFFFFFFFFFFFFFF")))
+    val pairs = Multimodal.phashNearDup(docs, srcWidth = 8, maxHamming = 3,
+        idCol = "k", contentCol = "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)), s"got $pairs")
+    // lossless blocking: band-joined pairs equal the all-pairs relation
+    val sigs = h.map(t => t._1 -> Seq(t._2, t._3, t._4, t._5))
+    val allPairs = (for {
+      (i, bi) <- sigs; (j, bj) <- sigs if i < j
+      ham = bi.zip(bj).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (i, j, ham)).toSet
+    assert(pairs == allPairs, "band blocking diverged from all-pairs ground truth")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
