@@ -136,24 +136,31 @@ object Multimodal {
     * Same codec caveat as [[resizeNearest]]: real pixel decode needs
     * codecs absent here; the thresholding/packing arithmetic is
     * exactly what an aHash kernel does and is what Spark executes.
-    * Pure per-row expression pipeline — zero shuffles, codegen'd.
+    *
+    * The bits are packed through ONE hash aggregate (explode the 64
+    * samples, conditional bit sums per band) rather than nested
+    * array-HOF projections — deliberately. The aggregate makes b0..b3
+    * plain attributes behind an optimizer barrier; when they were raw
+    * expression trees, the self-join downstream inferred IsNotNull
+    * constraints on its keys and pushed them into the scan filter
+    * with the WHOLE pipeline inlined — four copies, each re-deriving
+    * the grid per band element (~10⁴ md5 evaluations per row,
+    * measured minutes instead of seconds at sf0.1). Cost shape: 64
+    * narrow rows per asset into a map-side-combinable aggregate.
     */
   def perceptualHash(df: DataFrame, srcWidth: Int, idCol: String = "doc_id",
       contentCol: String = "content"): DataFrame = {
     def hx(c: Column): Column = lpad(hex(c.cast("long")), 4, "0")
+    def band(k: Int): Column =
+      sum(expr(s"IF(i DIV 16 = $k AND pv >= __mean, shiftleft(1, i % 16), 0)"))
+        .cast("int").as(s"b$k")
     resizeNearest(df, srcWidth, 8, 8, idCol, contentCol)
       .withColumn("__mean",
         expr("aggregate(pix, 0L, (a, x) -> a + x) DIV 64"))
-      .withColumn("__bands", expr(
-        """transform(sequence(0, 3), k ->
-             aggregate(transform(sequence(0, 15), i ->
-               IF(element_at(pix, k * 16 + i + 1) >= __mean,
-                  shiftleft(1, i), 0)), 0, (a, x) -> a | x))"""))
-      .select(col("doc_id"),
-        expr("element_at(__bands, 1)").as("b0"),
-        expr("element_at(__bands, 2)").as("b1"),
-        expr("element_at(__bands, 3)").as("b2"),
-        expr("element_at(__bands, 4)").as("b3"))
+      .select(col("doc_id"), col("__mean"), posexplode(col("pix")))
+      .toDF("doc_id", "__mean", "i", "pv")
+      .groupBy("doc_id")
+      .agg(band(0), band(1), band(2), band(3))
       .withColumn("phash",
         concat(hx(col("b3")), hx(col("b2")), hx(col("b1")), hx(col("b0"))))
   }
@@ -181,8 +188,14 @@ object Multimodal {
         expr("""CAST(bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
                    + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)
                 AS INT)""").as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: on low-entropy corpora (flat
+      // grids → one hot bucket per band) the band join emits ~n² rows,
+      // and the hamming gate must kill them inside the join's codegen
+      // stage rather than feed them all through the distinct's
+      // exchange. Same result set: hamming is functionally dependent
+      // on the pair.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,18 +269,22 @@ object Multimodal {
     }),
 
     // Perceptual (aHash) near-dup over the image assets via
-    // [[phashNearDup]]. Exact byte copies of every 30th document are
+    // [[phashNearDup]]. The synthetic "pixels" are md5-derived bytes
+    // (`repeat(md5(text), 4)` — the raw word-salad text is a FLAT
+    // grid: every asset hashes to ~the same bands, which is not what
+    // decoded images look like and degenerates the blocking to ~n²
+    // candidate pairs). Exact byte copies of every 30th document are
     // injected under shifted ids IN THE QUERY (mirrored in the oracle)
-    // so hamming-0 pairs exist at every SF; the corpus's natural
-    // near-dup texts contribute whatever nearby grids they produce.
-    // The oracle computes the ALL-PAIRS hamming relation, so the gate
-    // also proves the 4-band blocking loses nothing.
+    // so hamming-0 pairs exist at every SF. The oracle computes the
+    // ALL-PAIRS hamming relation, so the gate also proves the 4-band
+    // blocking loses nothing.
     "m06_phash_neardup" -> ((s, dir) => {
       val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          repeat(md5(col("text")), 4).cast("binary").as("content"))
       val copies = imgs.filter(col("doc_id") % 30 === 0)
         .withColumn("doc_id", col("doc_id") + 999999)
-      phashNearDup(imgs.unionByName(copies), srcWidth = 32, maxHamming = 3)
+      phashNearDup(imgs.unionByName(copies), srcWidth = 16, maxHamming = 3)
         .orderBy("id_a", "id_b")
     })
   )
@@ -346,23 +363,25 @@ object Multimodal {
              i -> ascii(substring(text, i*2+1, 1)))) AS BIGINT) AS amp_sum
          FROM k ORDER BY doc_id""",
 
-    // m05's pixel-index arithmetic → integer-mean threshold → four
-    // 16-bit bands, then the ALL-PAIRS hamming relation (no blocking):
-    // matching the Spark result proves the band equi-join is lossless,
-    // not just consistent.
+    // m05's pixel-index arithmetic (srcWidth 16 over the md5-derived
+    // 128-byte grid) → integer-mean threshold → four 16-bit bands,
+    // then the ALL-PAIRS hamming relation (no blocking): matching the
+    // Spark result proves the band equi-join is lossless, not just
+    // consistent.
     "m06_phash_neardup" ->
       """WITH imgs AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           SELECT doc_id, repeat(md5(text), 4) AS px FROM documents
+           WHERE doc_id % 3 = 0
            UNION ALL
-           SELECT doc_id + 999999 AS doc_id, text FROM documents
-           WHERE doc_id % 30 = 0),
-         img AS (SELECT doc_id, text,
-                   CAST(strlen(text) // 32 AS INTEGER) AS src_h FROM imgs),
+           SELECT doc_id + 999999 AS doc_id, repeat(md5(text), 4) AS px
+           FROM documents WHERE doc_id % 30 = 0),
+         img AS (SELECT doc_id, px,
+                   CAST(strlen(px) // 16 AS INTEGER) AS src_h FROM imgs),
          g AS (SELECT doc_id,
                  list_transform(generate_series(0, 63), p ->
-                   CAST(ascii(substring(text,
-                     (((p // 8) * src_h) // 8) * 32
-                       + ((p % 8) * 32) // 8 + 1, 1)) AS BIGINT)) AS pix
+                   CAST(ascii(substring(px,
+                     (((p // 8) * src_h) // 8) * 16
+                       + ((p % 8) * 16) // 8 + 1, 1)) AS BIGINT)) AS pix
                FROM img WHERE src_h > 0),
          m AS (SELECT doc_id, pix, list_sum(pix) // 64 AS mean FROM g),
          h AS (SELECT doc_id,

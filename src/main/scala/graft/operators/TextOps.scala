@@ -328,6 +328,45 @@ object TextOps {
       .select("tok", "df", "postings")
   }
 
+  /** Vocabulary typo-pair detection (the SymSpell/FastSS deletion-
+    * variant scheme): token pairs at edit distance ≤ 1, the corpus-
+    * cleaning primitive behind typo normalization and OCR-noise
+    * screens. If ed(a, b) ≤ 1 then the sets {a} ∪ deletions(a) and
+    * {b} ∪ deletions(b) intersect (delete the inserted char / either
+    * substituted position), so candidates come from ONE equi-join on
+    * the variant string and the exact `levenshtein` verify only prunes
+    * collisions (e.g. transpositions at distance 2) — blocking is
+    * LOSSLESS. Scale shape: the vocabulary is sublinear in corpus size
+    * (Heaps' law) and variants are vocab × (len+1) short strings, so
+    * the whole pipeline is two hash aggregates and one narrow
+    * equi-join — the corpus itself is touched once, for term counts.
+    * Tokens longer than `maxLen` are excluded (runaway concatenations
+    * would fan out variants for no lexical value).
+    *
+    * Output: (tok_a, tok_b, tf_a, tf_b, dist) with dist ≤ 1; the term
+    * frequencies are the typo signal (typos rare, corrections common).
+    */
+  def typoPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxLen: Int = 24): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val vocab = normalized(docs, idCol, textCol)
+      .select(explode(split(trim(lower(col("text"))), WS)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .filter(length(col("tok")).between(1, maxLen))
+    val vars = vocab.select(col("tok"), col("tf"), explode(expr(
+      """array_distinct(concat(array(tok),
+           transform(sequence(1, length(tok)), i ->
+             concat(substring(tok, 1, i - 1),
+                    substring(tok, i + 1, length(tok) - i)))))""")).as("v"))
+    vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.tf").as("tf_a"), col("b.tf").as("tf_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_tokens" -> ((s, dir) =>
       tokenStats(documents(s, dir)).orderBy("doc_id")),
