@@ -428,7 +428,21 @@ object TextOps {
     }),
 
     "t10_inverted_index" -> ((s, dir) =>
-      invertedIndex(documents(s, dir), k = 10, minDf = 3L).orderBy("tok"))
+      invertedIndex(documents(s, dir), k = 10, minDf = 3L).orderBy("tok")),
+
+    // The corpus vocabulary has no natural 1-edit pairs (verified), so
+    // three deletion-typos of real vocabulary words are injected into
+    // every 25th document IN THE QUERY (mirrored in the oracle). The
+    // oracle computes the ALL-PAIRS levenshtein relation over the
+    // vocabulary, so the hash-matched gate also proves the deletion-
+    // variant blocking is lossless.
+    "t11_typo_pairs" -> ((s, dir) => {
+      val injected = documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(25)) === 0,
+          concat(col("text"), lit(" batc strea filte")))
+          .otherwise(col("text")))
+      typoPairs(injected).orderBy("tok_a", "tok_b")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -638,6 +652,24 @@ object TextOps {
            WHERE rn <= 10 GROUP BY tok)
          SELECT dfc.tok, dfc.df, heads.postings
          FROM dfc JOIN heads ON dfc.tok = heads.tok
-         WHERE df >= 3 ORDER BY dfc.tok"""
+         WHERE df >= 3 ORDER BY dfc.tok""",
+
+    // ALL-PAIRS ground truth (no blocking): matching the Spark result
+    // proves the deletion-variant candidate join loses nothing.
+    "t11_typo_pairs" ->
+      """WITH inj AS (
+           SELECT CASE WHEN doc_id % 25 = 0
+                  THEN text || ' batc strea filte' ELSE text END AS text
+           FROM documents),
+         toks AS (SELECT unnest(string_split_regex(trim(lower(text)),
+                    '\s+')) AS tok FROM inj),
+         vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                   GROUP BY tok
+                   HAVING length(tok) BETWEEN 1 AND 24)
+         SELECT a.tok AS tok_a, b.tok AS tok_b, a.tf AS tf_a, b.tf AS tf_b,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+         FROM vocab a JOIN vocab b ON a.tok < b.tok
+         WHERE levenshtein(a.tok, b.tok) <= 1
+         ORDER BY tok_a, tok_b"""
   )
 }

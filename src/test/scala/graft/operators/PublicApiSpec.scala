@@ -520,6 +520,44 @@ class PublicApiSpec extends SparkSuite {
     assert(pairs == allPairs, "band blocking diverged from all-pairs ground truth")
   }
 
+  test("typoPairs: insert/delete/substitute found, transpositions excluded, blocking lossless") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark sprak"), // transposition: ed 2, must NOT pair
+      (2L, "stream straem sream streams"), // sream=del, streams=ins; straem=transpose
+      (3L, "filter fylter"), // substitution
+      (4L, "window windo window") // deletion
+    ).toDF("k", "body")
+    val got = TextOps.typoPairs(docs, idCol = "k", textCol = "body")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains(("sream", "stream")) && pairs.contains(("stream", "streams"))
+      && pairs.contains(("filter", "fylter")) && pairs.contains(("windo", "window")),
+      s"missing expected pairs: $pairs")
+    assert(!pairs.contains(("spark", "sprak")) && !pairs.contains(("straem", "stream")),
+      s"transpositions (ed 2) leaked through: $pairs")
+    // term frequencies ride along: 'spark' x3 vs 'sprak' x1 would be the
+    // typo signal; check one pair's counts
+    val wp = got.find(t => t._1 == "windo" && t._2 == "window").get
+    assert(wp._3 == 1L && wp._4 == 2L, s"tf wrong: $wp")
+    // lossless vs brute force over the whole vocabulary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).distinct.sorted
+    val expect = (for {
+      (x, i) <- vocab.zipWithIndex; y <- vocab.drop(i + 1) if lev(x, y) <= 1
+    } yield (x, y)).toSet
+    assert(pairs == expect, s"blocked pairs $pairs != brute force $expect")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
