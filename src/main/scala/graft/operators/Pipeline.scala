@@ -309,6 +309,44 @@ object Pipeline {
 
   // Registered queries: the public operators applied to the driver's
   // test tables, plus the gate's total-order sort.
+  /** Length-bucketed batch assignment: documents are grouped into
+    * training batches of `batchSize` docs with SIMILAR token counts
+    * (bucket = n_toks div `bucketWidth`), the standard padding-waste
+    * reducer — a batch pads every member to its max length, so batching
+    * like-sized docs together is almost free throughput. Assignment is
+    * deterministic and RNG-free: within each (bucket, shard) the docs
+    * are numbered by id and chunked, so re-runs reproduce byte-equal
+    * batches (resumable training, like [[shuffleShard]]).
+    *
+    * The `shards` dimension exists for scale: token-length buckets are
+    * FEW (len div width), and a window partitioned only by bucket
+    * would sort 1/buckets of a 100 TB corpus per task — the q39 OOM
+    * shape. The content-hash shard splits every bucket `shards` ways,
+    * so partition count scales with the cluster, not the length
+    * distribution.
+    *
+    * Output: (id, n_toks, bucket, shard, batch) — one row per doc.
+    */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 8,
+      bucketWidth: Int = 16, shards: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(shards >= 1 && shards <= 65536,
+      s"shards must be in [1, 65536], got $shards")
+    val w = Window.partitionBy("bucket", "shard").orderBy(col(idCol))
+    docs
+      .withColumn("n_toks", size(split(trim(col(textCol)), "\\s+")))
+      .withColumn("bucket", expr(s"n_toks div $bucketWidth").cast("int"))
+      .withColumn("__h4",
+        conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("long"))
+      .withColumn("shard", expr(s"__h4 * $shards div 65536").cast("int"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize").cast("int"))
+      .select(col(idCol), col("n_toks"), col("bucket"), col("shard"),
+        col("batch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pack each language's documents into 512-token training bins.
     "p01_pack_sequences" -> ((s, dir) =>
@@ -350,7 +388,21 @@ object Pipeline {
       mixtureSample(documents(s, dir),
           weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),
           strataCol = "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Assignments from [[lengthBucketBatches]] rolled up to the
+    // padding-efficiency report: pad_waste = what a batch pads every
+    // member to its max length costs. Hash-checked end to end — the
+    // oracle rebuilds assignment AND report.
+    "p08_length_batches" -> ((s, dir) =>
+      lengthBucketBatches(documents(s, dir))
+        .groupBy("bucket", "shard", "batch")
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_toks").as("max_toks"),
+          sum("n_toks").cast("long").as("sum_toks"))
+        .withColumn("pad_waste",
+          col("max_toks").cast("long") * col("n_docs") - col("sum_toks"))
+        .orderBy("bucket", "shard", "batch"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -453,6 +505,33 @@ object Pipeline {
          SELECT d.doc_id, d.lang, substring(md5(d.text), 1, 4) AS bucket
          FROM documents d JOIN thr ON d.lang = thr.lang
          WHERE substring(md5(d.text), 1, 4) < thr.thr
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // Same md5-prefix shard map as p06's oracle; batch = chunk of 8 by
+    // doc_id order within (bucket, shard).
+    "p08_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS n_toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_toks,
+             CAST(n_toks // 16 AS INTEGER) AS bucket,
+             CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT)
+               * 4 // 65536 AS INTEGER) AS shard
+           FROM t),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY bucket, shard ORDER BY doc_id) AS rn
+               FROM b),
+         g AS (SELECT bucket, shard,
+                 CAST((rn - 1) // 8 AS INTEGER) AS batch, n_toks
+               FROM r)
+         SELECT bucket, shard, batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_toks) AS max_toks, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           CAST(CAST(MAX(n_toks) AS BIGINT) * COUNT(*)
+             - CAST(SUM(n_toks) AS BIGINT) AS BIGINT) AS pad_waste
+         FROM g GROUP BY bucket, shard, batch
+         ORDER BY bucket, shard, batch"""
   )
 }

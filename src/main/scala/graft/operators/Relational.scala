@@ -1044,6 +1044,17 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // Time-weighted average via [[timeWeightedAvg]] — each event's
+    // value holds until the next event, so the mean is weighted by
+    // holding time (the TWAP / sensor-mean / position-exposure shape;
+    // a plain AVG over irregular samples is biased toward bursts).
+    // Cents-as-long × µs-as-long keeps every sum exact; the one
+    // division is a single IEEE op. The fixture's timestamps are
+    // whole µs (verified), so Spark's ns→µs truncation and DuckDB's
+    // native ns values agree exactly.
+    "q59_time_weighted_avg" -> ((s, dir) =>
+      timeWeightedAvg(events(s, dir)).orderBy("user_id")),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1137,6 +1148,36 @@ object Relational {
         col(valueCol))).as(nm)
     } :+ max("__tw").as("total_weight")
     staged.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Time-weighted average per key: each sample's value is weighted by
+    * how long it HELD (until the next sample's timestamp), the correct
+    * mean for irregularly-sampled series — prices, sensor readings,
+    * feature values — where a plain AVG over-weights bursts. The last
+    * sample per key has no successor and contributes no interval (the
+    * standard open-ended convention; pass a horizon row if it should).
+    *
+    * Determinism: values are snapped to integer cents and intervals
+    * are integer microseconds, so both sums are exact long arithmetic
+    * in any engine; the single closing division is one IEEE double op.
+    * One lead-window + aggregate over the same key partitioning — one
+    * exchange, balanced for high-cardinality keys.
+    *
+    * Output: (key, n_intervals, span_us, twa).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__cents", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__dt", lead("__us", 1).over(w) - col("__us"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("__dt").as("span_us"),
+        (sum(col("__cents") * col("__dt")).cast("double") /
+          (lit(100.0) * sum("__dt").cast("double"))).as("twa"))
   }
 
   /** Robust per-group outlier detection by median absolute deviation:
@@ -1883,6 +1924,25 @@ object Relational {
          SELECT o_orderkey, o_custkey, o_totalprice, med, adev, mad
          FROM dev JOIN mad USING (o_custkey)
          WHERE adev > 3.0 * mad
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    // Same cents × µs integer arithmetic as [[timeWeightedAvg]];
+    // epoch_ns // 1000 matches Spark's unix_micros truncation (the
+    // fixture's timestamps are whole µs, so nothing is lost).
+    "q59_time_weighted_avg" ->
+      """WITH x AS (
+           SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_ns(ts) // 1000 AS us,
+             LEAD(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         y AS (SELECT user_id, cents, nxt - us AS dt
+               FROM x WHERE nxt IS NOT NULL)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           CAST(SUM(cents * dt) AS DOUBLE)
+             / (100.0 * CAST(SUM(dt) AS DOUBLE)) AS twa
+         FROM y GROUP BY user_id ORDER BY user_id"""
   )
 }

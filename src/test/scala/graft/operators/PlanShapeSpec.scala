@@ -378,6 +378,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 exchange (group hash), got $exchanges:\n$p")
   }
 
+  test("q59: time-weighted average pays one exchange (lead window + agg share the key)") {
+    val p = graft.operators.Relational.timeWeightedAvg(
+        graft.Tables.events(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (user hash), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"timeWeightedAvg joined:\n$p")
+  }
+
+  test("p08: batch report reuses the assignment window's partitioning — one exchange total") {
+    val p = SparkEntry.queries("p08_length_batches")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    // hash on (bucket, shard) feeds the row_number window AND satisfies
+    // the (bucket, shard, batch) group-by; only the final orderBy adds
+    // a range exchange
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"p08 joined:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

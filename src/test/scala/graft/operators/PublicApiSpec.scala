@@ -558,6 +558,55 @@ class PublicApiSpec extends SparkSuite {
     assert(pairs == expect, s"blocked pairs $pairs != brute force $expect")
   }
 
+  test("timeWeightedAvg: hand-computed holding-time mean; last sample contributes no interval") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val rows = Seq(
+      // user 7: 10.00 held 10 s, then 20.00 held 30 s → twa = (10*10+20*30)/40 = 17.5
+      (7L, ts(0), 10.0, 1L), (7L, ts(10), 20.0, 2L), (7L, ts(40), 99.0, 3L),
+      // user 8: single event → no interval → absent from output
+      (8L, ts(5), 42.0, 4L),
+      // user 9: tie on ts broken by event_id — 1.00 then 3.00 at the same
+      // instant (dt 0), then 2.00: twa = (1*0 + 3*10)/10 = 3.0
+      (9L, ts(0), 1.0, 5L), (9L, ts(0), 3.0, 6L), (9L, ts(10), 2.0, 7L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Relational.timeWeightedAvg(rows).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (7L, 2L, 40000000L, 17.5),
+      (9L, 2L, 10000000L, 3.0)), s"got ${got.toSeq}")
+  }
+
+  test("lengthBucketBatches: deterministic, size-bounded, like-sized batches") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, ("w " * ((i % 60).toInt + 1)).trim))
+      .toDF("k", "body")
+    val a = Pipeline.lengthBucketBatches(docs, batchSize = 8,
+      bucketWidth = 16, shards = 2, idCol = "k", textCol = "body").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // every doc assigned exactly once; re-run is byte-identical
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    val b = Pipeline.lengthBucketBatches(docs, batchSize = 8,
+      bucketWidth = 16, shards = 2, idCol = "k", textCol = "body").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "assignment not deterministic")
+    // batches respect the size bound and are homogeneous in bucket
+    val byBatch = a.groupBy(t => (t._3, t._4, t._5))
+    byBatch.foreach { case (key, ds) =>
+      assert(ds.length <= 8, s"batch $key overflows: ${ds.length}")
+      assert(ds.map(_._3).distinct.length == 1)
+      // bucket really is n_toks div 16
+      ds.foreach(d => assert(d._2 / 16 == d._3, s"bad bucket for $d"))
+    }
+    // only the last batch of a (bucket, shard) run may be short
+    byBatch.groupBy { case ((bu, sh, _), _) => (bu, sh) }.foreach {
+      case (_, batches) =>
+        val short = batches.count(_._2.length < 8)
+        assert(short <= 1, "non-final short batch found")
+    }
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
