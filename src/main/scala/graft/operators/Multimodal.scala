@@ -198,6 +198,44 @@ object Multimodal {
       .distinct()
   }
 
+  /** Shannon byte entropy of a binary column — the standard
+    * compressed/encrypted-blob detector in an asset-ingest pipeline
+    * (text ≈ 4-5 bits/byte, JPEG/MP3 payloads ≈ 8, a corrupt
+    * all-zeros blob ≈ 0): H = ln N − (Σ c·ln c)/N nats over the
+    * byte-value histogram. No decode, no codec — pure byte statistics.
+    *
+    * Cross-engine exactness uses t07's integer-grid trick: each ln is
+    * snapped to integer MICRO-NATS (round(ln·1e6)) before the weighted
+    * sum, so both accumulations are exact long arithmetic in any
+    * engine and the closing (÷, −, ÷) are three IEEE ops on identical
+    * operands. Cost shape: the byte explode is linear in corpus bytes
+    * and feeds a map-side-combinable (id, byte) count — shuffle volume
+    * is ≤ 256 rows per asset, NOT the corpus bytes; the per-asset
+    * rollup reuses the same hash family.
+    *
+    * Output: (doc_id, n_bytes, n_distinct, entropy_nats); empty blobs
+    * are dropped (entropy of nothing is undefined).
+    */
+  def byteEntropy(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
+      .filter(octet_length(col("content")) > 0)
+      // plain-sequence explode, substring after the generator (the
+      // repo's measured HOF re-evaluation pitfall, see frameSample)
+      .withColumn("pos", explode(expr("sequence(1, octet_length(content))")))
+      .select(col("doc_id"),
+        expr("CAST(conv(hex(substring(content, pos, 1)), 16, 10) AS INT)").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bytes"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        sum(col("c") * expr("CAST(round(ln(c) * 1e6) AS BIGINT)")).as("__t"))
+      .withColumn("entropy_nats",
+        (expr("CAST(CAST(round(ln(n_bytes) * 1e6) AS BIGINT) AS DOUBLE)") -
+          col("__t").cast("double") / col("n_bytes").cast("double")) / lit(1e6))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct"),
+        col("entropy_nats"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.
@@ -286,7 +324,12 @@ object Multimodal {
         .withColumn("doc_id", col("doc_id") + 999999)
       phashNearDup(imgs.unionByName(copies), srcWidth = 16, maxHamming = 3)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // Shannon byte entropy over the binary assets via [[byteEntropy]]
+    // — hash-checked thanks to the integer micro-nat grid.
+    "m07_byte_entropy" -> ((s, dir) =>
+      byteEntropy(assets(s, dir)).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -405,6 +448,29 @@ object Multimodal {
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    // ASCII corpus: per-char == per-byte, so the char histogram is the
+    // byte histogram. Same micro-nat grid as [[byteEntropy]]; the
+    // grouping value (char vs byte int) never reaches the output, only
+    // the histogram shape does.
+    "m07_byte_entropy" ->
+      """WITH p AS (
+           SELECT doc_id, text,
+             unnest(range(1, length(text) + 1)) AS i
+           FROM documents WHERE length(text) > 0),
+         e AS (SELECT doc_id,
+                 substring(text, CAST(i AS INTEGER), 1) AS ch
+               FROM p),
+         c AS (SELECT doc_id, ch, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bytes,
+                 CAST(COUNT(*) AS INTEGER) AS n_distinct,
+                 CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS t
+               FROM c GROUP BY 1)
+         SELECT doc_id, n_bytes, n_distinct,
+           (CAST(CAST(round(ln(n_bytes) * 1e6) AS BIGINT) AS DOUBLE)
+             - CAST(t AS DOUBLE) / CAST(n_bytes AS DOUBLE)) / 1e6
+           AS entropy_nats
+         FROM a ORDER BY doc_id"""
   )
 }

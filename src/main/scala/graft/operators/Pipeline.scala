@@ -307,6 +307,61 @@ object Pipeline {
         "has_stop", "keep")
   }
 
+  /** Exact-k deterministic per-stratum sample: the `k` documents with
+    * the SMALLEST content hash in each stratum (all of them if the
+    * stratum has fewer than `k`). Like [[sampleStratified]] it is
+    * RNG-free and engine-reproducible — same corpus, same k rows,
+    * every run, any engine — but it guarantees an exact count instead
+    * of a binomial one (eval sets, few-shot pools, and per-domain
+    * audit samples need exactly k).
+    *
+    * Naively this is a row_number window per stratum — which SORTS THE
+    * WHOLE STRATUM per task, the q39 one-partition-window shape that
+    * dies at 100 TB. Instead, two phases: per-stratum counts (one tiny
+    * aggregate, broadcast back) set a hash-prefix threshold of
+    * `margin`×k expected survivors; the corpus is then prefiltered by
+    * that threshold IN THE SCAN (codegen, no shuffle), and only the
+    * ~margin×k survivors per stratum are window-ranked. Because the
+    * prefix threshold is a clean prefix of the sort key, survivors are
+    * EXACTLY the global smallest-m hashes of each stratum — so the
+    * result equals the naive form, verified row-for-row by the gate's
+    * naive-form DuckDB oracle. If a freak hash distribution leaves a
+    * stratum with fewer than min(k, n) survivors, the operator raises
+    * (deterministically, per dataset) rather than return a short
+    * sample — bump `margin`.
+    *
+    * Output: (id, stratum, rk) with rk ∈ [1, k], ordered by hash —
+    * dup texts rank adjacently (same hash, id tie-break).
+    */
+  def exactKSample(docs: DataFrame, k: Int, strataCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      margin: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    val hashed = docs
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__h16", conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+    val counts = hashed.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__thr16", least(lit(65536L),
+        ceil(lit(margin.toLong * k) * lit(65536.0) /
+          col("__n").cast("double")).cast("long")))
+    val w = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+    val ws = Window.partitionBy(strataCol)
+    hashed
+      .join(broadcast(counts), col(strataCol) === col("__stratum"))
+      .filter(col("__h16") < col("__thr16"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(ws))
+      .filter(when(col("__m") < least(lit(k.toLong), col("__n")),
+          raise_error(concat(lit("exactKSample: stratum "), col(strataCol),
+            lit(s" prefilter undersampled (margin=$margin too small): kept "),
+            col("__m"), lit(" of "), col("__n"), lit(s" rows, need $k"))))
+        .otherwise(lit(true)))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(strataCol), col("rk"))
+  }
+
   // Registered queries: the public operators applied to the driver's
   // test tables, plus the gate's total-order sort.
   /** Length-bucketed batch assignment: documents are grouped into
@@ -402,7 +457,14 @@ object Pipeline {
           sum("n_toks").cast("long").as("sum_toks"))
         .withColumn("pad_waste",
           col("max_toks").cast("long") * col("n_docs") - col("sum_toks"))
-        .orderBy("bucket", "shard", "batch"))
+        .orderBy("bucket", "shard", "batch")),
+
+    // Exactly 50 docs per language by smallest content hash — the
+    // eval-pool sampler. The oracle is the NAIVE whole-stratum window,
+    // so the hash-match proves the two-phase prefilter is lossless.
+    "p09_exact_k_sample" -> ((s, dir) =>
+      exactKSample(documents(s, dir), k = 50, strataCol = "lang")
+        .orderBy("lang", "rk"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -532,6 +594,17 @@ object Pipeline {
            CAST(CAST(MAX(n_toks) AS BIGINT) * COUNT(*)
              - CAST(SUM(n_toks) AS BIGINT) AS BIGINT) AS pad_waste
          FROM g GROUP BY bucket, shard, batch
-         ORDER BY bucket, shard, batch"""
+         ORDER BY bucket, shard, batch""",
+
+    // Deliberately the naive one-window form the Spark side avoids:
+    // hash-matching it proves the two-phase prefilter loses nothing.
+    "p09_exact_k_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 50 ORDER BY lang, rk"""
   )
 }

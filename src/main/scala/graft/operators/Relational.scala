@@ -1055,6 +1055,40 @@ object Relational {
     "q59_time_weighted_avg" -> ((s, dir) =>
       timeWeightedAvg(events(s, dir)).orderBy("user_id")),
 
+    // SCD2-style state intervals via [[stateIntervals]] — consecutive
+    // same-type events per user collapse into validity intervals, the
+    // temporal-table build (who was in state X when). Distinct from
+    // q43's gap-based episodes: boundaries here are STATE CHANGES, not
+    // time gaps. `seq` (the per-user run ordinal) is in the output so
+    // the total order survives same-timestamp runs.
+    "q60_state_intervals" -> ((s, dir) =>
+      stateIntervals(events(s, dir)).orderBy("user_id", "seq")),
+
+    // Market-basket co-occurrence: part pairs bought together in ≥2
+    // orders. NOT a self-join — each order's distinct sorted part list
+    // is built by one hash aggregate, pairs are generated IN-ROW
+    // (fan-out bounded by order size squared, ~tens, never by table
+    // size), and the pair count is a second map-side-combinable
+    // aggregate. A self-join on l_orderkey computes the same relation
+    // but shuffles the fact table twice and materializes the join
+    // blow-up as rows; the in-row form keeps it inside one task. The
+    // sorted array makes pairs canonical (p1 < p2) for free. Top-100
+    // with a (n desc, p1, p2) total order so the cut is deterministic.
+    "q61_part_cooccurrence" -> ((s, dir) => {
+      val parts = lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(array_sort(array_distinct(collect_list("l_partkey"))).as("ps"))
+      parts.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 struct(x AS p1, y AS p2))))""")).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), col("p1"), col("p2"))
+        .limit(100)
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1178,6 +1212,42 @@ object Relational {
         sum("__dt").as("span_us"),
         (sum(col("__cents") * col("__dt")).cast("double") /
           (lit(100.0) * sum("__dt").cast("double"))).as("twa"))
+  }
+
+  /** SCD2-style run compression: collapse consecutive rows with the
+    * same `stateCol` value (per key, in (ts, tie) order) into validity
+    * intervals `(key, seq, state, valid_from, valid_to, n_events)` —
+    * the slowly-changing-dimension / temporal-table build. An interval
+    * opens at a state CHANGE and closes at the next change
+    * (`valid_to` = next interval's `valid_from`; the current interval's
+    * `valid_to` is null, the open-ended SCD2 convention). `seq` is the
+    * 1-based run ordinal per key — include it in any total order, since
+    * two runs of one key can share `valid_from` when states flip within
+    * a single timestamp.
+    *
+    * Shape: lag + running-sum windows and the run group-by all share
+    * the key hash — one exchange; the closing lead window runs on the
+    * already-reduced runs (rows = number of state changes, not events).
+    * Balanced for high-cardinality keys; per-key event counts bound the
+    * window sort, exactly like [[timeWeightedAvg]].
+    */
+  def stateIntervals(df: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", stateCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = df
+      .withColumn("__chg", when(lag(col(stateCol), 1).over(w).isNull ||
+        lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L).otherwise(0L))
+      .withColumn("seq", sum("__chg").over(run))
+      .groupBy(col(keyCol), col("seq"))
+      .agg(min(col(stateCol)).as("state"), // constant within a run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(keyCol).orderBy("seq")
+    runs.withColumn("valid_to", lead("valid_from", 1).over(w2))
+      .select(col(keyCol), col("seq"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"))
   }
 
   /** Robust per-group outlier detection by median absolute deviation:
@@ -1943,6 +2013,44 @@ object Relational {
            CAST(SUM(dt) AS BIGINT) AS span_us,
            CAST(SUM(cents * dt) AS DOUBLE)
              / (100.0 * CAST(SUM(dt) AS DOUBLE)) AS twa
-         FROM y GROUP BY user_id ORDER BY user_id"""
+         FROM y GROUP BY user_id ORDER BY user_id""",
+
+    // Same change-flag + running-sum run numbering as [[stateIntervals]];
+    // seq keeps the order total when states flip within one timestamp.
+    "q60_state_intervals" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seq
+           FROM o),
+         g AS (
+           SELECT user_id, CAST(seq AS BIGINT) AS seq,
+             MIN(event_type) AS state, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM r GROUP BY user_id, seq)
+         SELECT user_id, seq, state, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY seq) AS valid_to,
+           n_events
+         FROM g ORDER BY user_id, seq""",
+
+    // The oracle states the RELATION as the plain self-join; the Spark
+    // side computes it join-free via in-row pair generation — the
+    // hash-match proves the two equivalent.
+    "q61_part_cooccurrence" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM d a JOIN d b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY n_orders DESC, p1, p2 LIMIT 100"""
   )
 }

@@ -367,6 +367,33 @@ object TextOps {
       .filter(col("dist") <= 1)
   }
 
+  /** Adjacent token-pair frequencies — the statistic a BPE/WordPiece
+    * trainer computes each merge round (most frequent adjacent symbol
+    * pair), also the bigram table for phrase mining and collocation
+    * scoring. Pairs are generated IN-ROW by zipping the token array
+    * against itself shifted by one (`zip_with` over two `slice`s — a
+    * plain codegen expression, linear in corpus tokens, empty for
+    * single-token docs), so the only wide operations are the
+    * map-side-combinable pair count and the top-k
+    * (TakeOrderedAndProject — never a global sort). Ties at the k
+    * boundary are broken by pair text, keeping the cut total-ordered.
+    *
+    * Output: (pair, n) — the k most frequent pairs.
+    */
+  def adjacentPairCounts(docs: DataFrame, textCol: String = "text",
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .withColumn("__toks", split(trim(lower(col(textCol))), WS))
+      .select(explode(expr(
+        """zip_with(slice(__toks, 1, size(__toks) - 1),
+                    slice(__toks, 2, size(__toks) - 1),
+                    (a, b) -> concat(a, ' ', b))""")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_tokens" -> ((s, dir) =>
       tokenStats(documents(s, dir)).orderBy("doc_id")),
@@ -442,7 +469,12 @@ object TextOps {
           concat(col("text"), lit(" batc strea filte")))
           .otherwise(col("text")))
       typoPairs(injected).orderBy("tok_a", "tok_b")
-    })
+    }),
+
+    // Top-20 adjacent token pairs over the corpus — the BPE merge-round
+    // statistic via [[adjacentPairCounts]].
+    "t12_adjacent_pairs" -> ((s, dir) =>
+      adjacentPairCounts(documents(s, dir), k = 20))
   )
 
   def oracles: Map[String, String] = Map(
@@ -670,6 +702,19 @@ object TextOps {
            CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
          FROM vocab a JOIN vocab b ON a.tok < b.tok
          WHERE levenshtein(a.tok, b.tok) <= 1
-         ORDER BY tok_a, tok_b"""
+         ORDER BY tok_a, tok_b""",
+
+    // 1-based list indexing; range(2, len+1) is empty for one-token
+    // docs, matching the Spark zip_with-of-slices generator.
+    "t12_adjacent_pairs" ->
+      """WITH t AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(2, len(toks) + 1),
+             i -> toks[i - 1] || ' ' || toks[i])) AS pair
+           FROM t)
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
   )
 }

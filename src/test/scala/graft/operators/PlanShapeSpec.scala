@@ -398,6 +398,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), s"p08 joined:\n$p")
   }
 
+  test("q60: state intervals share the key hash — windows + run group-by on one exchange") {
+    val p = graft.operators.Relational.stateIntervals(
+        graft.Tables.events(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (user hash), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"stateIntervals joined:\n$p")
+  }
+
+  test("q61: co-occurrence is join-free — in-row pairs, two hash exchanges, top-k without global sort") {
+    val p = SparkEntry.queries("q61_part_cooccurrence")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"q61 self-joined:\n$p")
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (orderkey, pair), got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 fell back to a global sort:\n$p")
+  }
+
+  test("p09: exact-k sample broadcasts the counts and windows only prefiltered survivors") {
+    val p = graft.operators.Pipeline.exactKSample(
+        graft.Tables.documents(spark, dir), k = 50, strataCol = "lang")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"counts not broadcast:\n$p")
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    // counts aggregate + survivor window; the corpus itself never
+    // shuffles (the prefilter is a scan-side predicate)
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

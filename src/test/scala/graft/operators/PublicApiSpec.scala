@@ -607,6 +607,96 @@ class PublicApiSpec extends SparkSuite {
     }
   }
 
+  test("stateIntervals: runs collapse, valid_to chains, same-instant flips keep distinct seq") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val rows = Seq(
+      // user 1: a,a,b,a — three intervals, middle one 1 event
+      (1L, ts(0), "a", 1L), (1L, ts(10), "a", 2L), (1L, ts(20), "b", 3L),
+      (1L, ts(30), "a", 4L),
+      // user 2: b,b — one open-ended interval
+      (2L, ts(5), "b", 5L), (2L, ts(6), "b", 6L),
+      // user 3: a then b AT THE SAME INSTANT (tie broken by event_id),
+      // then a later — three runs, first two share valid_from
+      (3L, ts(0), "a", 7L), (3L, ts(0), "b", 8L), (3L, ts(9), "a", 9L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Relational.stateIntervals(rows).orderBy("user_id", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "a", ts(0), Some(ts(20)), 2L),
+      (1L, 2L, "b", ts(20), Some(ts(30)), 1L),
+      (1L, 3L, "a", ts(30), None, 1L),
+      (2L, 1L, "b", ts(5), None, 2L),
+      (3L, 1L, "a", ts(0), Some(ts(0)), 1L),
+      (3L, 2L, "b", ts(0), Some(ts(9)), 1L),
+      (3L, 3L, "a", ts(9), None, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("exactKSample: equals the naive whole-stratum window; short strata return all rows") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}", s"text number $i"))
+      .toDF("doc_id", "lang", "text") // 100 per stratum
+      .union(Seq((301L, "tiny", "lone doc")).toDF("doc_id", "lang", "text"))
+    val got = Pipeline.exactKSample(docs, k = 10, strataCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive reference: rank everything, keep rk <= 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    val naive = docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10).select("doc_id", "lang", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == naive, s"two-phase != naive: ${got.diff(naive)} / ${naive.diff(got)}")
+    assert(got.count(_._2 == "tiny") == 1, "stratum smaller than k must return all its rows")
+    assert(Seq("s0", "s1", "s2").forall(l => got.count(_._2 == l) == 10))
+  }
+
+  test("exactKSample: undersampling prefilter raises instead of returning a short sample") {
+    import spark.implicits._
+    // craft a stratum where margin=1, k=2, n=4 undersamples: threshold
+    // is ceil(2*65536/4) = 32768, so pick 3 texts hashing ABOVE 0x8000
+    // and 1 below — only 1 survivor < min(k, n) = 2.
+    def prefix16(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    val cands = (1 to 200).map(i => s"cand $i")
+    val hi = cands.filter(prefix16(_) >= 0x8000).take(3)
+    val lo = cands.filter(prefix16(_) < 0x8000).take(1)
+    assert(hi.size == 3 && lo.size == 1)
+    val docs = (hi ++ lo).zipWithIndex
+      .map { case (t, i) => (i.toLong, "x", t) }.toDF("doc_id", "lang", "text")
+    val e = intercept[Exception] {
+      Pipeline.exactKSample(docs, k = 2, strataCol = "lang", margin = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("undersampled")),
+      s"expected loud undersample error, got: $e")
+  }
+
+  test("byteEntropy: uniform bytes hit ln(k), constant blobs hit 0, empty blobs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),     // 4 distinct, uniform → H = ln 4
+      (2L, "aaaa"),     // constant → H = 0
+      (3L, "aab"),      // H = ln 3 − (2 ln 2)/3
+      (4L, "")          // empty → dropped
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val got = Multimodal.byteEntropy(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 4L, 4), (2L, 4L, 1), (3L, 3L, 2)), s"got ${got.toSeq}")
+    val h = got.map(t => t._1 -> t._4).toMap
+    assert(math.abs(h(1L) - math.log(4)) < 1e-5, s"uniform: ${h(1L)}")
+    assert(h(2L) == 0.0, s"constant: ${h(2L)}")
+    assert(math.abs(h(3L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-5,
+      s"mixed: ${h(3L)}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
