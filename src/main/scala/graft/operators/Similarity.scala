@@ -194,6 +194,15 @@ object Similarity {
     "s10_knn_join" -> ((s, dir) =>
       knnJoin(embeddings(s, dir), k = 5).orderBy("qid", "rnk")),
 
+    // One Lloyd iteration via [[kmeansStep]], seeded with the 8 lowest
+    // vec_ids as centroids (deterministic, no RNG). Hash-checked: the
+    // oracle reproduces the argmin from the same dot-product folds.
+    "s11_kmeans_step" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      kmeansStep(e, e.filter(col("vec_id") < 8), cidCol = "vec_id")
+        .orderBy("cluster", "dim")
+    }),
+
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
       // bucket) rows — carrying the vectors through it would shuffle
@@ -713,6 +722,51 @@ object Similarity {
       .select("qid", "cid", "rnk", "score")
   }
 
+  /** One Lloyd (k-means) refinement iteration as pure dataflow: assign
+    * every vector to its nearest centroid (squared L2, centroid-id
+    * tie-break), then recompute each centroid as the member mean — the
+    * building block the IVF coarse quantizer trains with, exposed so a
+    * pipeline can refine or audit a quantizer without MLlib.
+    *
+    * Scale shape: the centroid table collapses to ONE broadcast row
+    * holding the sorted (cid, vector) array, so assignment is a
+    * per-row `aggregate` HOF — argmin over k in-row, ZERO corpus
+    * shuffles (compare [[cosineTopK]], which pays a k-fan-out through
+    * a window). The only wide op is the (cluster, dim) mean — k×dim
+    * groups behind a map-side combine. Distances use the shared
+    * `vector_dot` fold (bitwise-equal to DuckDB's list_dot_product),
+    * dropping the constant v·v term: argmin of c·c − 2·v·c.
+    *
+    * Output: (cluster, dim, n_members, cval) long-form, dim 1-based,
+    * means rounded to 6 dp (cross-engine sum-order tolerance, like
+    * s05). Empty clusters are absent.
+    */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "cid"): DataFrame = {
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val v = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cents = centroids
+      .select(struct(col(cidCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("__cents"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("cluster", expr(
+        """aggregate(__cents,
+             struct(CAST(-1 AS BIGINT) AS cid, CAST('Infinity' AS DOUBLE) AS d),
+             (acc, c) -> CASE WHEN vector_dot(c.cv, c.cv)
+                                - 2D * vector_dot(__v, c.cv) < acc.d
+                         THEN struct(c.cid AS cid,
+                                vector_dot(c.cv, c.cv)
+                                  - 2D * vector_dot(__v, c.cv) AS d)
+                         ELSE acc END).cid"""))
+      .select(col("cluster"), posexplode(col("__v")))
+      .select(col("cluster"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"), round(avg("x"), 6).as("cval"))
+  }
+
   /** Test-only ground truth for s03: exact all-pairs threshold join.
     * Quadratic in the corpus — deliberately NOT a registered query
     * (its BroadcastNestedLoopJoin plan dies at scale); DedupSimilaritySpec
@@ -755,6 +809,28 @@ object Similarity {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
                FROM d)
          SELECT qid, cid, rnk, score FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+
+    // Same c·c − 2·v·c argmin as [[kmeansStep]] (the constant v·v term
+    // cancels in comparisons); list_dot_product ≡ vector_dot fold, so
+    // assignments are identical and the means hash-match at 6 dp.
+    "s11_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(e.v, c.cv) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cid) AS rk
+                 FROM d) r
+               WHERE rk = 1),
+         x AS (SELECT a.cid AS cluster,
+                 unnest(e.v) AS x, generate_subscripts(e.v, 1) AS dim
+               FROM a JOIN e ON a.vec_id = e.vec_id)
+         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members, ROUND(AVG(x), 6) AS cval
+         FROM x GROUP BY cluster, dim ORDER BY cluster, dim""",
 
     "s05_label_centroid" ->
       """SELECT label, CAST(dim AS INTEGER) AS dim, ROUND(AVG(v), 6) AS cval

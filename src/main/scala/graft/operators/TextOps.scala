@@ -394,6 +394,51 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bigram surprisal scoring — [[surprisalScore]] upgraded from a
+    * unigram to a bigram self-estimated model: each document's average
+    * conditional surprisal −ln p(w₂|w₁) = ln c(w₁·) − ln c(w₁w₂) under
+    * the corpus's own bigram distribution. The sharper LM-quality
+    * filter: unigram scoring can't see scrambled word order, bigram
+    * scoring penalizes it (every unseen-context transition is
+    * max-surprisal), which is exactly the degenerate-interleaving
+    * signal a training pipeline screens for.
+    *
+    * Context counts c(w₁·) are derived FROM the bigram table (a second
+    * tiny aggregate over it), not a rescan of the corpus; the model
+    * joins back onto the per-doc bigram stream by pair string. Same
+    * integer micro-nat snapping as t07: both log terms snap to the
+    * 1e-6 grid separately, the difference and per-doc sum are exact
+    * longs, and the closing two divisions are identical IEEE ops in
+    * any engine. Docs with fewer than 2 tokens have no bigrams and
+    * drop out.
+    *
+    * Output: (doc_id, n_bigrams, sum_st, avg_surprisal).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = normalized(docs, idCol, textCol)
+      .withColumn("__toks", split(trim(lower(col("text"))), WS))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(__toks, 1, size(__toks) - 1),
+                    slice(__toks, 2, size(__toks) - 1),
+                    (a, b) -> concat(a, ' ', b))""")).as("pr"))
+    val pc = pairs.groupBy("pr").agg(count(lit(1)).as("cp"))
+    val cc = pc.withColumn("w1", substring_index(col("pr"), " ", 1))
+      .groupBy("w1").agg(sum("cp").as("cw"))
+    val model = pc.withColumn("w1", substring_index(col("pr"), " ", 1))
+      .join(cc, "w1")
+      .withColumn("st", expr(
+        """CAST(round(ln(cw) * 1000000) AS BIGINT)
+           - CAST(round(ln(cp) * 1000000) AS BIGINT)"""))
+      .select("pr", "st")
+    pairs.join(model, "pr")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("st").as("sum_st"))
+      .withColumn("avg_surprisal",
+        col("sum_st").cast("double") / col("n_bigrams") / lit(1000000.0))
+      .select("doc_id", "n_bigrams", "sum_st", "avg_surprisal")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_tokens" -> ((s, dir) =>
       tokenStats(documents(s, dir)).orderBy("doc_id")),
@@ -474,7 +519,11 @@ object TextOps {
     // Top-20 adjacent token pairs over the corpus — the BPE merge-round
     // statistic via [[adjacentPairCounts]].
     "t12_adjacent_pairs" -> ((s, dir) =>
-      adjacentPairCounts(documents(s, dir), k = 20))
+      adjacentPairCounts(documents(s, dir), k = 20)),
+
+    // Bigram LM cross-entropy per document via [[bigramSurprisal]].
+    "t13_bigram_surprisal" -> ((s, dir) =>
+      bigramSurprisal(documents(s, dir)).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -715,6 +764,29 @@ object TextOps {
              i -> toks[i - 1] || ' ' || toks[i])) AS pair
            FROM t)
          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // Same micro-nat grid as t07: ln c(w1·) and ln c(w1w2) snap to the
+    // 1e-6 grid separately; sums are exact longs.
+    "t13_bigram_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+             i -> toks[i - 1] || ' ' || toks[i])) AS pr
+           FROM t),
+         pc AS (SELECT pr, COUNT(*) AS cp FROM p GROUP BY pr),
+         cc AS (SELECT split_part(pr, ' ', 1) AS w1, SUM(cp) AS cw
+                FROM pc GROUP BY 1),
+         m AS (SELECT pr, CAST(round(ln(cw) * 1000000) AS BIGINT)
+                 - CAST(round(ln(cp) * 1000000) AS BIGINT) AS st
+               FROM pc JOIN cc ON split_part(pc.pr, ' ', 1) = cc.w1),
+         d AS (SELECT p.doc_id, m.st FROM p JOIN m ON p.pr = m.pr)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(st) AS BIGINT) AS sum_st,
+           CAST(SUM(st) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal
+         FROM d GROUP BY doc_id ORDER BY doc_id"""
   )
 }

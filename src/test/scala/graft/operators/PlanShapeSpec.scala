@@ -427,6 +427,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("s11: kmeans assignment is in-row — no window, no k-fan-out exchange on the corpus") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val p = graft.operators.Similarity.kmeansStep(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+        cidCol = "vec_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"argmin fell back to a window:\n$p")
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    // centroid collapse (single-row agg) + the (cluster, dim) mean —
+    // the corpus itself only flows through the broadcast join
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

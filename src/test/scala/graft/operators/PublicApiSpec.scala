@@ -697,6 +697,57 @@ class PublicApiSpec extends SparkSuite {
       s"mixed: ${h(3L)}")
   }
 
+  test("kmeansStep: hand-computed assignment, equidistant ties go to the lowest cid") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("cid", "embedding")
+    val emb = Seq(
+      (11L, Seq(1.0, 1.0)), (12L, Seq(2.0, 2.0)), // → c0
+      (13L, Seq(9.0, 9.0)), (14L, Seq(6.0, 6.0)), // → c1
+      (15L, Seq(5.0, 5.0))                        // equidistant → c0 (tie)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansStep(emb, cents).orderBy("cluster", "dim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1, 3L, 2.666667), (0L, 2, 3L, 2.666667),
+      (1L, 1, 2L, 7.5), (1L, 2, 2L, 7.5)), s"got ${got.toSeq}")
+  }
+
+  test("bigramSurprisal: hand-computed conditional surprisals; single-token docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"), // bigrams: "a b", "b a", "a c"
+      (2L, "a b"),
+      (3L, "x")        // no bigrams → absent
+    ).toDF("doc_id", "text")
+    // model: c(a b)=2, c(b a)=1, c(a c)=1; contexts: c(a ·)=3, c(b ·)=1
+    // st(a b) = round(ln3·1e6) − round(ln2·1e6) = 1098612 − 693147 = 405465
+    // st(b a) = 0 − 0 = 0; st(a c) = 1098612 − 0 = 1098612
+    val got = TextOps.bigramSurprisal(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1504077L, 0.501359),
+      (2L, 1L, 405465L, 0.405465)), s"got ${got.toSeq}")
+  }
+
+  test("sceneChanges: hand-computed frame-mean jumps; partial frames and short assets drop") {
+    import spark.implicits._
+    // frameSize 4: doc 1 = frames of means 65 ('A'), 97 ('a'), 65, plus
+    // a 2-byte partial tail that must be ignored; doc 2 has 1 full
+    // frame → dropped entirely.
+    val docs = Seq(
+      (1L, "AAAA" + "aaaa" + "AAAA" + "zz"),
+      (2L, "BBBB" + "cc")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val got = Multimodal.sceneChanges(docs, frameSize = 4, thresholdMilli = 20000)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    // |97−65|·1000 = 32000 > 20000 → cut on both transitions
+    assert(got.toSeq == Seq(
+      (1L, 1, 32000L, true), (1L, 2, 32000L, true)), s"got ${got.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
