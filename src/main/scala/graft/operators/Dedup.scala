@@ -507,6 +507,29 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[keepRepresentatives]] with a QUALITY policy instead of min-id:
+    * each duplicate cluster keeps its highest-`scoreCol` member (ties
+    * → smallest id), plus every unpaired row — "keep the longest /
+    * cleanest copy", the survivor selection production dedup actually
+    * wants (the min-id policy keeps whichever copy was crawled
+    * first). The ranking window runs over CLUSTER MEMBERS ONLY (the
+    * paired minority, labeled by [[connectedComponents]]) joined to
+    * their scores, never over the corpus; survivors come from the
+    * same anti-join shape as [[keepRepresentatives]].
+    */
+  def keepBestRepresentatives(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val members = connectedComponents(pairs, checkpointDir)
+      .select(col("id").as(idCol), col("label"))
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col(scoreCol).desc, col(idCol))
+    val drops = members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select(col(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Driver-side weighted union-find with path compression for the
     * small-graph branch of [[connectedComponents]]: near-linear in
     * edge count, labels resolved to each component's minimum id in a
@@ -793,6 +816,16 @@ object Dedup {
           jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // d08 with the quality policy: keep each cluster's LONGEST member
+    // (n_chars, ties → min id) via [[keepBestRepresentatives]].
+    // Hash-checked against the same recursive-CTE closure with an
+    // argmax rank replacing the min-id test.
+    "d10_dedup_best_rep" -> ((s, dir) =>
+      keepBestRepresentatives(documents(s, dir).select("doc_id", "lang", "n_chars"),
+          jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          scoreCol = "n_chars")
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs: pairs with Hamming distance <= 3 over
     // bit-voted token-hash signatures; band blocking is lossless (see
     // [[simhashPairsOf]]). Registered with the md5 60-bit family so the
@@ -985,6 +1018,44 @@ object Dedup {
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d
          WHERE d.doc_id NOT IN (SELECT a FROM tc GROUP BY a HAVING MIN(b) < a)
+         ORDER BY d.doc_id""",
+
+    // d08's transitive closure, but survivors are each cluster's
+    // argmax by (n_chars DESC, doc_id) instead of the minimum id.
+    "d10_dedup_best_rep" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         good AS (
+           SELECT doc_a, doc_b FROM prs
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM good
+               UNION SELECT doc_b, doc_a FROM good),
+         tc(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a),
+         lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS label
+                 FROM tc GROUP BY a),
+         rk AS (SELECT l.doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY l.label
+                  ORDER BY d.n_chars DESC, l.doc_id) AS rk
+                FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE rk > 1)
          ORDER BY d.doc_id""",
 
     "d07_decontaminate" ->

@@ -1064,6 +1064,35 @@ object Relational {
     "q60_state_intervals" -> ((s, dir) =>
       stateIntervals(events(s, dir)).orderBy("user_id", "seq")),
 
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRECEDING view/click — the marketing-attribution
+    // shape, and the general "carry the latest qualifying event
+    // forward" pattern (q40's ffill with a predicate). One keyed
+    // window (user hash), frame ending at 1 PRECEDING so a purchase
+    // can never attribute to itself or to a later touch; purchases
+    // with no prior touch keep nulls (unattributed, not dropped).
+    // last(ignoreNulls) over a struct carries (ts, id, type) in one
+    // pass; the oracle carries the three columns separately over the
+    // identical frame — same relation.
+    "q62_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("__src", last(
+          when(col("event_type").isin("view", "click"),
+            struct(col("ts").as("src_ts"), col("event_id").as("src_event_id"),
+              col("event_type").as("src_type"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("__src.src_event_id").as("src_event_id"),
+          col("__src.src_type").as("src_type"),
+          col("__src.src_ts").as("src_ts"),
+          col("__src").isNotNull.as("attributed"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Market-basket co-occurrence: part pairs bought together in ≥2
     // orders. NOT a self-join — each order's distinct sorted part list
     // is built by one hash aggregate, pairs are generated IN-ROW
@@ -2051,6 +2080,25 @@ object Relational {
          FROM d a JOIN d b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         ORDER BY n_orders DESC, p1, p2 LIMIT 100"""
+         ORDER BY n_orders DESC, p1, p2 LIMIT 100""",
+
+    // Three IGNORE NULLS carries over the identical 1-PRECEDING frame
+    // stand in for Spark's single struct carry — same relation.
+    "q62_last_touch" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+               THEN event_id END IGNORE NULLS) OVER f AS src_event_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+               THEN event_type END IGNORE NULLS) OVER f AS src_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+               THEN ts END IGNORE NULLS) OVER f AS src_ts
+           FROM events
+           WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, ts, src_event_id, src_type, src_ts,
+           src_event_id IS NOT NULL AS attributed
+         FROM w WHERE event_type = 'purchase'
+         ORDER BY user_id, event_id"""
   )
 }

@@ -203,6 +203,22 @@ object Similarity {
         .orderBy("cluster", "dim")
     }),
 
+    // Cluster-balanced coreset sampling: [[kmeansAssign]] labels the
+    // corpus, [[Pipeline.exactKSample]] draws exactly 10 per cluster —
+    // the diversity-preserving subset selection a training pipeline
+    // uses where a plain uniform sample over-represents dense regions.
+    // Pure composition of two public operators; hash-checked end to
+    // end (assignment AND draw reproduced by the oracle).
+    "s12_cluster_sample" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val assigned = kmeansAssign(e, e.filter(col("vec_id") < 8),
+          cidCol = "vec_id")
+        .withColumn("key", col("vec_id").cast("string"))
+      Pipeline.exactKSample(assigned, k = 10, strataCol = "cluster",
+          idCol = "vec_id", textCol = "key")
+        .orderBy("cluster", "rk")
+    }),
+
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
       // bucket) rows — carrying the vectors through it would shuffle
@@ -743,15 +759,32 @@ object Similarity {
     */
   def kmeansStep(emb: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "cid"): DataFrame =
+    kmeansAssign(emb, centroids, idCol, vecCol, cidCol)
+      .select(col("cluster"), posexplode(col(vecCol).cast("array<double>")))
+      .select(col("cluster"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"), round(avg("x"), 6).as("cval"))
+
+  /** Nearest-centroid assignment (the quantizer/routing half of
+    * [[kmeansStep]], exposed for pipelines that need the labels —
+    * cluster-balanced sampling, partition-key derivation, drift
+    * audits): every input row comes back unchanged plus a `cluster`
+    * column holding the nearest centroid's id (squared-L2 argmin,
+    * centroid-id tie-break). Same zero-corpus-shuffle shape as
+    * [[kmeansStep]]: one broadcast row carries the sorted centroid
+    * array and the argmin is an in-row `aggregate` HOF.
+    */
+  def kmeansAssign(emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       cidCol: String = "cid"): DataFrame = {
     graft.functions.VectorDot.register(emb.sparkSession)
-    val v = emb.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
     val cents = centroids
       .select(struct(col(cidCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("__cents"))
-    v.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("__v", col(vecCol).cast("array<double>"))
       .withColumn("cluster", expr(
         """aggregate(__cents,
              struct(CAST(-1 AS BIGINT) AS cid, CAST('Infinity' AS DOUBLE) AS d),
@@ -761,10 +794,7 @@ object Similarity {
                                 vector_dot(c.cv, c.cv)
                                   - 2D * vector_dot(__v, c.cv) AS d)
                          ELSE acc END).cid"""))
-      .select(col("cluster"), posexplode(col("__v")))
-      .select(col("cluster"), (col("pos") + 1).as("dim"), col("col").as("x"))
-      .groupBy("cluster", "dim")
-      .agg(count(lit(1)).as("n_members"), round(avg("x"), 6).as("cval"))
+      .drop("__cents", "__v")
   }
 
   /** Test-only ground truth for s03: exact all-pairs threshold join.
@@ -831,6 +861,27 @@ object Similarity {
          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INTEGER) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_members, ROUND(AVG(x), 6) AS cval
          FROM x GROUP BY cluster, dim ORDER BY cluster, dim""",
+
+    // s11's assignment, then exactly the p09 draw: smallest
+    // md5(vec_id) per cluster.
+    "s12_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(e.v, c.cv) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cid) AS rk
+                 FROM d) r
+               WHERE rk = 1),
+         s AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+               FROM a)
+         SELECT vec_id, cluster, CAST(rk AS BIGINT) AS rk
+         FROM s WHERE rk <= 10 ORDER BY cluster, rk""",
 
     "s05_label_centroid" ->
       """SELECT label, CAST(dim AS INTEGER) AS dim, ROUND(AVG(v), 6) AS cval

@@ -440,6 +440,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q62: last-touch attribution is one keyed window — single exchange, no join") {
+    val p = SparkEntry.queries("q62_last_touch")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"q62 joined:\n$p")
+    // user-hash window + the final presentation sort
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

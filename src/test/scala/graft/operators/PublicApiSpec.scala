@@ -748,6 +748,35 @@ class PublicApiSpec extends SparkSuite {
       (1L, 1, 32000L, true), (1L, 2, 32000L, true)), s"got ${got.toSeq}")
   }
 
+  test("keepBestRepresentatives: clusters keep the highest score, ties break to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}: 2 and 3 tie on score → keep 2
+      (4L, 5L), (5L, 99L),             // cluster {4,5}: keep 5
+      (6L, 1L)                         // unpaired → always kept
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBestRepresentatives(docs, pairs, scoreCol = "score")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 5L, 6L), s"got $got")
+    // contrast: the min-id policy keeps 1 and 4
+    val minId = Dedup.keepRepresentatives(docs, pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(minId == Seq(1L, 4L, 6L), s"got $minId")
+  }
+
+  test("kmeansAssign: input columns pass through unchanged with the cluster label appended") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("cid", "embedding")
+    val emb = Seq((21L, "a", Seq(1.0, 2.0)), (22L, "b", Seq(9.0, 8.0)))
+      .toDF("vec_id", "tag", "embedding")
+    val got = Similarity.kmeansAssign(emb, cents).orderBy("vec_id")
+      .select("vec_id", "tag", "cluster").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((21L, "a", 0L), (22L, "b", 1L)), s"got ${got.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
