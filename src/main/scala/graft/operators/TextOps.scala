@@ -439,6 +439,38 @@ object TextOps {
       .select("doc_id", "n_bigrams", "sum_st", "avg_surprisal")
   }
 
+  /** Zipf / vocabulary-coverage curve: the k most frequent tokens with
+    * rank, count, and CUMULATIVE corpus share — the statistic behind
+    * tokenizer-vocabulary sizing ("how many types cover 95% of
+    * tokens") and Zipf-fit sanity checks on a new corpus. The running
+    * sum is a single-partition window, but over the TOP-K ROWS ONLY
+    * (the limit runs first, as TakeOrderedAndProject) — bounded by
+    * construction, never by vocabulary or corpus size; the corpus
+    * itself flows through one map-side-combinable count. The share
+    * division is one IEEE op on exact longs (engine-identical).
+    *
+    * Output: (rnk, tok, cnt, cum_cnt, cum_share), rank ties broken by
+    * token text.
+    */
+  def zipfTop(docs: DataFrame, k: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(desc("cnt"), col("tok"))
+    val cnt = normalized(docs, idCol, textCol)
+      .select(explode(split(trim(lower(col("text"))), WS)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum("cnt").as("n_total"))
+    cnt.orderBy(desc("cnt"), col("tok")).limit(k)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_cnt",
+        sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        col("cum_cnt").cast("double") / col("n_total").cast("double"))
+      .select("rnk", "tok", "cnt", "cum_cnt", "cum_share")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_tokens" -> ((s, dir) =>
       tokenStats(documents(s, dir)).orderBy("doc_id")),
@@ -523,7 +555,12 @@ object TextOps {
 
     // Bigram LM cross-entropy per document via [[bigramSurprisal]].
     "t13_bigram_surprisal" -> ((s, dir) =>
-      bigramSurprisal(documents(s, dir)).orderBy("doc_id"))
+      bigramSurprisal(documents(s, dir)).orderBy("doc_id")),
+
+    // Vocabulary coverage curve via [[zipfTop]] — the top-100 tokens'
+    // cumulative corpus share.
+    "t14_zipf_coverage" -> ((s, dir) =>
+      zipfTop(documents(s, dir), k = 100).orderBy("rnk"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -787,6 +824,25 @@ object TextOps {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(st) AS BIGINT) AS sum_st,
            CAST(SUM(st) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal
-         FROM d GROUP BY doc_id ORDER BY doc_id"""
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // Exact-long cumulative counts; the one division is a single IEEE
+    // op on identical operands.
+    "t14_zipf_coverage" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM t GROUP BY tok),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c),
+         k AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 100),
+         r AS (SELECT tok, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rnk,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+               FROM k)
+         SELECT rnk, tok, cnt, cum_cnt,
+           CAST(cum_cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
+         FROM r CROSS JOIN tot ORDER BY rnk"""
   )
 }

@@ -107,6 +107,66 @@ object StreamOps {
         (col("n_hits") / col("n_grams")).as("contamination"))
   }
 
+  /** Streaming last-touch attribution — the streaming twin of the
+    * batch q62 window: each `targetType` event (purchase) is credited
+    * to the user's most recent PRECEDING `touchTypes` event
+    * (view/click), unattributed targets emit with nulls. State per
+    * user is ONE touch (ts, event_id, type) — constant size, no
+    * watermark needed for boundedness (users scale horizontally) —
+    * where the batch form needs the whole history sorted under a
+    * window.
+    *
+    * Within a micro-batch the group's rows are sorted by
+    * (ts, event_id) before folding (the iterator's order is not the
+    * event-time order), so a touch and a purchase arriving in the
+    * same batch attribute exactly like the batch window's 1-PRECEDING
+    * frame. Cross-batch correctness requires the replay/source to
+    * deliver each user's events in event-time order across batches —
+    * true for the kinesis-graft source (per-shard order, users
+    * sticky to shards by partition key) and asserted by the
+    * chronological file-replay parity test.
+    *
+    * Output: (user_id, event_id, ts, src_event_id, src_type, src_ts,
+    * attributed) — one row per target event, the batch schema.
+    */
+  def attributeLastTouch(events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      targetType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val touches = touchTypes.toSet
+    val ds = events.select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (java.sql.Timestamp, Long, String),
+          (Long, Long, java.sql.Timestamp, Option[Long], Option[String],
+            Option[java.sql.Timestamp], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var last = state.getOption
+          val sorted = rows.toArray.sortWith { (a, b) =>
+            val c = a._3.compareTo(b._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }
+          val out = Seq.newBuilder[(Long, Long, java.sql.Timestamp,
+            Option[Long], Option[String], Option[java.sql.Timestamp], Boolean)]
+          sorted.foreach { r =>
+            if (r._4 == targetType)
+              out += ((user, r._2, r._3, last.map(_._2), last.map(_._3),
+                last.map(_._1), last.isDefined))
+            if (touches.contains(r._4)) last = Some((r._3, r._2, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts", "src_event_id", "src_type",
+        "src_ts", "attributed")
+  }
+
   /** Per-shard sequence monitoring via Spark 4's transformWithState
     * (the successor arbitrary-state API): keeps each shard's last-seen
     * sequence in a ValueState and emits one anomaly row per record that

@@ -449,6 +449,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("t14: zipf top-k limits before the one-partition window — TakeOrdered feeds the cumsum") {
+    val p = graft.operators.TextOps.zipfTop(
+        graft.Tables.documents(spark, dir), k = 100)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    // the single-partition window must consume the k-row limit, not
+    // the vocabulary: TakeOrdered appears upstream of the Window node
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && takeIdx >= 0, s"missing nodes:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.

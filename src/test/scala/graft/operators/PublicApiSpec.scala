@@ -777,6 +777,18 @@ class PublicApiSpec extends SparkSuite {
     assert(got.toSeq == Seq((21L, "a", 0L), (22L, "b", 1L)), s"got ${got.toSeq}")
   }
 
+  test("zipfTop: hand-computed coverage curve with tie-broken ranks and exact shares") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1 (tie c<d); total 9
+    val got = TextOps.zipfTop(docs, k = 3).orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", 4L, 4L, 4.0 / 9.0),
+      (2, "b", 3L, 7L, 7.0 / 9.0),
+      (3, "c", 1L, 8L, 8.0 / 9.0)), s"got ${got.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk

@@ -259,6 +259,56 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attributeLastTouch: batch q62 ≡ streaming attribution on a chronological file-replay") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    // three chronological chunks (event-time order across batches is
+    // the operator's documented delivery requirement)
+    val chunked = ev.withColumn("chunk", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("attrreplay").toString
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def stampNewFiles(epochMs: Long): Unit =
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && !stamped.contains(f.getName))
+        .foreach { f =>
+          assert(f.setLastModified(epochMs), s"cannot set mtime on $f")
+          stamped += f.getName
+        }
+    val base = (System.currentTimeMillis() / 1000) * 1000 - 3600000L
+    for (c <- 1 to 3) {
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      stampNewFiles(base + c * 2000L)
+    }
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.attributeLastTouch(streamed)
+      .writeStream.format("memory").queryName("so_attr_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), r.getBoolean(6))
+      val stream = spark.sql(
+          """SELECT user_id, event_id, ts, src_event_id, src_type, src_ts,
+             attributed FROM so_attr_stream""")
+        .orderBy("user_id", "event_id").collect().map(key)
+      val batch = graft.operators.Relational.queries("q62_last_touch")(spark, dir)
+        .collect().map(key)
+      assert(batch.count(_._7) > 0 && batch.exists(!_._7),
+        "parity test is vacuous: need both attributed and unattributed purchases")
+      assert(stream.toSeq == batch.toSeq,
+        s"stream/batch mismatch: stream=${stream.length} batch=${batch.length}")
+    } finally q.stop()
+  }
+
   test("p02/p04 content-hash filters: batch ≡ stream on a file-replay (stateless pipelines)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pipeline
