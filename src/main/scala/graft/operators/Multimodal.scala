@@ -279,6 +279,51 @@ object Multimodal {
         (abs(col("fmean_milli") - col("__prev")) > thresholdMilli).as("is_cut"))
   }
 
+  /** Quiet-run (silence) detection over a binary "audio" column: runs
+    * of consecutive bytes below `threshold` are the codec-free stand-in
+    * for silence; the operator reports each asset's LONGEST quiet run
+    * and the COUNT of runs of at least `minRun` bytes — the
+    * trim-silence / dead-air screen of an audio ingest pipeline.
+    *
+    * The run-length scan is ONE in-row `aggregate` fold over the byte
+    * sequence carrying (current run, max run, runs ≥ minRun) — a pure
+    * per-row map: zero shuffles, zero windows, linear in payload
+    * bytes, embarrassingly parallel at any corpus size. All-integer
+    * state, so the gate is hash-exact with no float grid; the oracle
+    * computes the same runs by SQL gaps-and-islands, so the hash-match
+    * also cross-checks the fold against an independent algorithm.
+    *
+    * Output: (doc_id, n_bytes, max_quiet_run, n_quiet_runs).
+    */
+  def silenceRuns(df: DataFrame, threshold: Int = 32, minRun: Int = 16,
+      idCol: String = "doc_id", contentCol: String = "content"): DataFrame = {
+    require(threshold >= 1 && threshold <= 255,
+      s"threshold must be in [1, 255], got $threshold")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    // byte < threshold as a BINARY comparison (unsigned, lexicographic
+    // on the 1-byte slice) — no hex/conv string round-trip per byte
+    // (measured ~4× on the fold's hot loop)
+    val thrHex = f"$threshold%02X"
+    df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
+      .withColumn("__st", expr(
+        s"""aggregate(sequence(1, octet_length(content)),
+              struct(0L AS cur, 0L AS maxr, 0L AS nruns),
+              (acc, j) -> CASE WHEN substring(content, j, 1) < X'$thrHex'
+                THEN struct(acc.cur + 1L AS cur,
+                       GREATEST(acc.maxr, acc.cur + 1L) AS maxr,
+                       acc.nruns AS nruns)
+                ELSE struct(0L AS cur, acc.maxr AS maxr,
+                       acc.nruns + CASE WHEN acc.cur >= $minRun
+                                   THEN 1L ELSE 0L END AS nruns) END,
+              acc -> struct(acc.maxr AS maxr,
+                acc.nruns + CASE WHEN acc.cur >= $minRun
+                            THEN 1L ELSE 0L END AS nruns))"""))
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        col("__st.maxr").as("max_quiet_run"),
+        col("__st.nruns").as("n_quiet_runs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.
@@ -381,7 +426,23 @@ object Multimodal {
     // occur.
     "m08_scene_changes" -> ((s, dir) =>
       sceneChanges(assets(s, dir), frameSize = 256, thresholdMilli = 1000)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Silence detection via [[silenceRuns]]. The ASCII corpus has no
+    // bytes below 32, so quiet spans (chr(1) runs) are injected into
+    // every third document IN THE QUERY, mirrored in the oracle: one
+    // variable-length run (doc_id % 40 — straddles the minRun=16
+    // boundary) and one fixed 8-byte run (always below it), separated
+    // by an 'x'. Untouched docs exercise the all-zero path.
+    "m09_silence_runs" -> ((s, dir) => {
+      val injected = documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"),
+            expr("repeat(char(1), CAST(doc_id % 40 AS INT))"),
+            lit("x"), expr("repeat(char(1), 8)")))
+          .otherwise(col("text")).cast("binary").as("content"))
+      silenceRuns(injected, threshold = 32, minRun = 16).orderBy("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -546,6 +607,36 @@ object Multimodal {
          SELECT doc_id, frame_idx,
            CAST(abs(fmean_milli - prev) AS BIGINT) AS mean_diff_milli,
            abs(fmean_milli - prev) > 1000 AS is_cut
-         FROM w WHERE prev IS NOT NULL ORDER BY doc_id, frame_idx"""
+         FROM w WHERE prev IS NOT NULL ORDER BY doc_id, frame_idx""",
+
+    // Gaps-and-islands run detection — an INDEPENDENT algorithm from
+    // the Spark side's in-row fold; the hash-match cross-checks both.
+    // ASCII + chr(1) are 1-byte chars, so length == octet_length.
+    "m09_silence_runs" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || repeat(chr(1), CAST(doc_id % 40 AS INTEGER))
+                    || 'x' || repeat(chr(1), 8)
+               ELSE text END AS t
+           FROM documents),
+         p AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+               FROM inj),
+         q AS (SELECT doc_id, CAST(i AS INTEGER) AS i
+               FROM p
+               WHERE ascii(substring(t, CAST(i AS INTEGER), 1)) < 32),
+         r AS (SELECT doc_id,
+                 i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+               FROM q),
+         runs AS (SELECT doc_id, COUNT(*) AS run_len
+                  FROM r GROUP BY doc_id, grp),
+         agg AS (SELECT doc_id, MAX(run_len) AS max_q,
+                   SUM(CASE WHEN run_len >= 16 THEN 1 ELSE 0 END) AS n_q
+                 FROM runs GROUP BY doc_id)
+         SELECT i.doc_id, CAST(length(i.t) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(a.max_q, 0) AS BIGINT) AS max_quiet_run,
+           CAST(COALESCE(a.n_q, 0) AS BIGINT) AS n_quiet_runs
+         FROM inj i LEFT JOIN agg a ON i.doc_id = a.doc_id
+         ORDER BY i.doc_id"""
   )
 }

@@ -1064,6 +1064,33 @@ object Relational {
     "q60_state_intervals" -> ((s, dir) =>
       stateIntervals(events(s, dir)).orderBy("user_id", "seq")),
 
+    // Session path mining: the most common event-type JOURNEYS through
+    // a session (q22's 30-minute-gap sessions), the user-flow analysis
+    // behind funnel design. The path string is built ORDER-SAFELY from
+    // an unordered collect_list: array_sort over (ts, event_id, type)
+    // structs imposes the event-time order in-row (collect_list alone
+    // is partition-order-dependent — nondeterministic). Path length is
+    // bounded by session size; the path count is a map-side-combinable
+    // aggregate and top-20 is TakeOrderedAndProject.
+    "q63_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+    }),
+
     // Last-touch attribution: each purchase is credited to the user's
     // most recent PRECEDING view/click — the marketing-attribution
     // shape, and the general "carry the latest qualifying event
@@ -2099,6 +2126,29 @@ object Relational {
          SELECT user_id, event_id, ts, src_event_id, src_type, src_ts,
            src_event_id IS NOT NULL AS attributed
          FROM w WHERE event_type = 'purchase'
-         ORDER BY user_id, event_id"""
+         ORDER BY user_id, event_id""",
+
+    // string_agg with an explicit ORDER BY is DuckDB's ordered twin of
+    // the Spark side's array_sort-over-structs path build.
+    "q63_session_paths" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM w),
+         p AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM s GROUP BY user_id, session_id)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20"""
   )
 }

@@ -789,6 +789,24 @@ class PublicApiSpec extends SparkSuite {
       (3, "c", 1L, 8L, 8.0 / 9.0)), s"got ${got.toSeq}")
   }
 
+  test("silenceRuns: hand-computed runs — boundary minRun, trailing run, no-quiet asset") {
+    import spark.implicits._
+    val q = "\u0001" // a quiet byte (< 32)
+    val docs = Seq(
+      (1L, "ab" + q * 3 + "c" + q * 2),  // runs 3 (max) and trailing 2; none >= 3? minRun=3 → trailing misses, first counts
+      (2L, "abcdef"),                    // no quiet bytes
+      (3L, q * 4)                        // entire payload one quiet run
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val got = Multimodal.silenceRuns(docs, threshold = 32, minRun = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 8L, 3L, 1L),
+      (2L, 6L, 0L, 0L),
+      (3L, 4L, 4L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
