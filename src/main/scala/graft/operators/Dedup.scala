@@ -53,7 +53,7 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def shingleHashes(s: SparkSession, dir: String,
+  private[operators] def shingleHashes(s: SparkSession, dir: String,
       family: String = "xxhash64"): DataFrame =
     shingleCache.getOrElseUpdate((s, dir, family), {
       val ex = ngramHashesOf(documents(s, dir), 3, Nil, family).persist()

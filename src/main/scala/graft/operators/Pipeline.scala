@@ -172,14 +172,24 @@ object Pipeline {
     *
     * Output: (id, shard, ord, rnk) — `rnk` the document's 1-based
     * training position within its shard.
+    *
+    * `epoch` re-seeds the hash (text salted with "#epoch"), giving
+    * each training epoch an INDEPENDENT deterministic order — the
+    * between-epoch reshuffle a training loop needs, still with no RNG
+    * state to store and still engine-reproducible. Epoch 0 hashes the
+    * bare text (byte-identical to the pre-epoch behavior).
     */
   def shuffleShard(docs: DataFrame, nShards: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      epoch: Int = 0): DataFrame = {
     require(nShards > 0 && nShards <= 65536,
       s"nShards must be in [1, 65536], got $nShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val seed = if (epoch == 0) col(textCol)
+      else concat(col(textCol), lit(s"#$epoch"))
     val w = Window.partitionBy("shard").orderBy(col("ord"), col(idCol))
     docs
-      .withColumn("__ss_h", md5(col(textCol)))
+      .withColumn("__ss_h", md5(seed))
       // integer `div` (exact at any magnitude), as in [[packSequences]]
       .withColumn("shard",
         expr(s"CAST(conv(substring(__ss_h, 1, 4), 16, 10) AS BIGINT) " +
@@ -362,6 +372,44 @@ object Pipeline {
       .select(col(idCol), col(strataCol), col("rk"))
   }
 
+  /** Weighted priority sampling without replacement: draw `k` rows
+    * with inclusion preference proportional to `weightCol`, RNG-free.
+    * Each row gets a priority `h / w` where `h` is a uniform 32-bit
+    * integer from md5 of the content (the A-Res/priority-sampling key
+    * with the uniform draw replaced by a deterministic content hash —
+    * Efraimidis–Spirakis, Inf. Proc. Letters 2006, with u^(1/w)
+    * monotonically replaced by h/w on a fixed grid); the k SMALLEST
+    * priorities win, so doubling a row's weight halves its expected
+    * key. Re-runs, other engines, and upstream repartitions reproduce
+    * the same sample byte-for-byte.
+    *
+    * Scale shape: the priority is a per-row codegen'd map and the
+    * selection is `orderBy(priority).limit(k)` — Catalyst plans
+    * TakeOrderedAndProject (per-partition top-k, single driver merge
+    * of k·partitions rows), NEVER a global sort. At 100 TB this is
+    * one scan, zero shuffles, k rows moved.
+    *
+    * Cross-engine exactness: `h` and `w` are exact longs and the
+    * priority is ONE IEEE division — bit-identical in any engine.
+    * Rows with non-positive weight are excluded (can't be drawn).
+    *
+    * Output: (id, weight, priority), the k winners.
+    */
+  def weightedPrioritySample(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .filter(col(weightCol) > 0)
+      .withColumn("__h",
+        conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"))
+      .withColumn("priority",
+        col("__h").cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("priority"))
+  }
+
   // Registered queries: the public operators applied to the driver's
   // test tables, plus the gate's total-order sort.
   /** Length-bucketed batch assignment: documents are grouped into
@@ -464,7 +512,19 @@ object Pipeline {
     // so the hash-match proves the two-phase prefilter is lossless.
     "p09_exact_k_sample" -> ((s, dir) =>
       exactKSample(documents(s, dir), k = 50, strataCol = "lang")
-        .orderBy("lang", "rk"))
+        .orderBy("lang", "rk")),
+
+    // p06 at epoch 1 — the between-epoch reshuffle: an independent
+    // deterministic order from the same corpus.
+    "p10_epoch_shuffle" -> ((s, dir) =>
+      shuffleShard(documents(s, dir), nShards = 16, epoch = 1)
+        .orderBy("doc_id")),
+
+    // Length-weighted corpus draw: 100 docs, long docs preferred in
+    // proportion to n_chars. TakeOrderedAndProject — never a sort.
+    "p11_weighted_sample" -> ((s, dir) =>
+      weightedPrioritySample(documents(s, dir), k = 100)
+        .orderBy("priority", "doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -605,6 +665,29 @@ object Pipeline {
                PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
            FROM documents)
          SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 50 ORDER BY lang, rk"""
+         FROM r WHERE rk <= 50 ORDER BY lang, rk""",
+
+    // p06's oracle with the epoch-1 salt on the hashed text.
+    "p10_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(text || '#1') AS h FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substring(h, 1, 4)) AS BIGINT) * 16 // 65536
+               AS INTEGER) AS shard,
+             substring(h, 5, 12) AS ord
+           FROM h)
+         SELECT doc_id, shard, ord,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+             AS INTEGER) AS rnk
+         FROM s ORDER BY doc_id""",
+
+    // Priority = h/w as ONE IEEE division of exact longs — the double
+    // hash-matches Spark's bit for bit.
+    "p11_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+           CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS priority
+         FROM documents WHERE n_chars > 0
+         ORDER BY priority, doc_id LIMIT 100"""
   )
 }

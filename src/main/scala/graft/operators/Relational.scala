@@ -1145,6 +1145,12 @@ object Relational {
         .limit(100)
     }),
 
+    // Trailing 7-day distinct users per active day, via the
+    // contribution-explode in [[slidingDistinctUsers]] — never a
+    // day×day self-join, never a count-distinct range window.
+    "q64_sliding_distinct" -> ((s, dir) =>
+      slidingDistinctUsers(events(s, dir), windowDays = 7)),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1391,6 +1397,41 @@ object Relational {
           col("cum_lt").cast("double") / (col("n") - lit(1)))
           .otherwise(lit(0.0)).as("pr_est"),
         (col("cum_le").cast("double") / col("n")).as("cd_est"))
+  }
+
+  /** Trailing-window distinct users per day ("7-day actives", the
+    * sliding-distinct-count shape SQL can't window: COUNT(DISTINCT)
+    * isn't a frame aggregate, and the naive day-spine × events join
+    * rescans the fact table once per window day).
+    *
+    * Contribution explode instead: dedup to (day, user) pairs first
+    * (the ONLY fact-sized exchange), then each pair emits the
+    * `windowDays` target days it makes its user active in — a narrow
+    * ×W map on the already-deduped pairs — and a second distinct on
+    * (target, user) collapses users active on several days of one
+    * window. The final per-day count is a map-side-combined aggregate
+    * over deduped pairs. Cost at any scale: 2 pair-sized exchanges +
+    * one ×W explode; W is the window length, never the data. The
+    * day spine (distinct active days) is broadcast to keep only days
+    * that actually occur.
+    *
+    * Output: (day, u7) for each day with ≥1 event, u7 = distinct
+    * users in [day − windowDays + 1, day].
+    */
+  def slidingDistinctUsers(ev: DataFrame, windowDays: Int = 7,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366], got $windowDays")
+    val pairs = ev.select(to_date(col(tsCol)).as("d"),
+      col(userCol).as("u")).distinct()
+    val days = pairs.select(col("d").as("day")).distinct()
+    pairs
+      .select(explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("day"), col("u"))
+      .join(broadcast(days), Seq("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("u7"))
+      .orderBy("day")
   }
 
   def oracles: Map[String, String] = Map(
@@ -2149,6 +2190,18 @@ object Relational {
            FROM s GROUP BY user_id, session_id)
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM p GROUP BY path
-         ORDER BY n_sessions DESC, path LIMIT 20"""
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // The oracle takes the direct day-spine × pairs interval join the
+    // Spark side deliberately avoids — independent algorithm, same
+    // relation.
+    "q64_sliding_distinct" ->
+      """WITH pairs AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d FROM pairs)
+         SELECT days.d AS day,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS u7
+         FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+         GROUP BY days.d ORDER BY day"""
   )
 }

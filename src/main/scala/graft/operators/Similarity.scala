@@ -217,6 +217,12 @@ object Similarity {
         .orderBy("cluster", "rk")
     }),
 
+    // Per-label mean pairwise similarity via the centroid identity —
+    // the O(n²) statistic at O(n·d) cost, join-free. Hash-checked:
+    // integer-grid snapping makes every sum exact in both engines.
+    "s13_class_diversity" -> ((s, dir) =>
+      classDiversity(embeddings(s, dir))),
+
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
       // bucket) rows — carrying the vectors through it would shuffle
@@ -811,6 +817,60 @@ object Similarity {
       .drop("__cents", "__v")
   }
 
+  /** Mean pairwise dot product WITHIN each group ("class diversity"):
+    * the average similarity of every unordered pair of vectors sharing
+    * a label — low mean ⇒ the class is diverse, high ⇒ redundant (the
+    * statistic behind diversity-aware data selection and per-class
+    * redundancy audits).
+    *
+    * The naive computation is an O(n²) within-group self-join. This is
+    * O(n·d) via the centroid identity: with S = Σᵢ vᵢ (elementwise),
+    *   Σ_{i≠j} vᵢ·vⱼ = |S|² − Σᵢ|vᵢ|²,
+    * so the mean pair dot is (|S|² − Σ|vᵢ|²) / (n·(n−1)). No joins at
+    * all: one per-row self-dot map, one (label, dim) sum behind a
+    * map-side combine (collapses to |labels|·d rows per task), one
+    * |labels|-row aggregate over those sums.
+    *
+    * Cross-engine exactness: vectors are snapped to a fixed integer
+    * grid (`scale`, default 1e4 — t07's micro-grid trick), so every
+    * sum is EXACT long arithmetic in any order and the single final
+    * division is one IEEE op — bit-identical in any engine. Long
+    * headroom: |Σ x²| ≤ n·d·(scale·|x|ₘₐₓ)² must fit 2⁶³; at
+    * scale=1e4 and unit-ish values that bounds n per label at ~3×10⁷ —
+    * beyond that pass a coarser grid (scale=1e3 buys 100×).
+    *
+    * Output: (label, n, mean_pair_dot) in grid² units ÷ scale² — i.e.
+    * the mean pairwise dot of the SNAPPED vectors. Groups with n < 2
+    * have no pairs and are absent.
+    */
+  def classDiversity(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val q = emb.select(col(labelCol).as("label"),
+      expr(s"""transform($vecCol, x ->
+           CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))""").as("q"))
+    val rowStats = q
+      .select(col("label"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("sd"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("sd").as("sum_self"))
+    val dimSums = q
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum("x").as("sk"))
+      .groupBy("label").agg(sum(col("sk") * col("sk")).as("sum_sq"))
+    rowStats.join(dimSums, Seq("label"))
+      .filter(col("n") > 1)
+      .select(col("label"), col("n"),
+        // n·(n−1) stays exact long (n ≤ 3e7); scale² is folded to an
+        // exact double literal — two IEEE ops (×, ÷), same tree as the
+        // oracle, so the result is bit-identical cross-engine.
+        ((col("sum_sq") - col("sum_self")).cast("double") /
+          ((col("n") * (col("n") - 1)).cast("double") *
+            lit(scale.toDouble * scale.toDouble)))
+          .as("mean_pair_dot"))
+      .orderBy("label")
+  }
+
   /** Test-only ground truth for s03: exact all-pairs threshold join.
     * Quadratic in the corpus — deliberately NOT a registered query
     * (its BroadcastNestedLoopJoin plan dies at scale); DedupSimilaritySpec
@@ -904,6 +964,30 @@ object Similarity {
                  generate_subscripts(embedding, 1) AS dim
                FROM embeddings) x
          GROUP BY label, dim ORDER BY label, dim""",
+
+    // Same centroid identity on the same integer grid: every sum is
+    // exact (DuckDB widens to HUGEINT; Spark's longs never overflow at
+    // gate scale), and the final ×/÷ pair mirrors the Spark tree.
+    "s13_class_diversity" ->
+      """WITH q AS (
+           SELECT label, list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 10000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         rs AS (
+           SELECT label, COUNT(*) AS n,
+             SUM(list_sum(list_transform(q, x -> x * x))) AS sum_self
+           FROM q GROUP BY label),
+         ds AS (
+           SELECT label, dim, SUM(x) AS sk
+           FROM (SELECT label, unnest(q) AS x,
+                   generate_subscripts(q, 1) AS dim FROM q) u
+           GROUP BY label, dim),
+         ss AS (SELECT label, SUM(sk * sk) AS sum_sq FROM ds GROUP BY label)
+         SELECT rs.label, CAST(n AS BIGINT) AS n,
+           CAST(sum_sq - sum_self AS DOUBLE)
+             / (CAST(n * (n - 1) AS DOUBLE) * 100000000.0) AS mean_pair_dot
+         FROM rs JOIN ss USING (label)
+         WHERE n > 1 ORDER BY rs.label""",
 
     // The s02/s03 oracles reproduce the LSH blocking exactly: the same
     // seeded plane longs expand to the same ±1 planes, so DuckDB derives

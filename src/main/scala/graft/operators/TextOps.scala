@@ -439,6 +439,34 @@ object TextOps {
       .select("doc_id", "n_bigrams", "sum_st", "avg_surprisal")
   }
 
+  /** N-gram novelty scoring: per document, the fraction of its
+    * distinct n-grams that appear NOWHERE else in the corpus (df = 1)
+    * — high novelty marks genuinely original text, low novelty marks
+    * template/boilerplate recombination, and the score is the standard
+    * cheap memorization-risk proxy (a doc whose grams all recur is
+    * compressible; one full of unique grams isn't). Shares the dedup
+    * family's n-gram generator (in-row distinct grams, 64-bit hashes —
+    * the registered query reuses the cached shingle artifact), so the
+    * cost is one df aggregate + one co-partitioned join-back on the
+    * gram hash; the ratio is a single IEEE division of exact longs.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty) — docs shorter than
+    * n tokens have no grams and are absent.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    noveltyOf(Dedup.ngramHashesOf(normalized(docs, idCol, textCol), n))
+
+  private[operators] def noveltyOf(ex: DataFrame): DataFrame = {
+    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfTab, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Zipf / vocabulary-coverage curve: the k most frequent tokens with
     * rank, count, and CUMULATIVE corpus share — the statistic behind
     * tokenizer-vocabulary sizing ("how many types cover 95% of
@@ -560,7 +588,12 @@ object TextOps {
     // Vocabulary coverage curve via [[zipfTop]] — the top-100 tokens'
     // cumulative corpus share.
     "t14_zipf_coverage" -> ((s, dir) =>
-      zipfTop(documents(s, dir), k = 100).orderBy("rnk"))
+      zipfTop(documents(s, dir), k = 100).orderBy("rnk")),
+
+    // N-gram novelty via [[ngramNovelty]], reusing the dedup family's
+    // cached shingle artifact (same 3-gram hashes d03/d06 block on).
+    "t15_ngram_novelty" -> ((s, dir) =>
+      noveltyOf(Dedup.shingleHashes(s, dir)).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -843,6 +876,30 @@ object TextOps {
                FROM k)
          SELECT rnk, tok, cnt, cum_cnt,
            CAST(cum_cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
-         FROM r CROSS JOIN tot ORDER BY rnk"""
+         FROM r CROSS JOIN tot ORDER BY rnk""",
+
+    // df over gram STRINGS — hash-matching the Spark side's 64-bit
+    // gram hashes also re-proves the hash family collision-free on
+    // this corpus (the d03 gate's argument).
+    "t15_ngram_novelty" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(tokens) - 2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+             AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         df AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s)
+         SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+         FROM ex e JOIN df ON e.s = df.s
+         GROUP BY e.doc_id ORDER BY e.doc_id"""
   )
 }

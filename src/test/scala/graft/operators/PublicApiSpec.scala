@@ -807,6 +807,96 @@ class PublicApiSpec extends SparkSuite {
       (3L, 4L, 4L, 1L)), s"got ${got.toSeq}")
   }
 
+  test("ngramNovelty: shared grams score low, unique grams score high, short docs absent") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"          // grams shared by docs 1/2
+    val docs = Seq(
+      (1L, shared),                               // 2 grams, both df=2 → novelty 0
+      (2L, shared + " epsilon"),                  // 3 grams: 2 shared + 1 unique → 1/3
+      (3L, "zeta eta theta iota"),                // 2 grams, both unique → 1.0
+      (4L, "one two")                             // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 0.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 2L, 2L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("shuffleShard: epoch 0 is byte-identical to the unsalted form; epochs reorder independently") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    def run(e: Int) = Pipeline.shuffleShard(docs, nShards = 4, epoch = e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val e0 = run(0)
+    val legacy = Pipeline.shuffleShard(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(e0 == legacy, "epoch 0 must preserve the unsalted order")
+    val e1 = run(1)
+    assert(e1 != e0, "epoch 1 must reshuffle")
+    assert(run(1) == e1, "each epoch's order must be deterministic")
+    assert(e1.map(_._1) == e0.map(_._1), "same rows, different order only")
+  }
+
+  test("classDiversity: centroid identity reproduces the hand-computed pairwise means") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),   // pairs within label 0:
+      (2L, Array(1.0f, 0.0f), 0),   //   (1,2)=1, (1,3)=0, (2,3)=0 → mean 1/3
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.5f, 0.5f), 2),   // identical pair → mean 0.5
+      (5L, Array(0.5f, 0.5f), 2),
+      (6L, Array(0.9f, 0.1f), 7)    // singleton: no pairs → absent
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classDiversity(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 3L, 1.0 / 3.0), (2, 2L, 0.5)), s"got ${got.toSeq}")
+  }
+
+  test("weightedPrioritySample: k smallest h/w priorities win; non-positive weights excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apples and oranges", 120L), (2L, "pears or plums", 45L),
+      (3L, "kiwi fruit salad", 800L), (4L, "banana bread recipe", 10L),
+      (5L, "cherry pie filling", 300L), (6L, "never drawn", 0L)
+    ).toDF("doc_id", "text", "n_chars")
+    // Engine-independent expectation: same md5-prefix / weight key in JVM.
+    def prio(text: String, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / w.toDouble
+    }
+    val exp = Seq((1L, "apples and oranges", 120L), (2L, "pears or plums", 45L),
+        (3L, "kiwi fruit salad", 800L), (4L, "banana bread recipe", 10L),
+        (5L, "cherry pie filling", 300L))
+      .map { case (id, t, w) => (id, w, prio(t, w)) }
+      .sortBy(x => (x._3, x._1)).take(3)
+    val got = Pipeline.weightedPrioritySample(docs, k = 3)
+      .orderBy("priority", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}, want $exp")
+  }
+
+  test("slidingDistinctUsers: trailing-window counts dedup users active on several days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq(
+      (ts(1), 100L), (ts(1), 200L),   // day 1: {100, 200}
+      (ts(2), 100L),                  // day 2 window [..-6,2]: {100, 200}
+      (ts(2), 100L),                  // same user same day — no double count
+      (ts(9), 300L)                   // day 9 window [3..9]: {300} only
+    ).toDF("ts", "user_id")
+    val out = Relational.slidingDistinctUsers(ev, windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-09", 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
