@@ -462,6 +462,41 @@ class PlanShapeSpec extends SparkSuite {
     assert(winIdx >= 0 && takeIdx >= 0, s"missing nodes:\n$p")
   }
 
+  test("p11: weighted sample plans as TakeOrderedAndProject — never a global sort") {
+    val p = graft.operators.Pipeline.weightedPrioritySample(
+        graft.Tables.documents(spark, dir), k = 100)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted draw fell back to a global sort:\n$p")
+    assert(!p.contains("Join"), s"p11 joined:\n$p")
+  }
+
+  test("q64: sliding distinct never joins the facts — pairs-only exchanges, spine broadcast") {
+    val p = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    // the day spine must broadcast; the facts must never sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"day spine not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-sized join appeared:\n$p")
+    // (day,user) dedup + (target,user) dedup are the only pair-sized
+    // exchanges; the other three (spine dedup, per-day counts, final
+    // sort) carry |days|-sized rows
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 5, s"expected <=5 exchanges, got $exchanges:\n$p")
+  }
+
+  test("s13: class diversity is join-free on the corpus — map-side-combined aggregates only") {
+    val p = graft.operators.Similarity.classDiversity(
+        graft.Tables.embeddings(spark, dir))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"s13 windowed:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"the |labels|-row join must broadcast, not shuffle facts:\n$p")
+    // two aggregate trees (row stats, dim sums) + the tiny label join;
+    // every corpus-sized aggregate must have a map-side partial
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"missing partial aggregates:\n$p")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
