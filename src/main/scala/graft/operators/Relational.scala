@@ -1151,6 +1151,17 @@ object Relational {
     "q64_sliding_distinct" -> ((s, dir) =>
       slidingDistinctUsers(events(s, dir), windowDays = 7)),
 
+    // The sketch form of q64: per-day HLL sketches (the streaming
+    // ingest artifact) merged per trailing window. Rows-only driver
+    // check (DuckDB has no Datasketches HLL); the ≤2% agreement with
+    // exact q64 is asserted in SketchAndFormatSpec.
+    "q65_sliding_distinct_hll" -> ((s, dir) =>
+      slidingDistinctApprox(
+        events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
+        windowDays = 7)),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1431,6 +1442,37 @@ object Relational {
       .join(broadcast(days), Seq("day"))
       .distinct()
       .groupBy("day").agg(count(lit(1)).as("u7"))
+      .orderBy("day")
+  }
+
+  /** Sketch-form trailing-window distinct counts: given per-day HLL
+    * sketches (one row per day — the ingest artifact
+    * `StreamOps.dailyDistinctSketches` maintains on a stream, or one
+    * `hll_sketch_agg` groupBy in batch), each day's trailing-window
+    * estimate is `hll_union_agg` over its window's ≤ `windowDays`
+    * sketches. Same contribution-explode as [[slidingDistinctUsers]],
+    * but the exploded rows are |days|·W SKETCHES, not pairs — at
+    * 100 TB the fact table is touched once (building the daily
+    * sketches, map-side combinable, fixed-size state) and every
+    * window query after that is a |days|-row merge. The price is the
+    * HLL error bound (~1.6% at lgConfigK=12) — [[slidingDistinctUsers]]
+    * stays the exact oracle; this is the form whose cost no longer
+    * scales with the window length × pair count.
+    *
+    * Output: (day, u_approx) for each day present in `daily`.
+    */
+  def slidingDistinctApprox(daily: DataFrame, windowDays: Int = 7,
+      dayCol: String = "day", skCol: String = "sk"): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366], got $windowDays")
+    val days = daily.select(col(dayCol).as("day")).distinct()
+    daily
+      .select(explode(sequence(col(dayCol),
+        date_add(col(dayCol), windowDays - 1))).as("day"),
+        col(skCol).as("__sk"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("u_approx"))
       .orderBy("day")
   }
 

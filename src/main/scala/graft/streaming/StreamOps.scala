@@ -107,6 +107,32 @@ object StreamOps {
         (col("n_hits") / col("n_grams")).as("contamination"))
   }
 
+  /** Per-day distinct-key HLL sketches over a stream — the streaming
+    * half of the sliding-distinct pair (batch exact form: q64
+    * `Relational.slidingDistinctUsers`; batch sketch form:
+    * `Relational.slidingDistinctApprox`). Each day's sketch is a
+    * mergeable Datasketches HLL built incrementally as micro-batches
+    * arrive (update mode); state per day is one fixed-size sketch
+    * (2^lgConfigK registers), NOT the key set — a day with a billion
+    * distinct users costs the same few KiB as a day with a thousand.
+    *
+    * Downstream, any trailing window is `hll_union_agg` over the
+    * window's daily sketches — so the stream never recounts: the
+    * sketches are the ingest artifact, the window query is a
+    * |days|-row merge. Union is register-wise max: associative,
+    * commutative, replay-safe, so the stream's sketches estimate
+    * IDENTICALLY to a batch build over the same rows (asserted in
+    * StreamOpsSpec).
+    *
+    * Output: (day, sk) — one updating row per event-time day.
+    */
+  def dailyDistinctSketches(df: DataFrame, tsCol: String, watermark: String,
+      keyCol: String, lgConfigK: Int = 12): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk"))
+      .select(to_date(col("window.start")).as("day"), col("sk"))
+
   /** Streaming last-touch attribution — the streaming twin of the
     * batch q62 window: each `targetType` event (purchase) is credited
     * to the user's most recent PRECEDING `touchTypes` event

@@ -53,6 +53,19 @@ class SketchAndFormatSpec extends SparkSuite {
     }
   }
 
+  test("q65 sketch-form sliding distinct within 2% of exact q64, same day set") {
+    val exact = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q65_sliding_distinct_hll")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet,
+      s"day sets differ: ${approx.keySet} vs ${exact.keySet}")
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n) / n.toDouble < 0.02,
+        s"$day: hll ${approx(day)} vs exact $n")
+    }
+  }
+
   test("q38 histogram percentiles within one bucket width of the exact percentiles") {
     val rows = SparkEntry.queries("q38_percentile_hist")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap

@@ -309,6 +309,55 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dailyDistinctSketches: streamed daily HLLs estimate identically to a batch build") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir).select("ts", "user_id")
+    // two file chunks → several micro-batches: the daily sketches must
+    // absorb keys incrementally across batches (update mode) and still
+    // match the one-pass batch sketches, because HLL union is
+    // register-wise max — order- and batching-independent.
+    val tmp = java.nio.file.Files.createTempDirectory("hllreplay").toString
+    ev.filter(col("user_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.dailyDistinctSketches(streamed, "ts", "1 day", "user_id")
+      .writeStream.format("memory").queryName("so_hll_stream")
+      .outputMode("update").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected >=2 non-empty micro-batches")
+      // update mode re-emits a day on every batch that touches it; a
+      // day's sketch only GROWS (union = register-wise max), so the
+      // final state is the emission with the max estimate — an
+      // order-independent selection (sink row order is not contracted)
+      val finalSketches = spark.sql(
+          "SELECT day, max_by(sk, hll_sketch_estimate(sk)) AS sk " +
+          "FROM so_hll_stream GROUP BY day")
+      val streamEst = finalSketches
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batchEst = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), 12)).as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(streamEst == batchEst,
+        s"stream/batch sketch estimates differ:\n$streamEst\nvs\n$batchEst")
+      // and the trailing-window composition over the streamed sketches
+      // equals the registered batch query
+      val slid = graft.operators.Relational
+        .slidingDistinctApprox(finalSketches, windowDays = 7)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      val batchSlid = graft.SparkEntry
+        .queries("q65_sliding_distinct_hll")(spark, dir)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      assert(slid == batchSlid,
+        s"sliding composition differs:\n$slid\nvs\n$batchSlid")
+    } finally q.stop()
+  }
+
   test("p02/p04 content-hash filters: batch ≡ stream on a file-replay (stateless pipelines)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pipeline
