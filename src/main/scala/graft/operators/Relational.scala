@@ -1162,6 +1162,11 @@ object Relational {
           .agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
         windowDays = 7)),
 
+    // Per-user EWMA of event values (α=0.2) — the recursive decay
+    // fold window frames can't express; in-row fold, one exchange.
+    "q66_ewma" -> ((s, dir) =>
+      ewma(events(s, dir), alpha = 0.2).orderBy("user_id")),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -1474,6 +1479,49 @@ object Relational {
       .groupBy("day")
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("u_approx"))
       .orderBy("day")
+  }
+
+  /** Per-key exponentially-weighted moving average — the recursive
+    * decay feature (acc ← α·x + (1−α)·acc) that SQL window frames
+    * CANNOT express: every frame aggregate weighs rows by a fixed
+    * function of position, while EWMA's weight depends on the
+    * accumulator, i.e. it's a left fold, not a frame.
+    *
+    * Shape: one hash exchange on the entity key; each key's series is
+    * ordered IN-ROW (array_sort over (orderCols, value) structs —
+    * collect_list alone is partition-order nondeterministic, the q63
+    * lesson) and folded in-row. State per task is one entity's series
+    * — the same bounded-series contract as q63's paths and q40's
+    * grids; entities scale horizontally. No window, no join, no
+    * second scan.
+    *
+    * Determinism: the fold visits rows in (orderCols) order and does
+    * `(1−α)·acc + α·x` per step — a fixed IEEE op sequence, so any
+    * engine folding the same order produces the SAME bits (the DuckDB
+    * oracle's list_reduce mirrors it literally; rounded to 6 dp for
+    * presentation only).
+    *
+    * Output: (key, n_events, ewma) — one row per key, the fold of its
+    * full series.
+    */
+  def ewma(df: DataFrame, alpha: Double, keyCol: String = "user_id",
+      valCol: String = "value",
+      orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val sortStruct = struct(
+      orderCols.map(col) :+ col(valCol).cast("double").as("__v"): _*)
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(sortStruct)).as("__evs"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__vals", expr("transform(__evs, e -> e.__v)"))
+      // (1 − α) is computed IN the expression, not pre-folded on the
+      // driver: both engines then derive the decay factor with the
+      // same IEEE subtraction, so the factor's bits match by
+      // construction (a driver-side 1.0-α can land on a rounding tie).
+      .withColumn("ewma", round(expr(
+        s"""aggregate(slice(__vals, 2, size(__vals) - 1), __vals[0],
+             (acc, x) -> (1.0D - ${alpha}D) * acc + ${alpha}D * x)"""), 6))
+      .select(col(keyCol), col("n_events"), col("ewma"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -2244,6 +2292,22 @@ object Relational {
          SELECT days.d AS day,
            CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS u7
          FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
-         GROUP BY days.d ORDER BY day"""
+         GROUP BY days.d ORDER BY day""",
+
+    // list_reduce folds (ts, event_id)-ordered values with the
+    // LITERAL same per-step arithmetic ((1−0.2)·acc + 0.2·x, decay
+    // derived by the same IEEE subtraction) — same op sequence, same
+    // bits; ROUND(…, 6) is presentation only.
+    "q66_ewma" ->
+      """WITH s AS (
+           SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             COUNT(*) AS n_events
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals::DOUBLE[],
+             (acc, x) -> (1.0::DOUBLE - 0.2::DOUBLE) * acc
+               + 0.2::DOUBLE * x), 6) AS ewma
+         FROM s ORDER BY user_id"""
   )
 }

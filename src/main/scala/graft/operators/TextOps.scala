@@ -467,6 +467,42 @@ object TextOps {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabK` token vocabulary (the [[zipfTop]] head): the
+    * fraction of a document's token OCCURRENCES a `vocabK`-entry
+    * tokenizer would map to UNK — [[zipfTop]] answers "how big must
+    * the vocabulary be", this answers "which documents does a given
+    * size fail on" (high-OOV docs are the rare-token tail a small
+    * vocabulary garbles; also the standard per-doc domain-shift
+    * signal against a FIXED external vocab, which callers can pass by
+    * building `vocab` themselves upstream).
+    *
+    * Scale shape: the vocabulary is ≤ `vocabK` rows — TakeOrdered off
+    * the token counts, then BROADCAST to the token stream; the rest
+    * is one explode into one map-side-combinable per-doc aggregate.
+    * The corpus is scanned twice (vocab build, scoring) and shuffled
+    * at token-count granularity once; at ingest the vocab is a cached
+    * artifact and scoring is a single scan. The rate is one IEEE
+    * division of exact longs.
+    *
+    * Output: (doc_id, n_toks, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, vocabK: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val toks = normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), WS)).as("tok"))
+    val vocab = zipfTop(docs, vocabK, idCol, textCol)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** Zipf / vocabulary-coverage curve: the k most frequent tokens with
     * rank, count, and CUMULATIVE corpus share — the statistic behind
     * tokenizer-vocabulary sizing ("how many types cover 95% of
@@ -593,7 +629,12 @@ object TextOps {
     // N-gram novelty via [[ngramNovelty]], reusing the dedup family's
     // cached shingle artifact (same 3-gram hashes d03/d06 block on).
     "t15_ngram_novelty" -> ((s, dir) =>
-      noveltyOf(Dedup.shingleHashes(s, dir)).orderBy("doc_id"))
+      noveltyOf(Dedup.shingleHashes(s, dir)).orderBy("doc_id")),
+
+    // OOV rate against the fixture corpus's top-10 tokens (the
+    // fixture vocabulary is small, so k=10 leaves a real OOV tail).
+    "t16_oov_rate" -> ((s, dir) =>
+      oovRate(documents(s, dir), vocabK = 10).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -900,6 +941,23 @@ object TextOps {
            CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS novelty
          FROM ex e JOIN df ON e.s = df.s
-         GROUP BY e.doc_id ORDER BY e.doc_id"""
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
+
+    // Vocabulary = t14's top-k head (same count-desc, token tiebreak);
+    // the rate is one IEEE division of exact longs.
+    "t16_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok LIMIT 10)
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+         FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id"""
   )
 }

@@ -897,6 +897,39 @@ class PublicApiSpec extends SparkSuite {
       s"got ${out.toSeq}")
   }
 
+  test("ewma: fold order follows (ts, id); singleton series returns its value; alpha bounds enforced") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val ev = Seq(
+      // user 1 in SCRAMBLED input order; event-time order is 10, 20, 30
+      (1L, 3L, ts(30), 3.0), (1L, 1L, ts(10), 5.0), (1L, 2L, ts(20), 2.0),
+      (7L, 9L, ts(5), 42.0) // singleton
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Relational.ewma(ev, alpha = 0.2).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // fold: 5.0 → 0.8*5.0+0.2*2.0 = 4.4 → 0.8*4.4+0.2*3.0 = 4.12
+    assert(got.toSeq == Seq((1L, 3L, 4.12), (7L, 1L, 42.0)), s"got ${got.toSeq}")
+    intercept[IllegalArgumentException] { Relational.ewma(ev, alpha = 0.0) }
+    intercept[IllegalArgumentException] { Relational.ewma(ev, alpha = 1.5) }
+  }
+
+  test("oovRate: tokens outside the top-k vocabulary count as OOV occurrences") {
+    import spark.implicits._
+    // corpus counts: the=4, cat=3, dog=2, runs=1, fast=1 → top-2 vocab {cat, the}
+    val docs = Seq(
+      (1L, "the cat the cat"),          // all in vocab → 0/4
+      (2L, "the dog runs"),             // dog, runs OOV → 2/3
+      (3L, "dog fast cat the")          // dog, fast OOV → 2/4
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, vocabK = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 4L, 2L, 0.5)), s"got ${got.toSeq}")
+  }
+
   test("passageDups: cross-doc shared chunks surface; within-doc repeats and uniques don't") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one aligned 8-word chunk
