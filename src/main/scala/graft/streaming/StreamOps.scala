@@ -107,6 +107,55 @@ object StreamOps {
         (col("n_hits") / col("n_grams")).as("contamination"))
   }
 
+  /** Streaming EWMA — the streaming twin of the batch q66
+    * `Relational.ewma` fold: per key, acc ← α·x + (1−α)·acc over the
+    * event-time-ordered value series. State per key is the PAIR
+    * (acc, n) — constant size, no history, no watermark needed for
+    * boundedness — where the batch form materializes each key's full
+    * series in-row; a decayed average is the canonical
+    * state-smaller-than-window streaming statistic.
+    *
+    * Within a micro-batch rows are sorted by (ts, event_id) before
+    * folding (iterator order ≠ event-time order); cross-batch
+    * correctness needs per-key event-time-ordered delivery, the same
+    * documented contract as [[attributeLastTouch]] (true for the
+    * kinesis-graft source: per-shard order, keys sticky to shards).
+    * Each batch emits the key's updated (n_events, ewma); the latest
+    * emission (max n_events) is the current value. The per-step
+    * arithmetic `(1−α)·acc + α·x` is literally the batch fold's, so a
+    * chronological replay reproduces batch q66 bit-for-bit (asserted
+    * in StreamOpsSpec).
+    */
+  def ewmaStream(events: DataFrame, alpha: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valCol: String = "value"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events.select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol), col(valCol).cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val sorted = rows.toArray.sortWith { (a, b) =>
+            val c = a._3.compareTo(b._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }
+          var (acc, n) = state.getOption.getOrElse((0.0, 0L))
+          sorted.foreach { r =>
+            acc = if (n == 0L) r._4 else (1.0 - alpha) * acc + alpha * r._4
+            n += 1
+          }
+          state.update((acc, n))
+          Iterator.single((key, n, acc))
+      }
+      .toDF(keyCol, "n_events", "ewma")
+      .withColumn("ewma", round(col("ewma"), 6))
+  }
+
   /** Per-day distinct-key HLL sketches over a stream — the streaming
     * half of the sliding-distinct pair (batch exact form: q64
     * `Relational.slidingDistinctUsers`; batch sketch form:

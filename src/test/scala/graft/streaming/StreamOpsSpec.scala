@@ -309,6 +309,55 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ewmaStream: batch q66 ≡ streaming EWMA on a chronological file-replay") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "value")
+    // chronological chunks + mtime stamping: the operator's documented
+    // per-key event-time-order delivery contract (as attributeLastTouch)
+    val chunked = ev.withColumn("chunk", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("ewmareplay").toString
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def stampNewFiles(epochMs: Long): Unit =
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && !stamped.contains(f.getName))
+        .foreach { f =>
+          assert(f.setLastModified(epochMs), s"cannot set mtime on $f")
+          stamped += f.getName
+        }
+    val base = (System.currentTimeMillis() / 1000) * 1000 - 3600000L
+    for (c <- 1 to 3) {
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      stampNewFiles(base + c * 2000L)
+    }
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.ewmaStream(streamed, alpha = 0.2)
+      .writeStream.format("memory").queryName("so_ewma_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected >=3 non-empty micro-batches")
+      // each batch emits a running (n_events, ewma) per touched key;
+      // the final state is the emission with max n_events
+      val stream = spark.sql(
+          """SELECT user_id, n_events, ewma FROM (
+               SELECT user_id, n_events, ewma, row_number() OVER (
+                 PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM so_ewma_stream) WHERE rn = 1""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Relational.queries("q66_ewma")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stream == batch,
+        s"stream/batch EWMA mismatch: ${stream.size} vs ${batch.size} keys; " +
+          s"diff=${(stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    } finally q.stop()
+  }
+
   test("dailyDistinctSketches: streamed daily HLLs estimate identically to a batch build") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
