@@ -1167,6 +1167,34 @@ object Relational {
     "q66_ewma" -> ((s, dir) =>
       ewma(events(s, dir), alpha = 0.2).orderBy("user_id")),
 
+    // FULL OUTER reconciliation — the audit join: high-balance
+    // customers vs per-customer LARGE-order totals, keeping rows
+    // unique to EITHER side (customer_only = high balance but no
+    // large orders; orders_only = large-order buyer below the balance
+    // screen — both classes non-empty at every fixture SF). Both
+    // inputs are aggregated/filtered before the join, so the full
+    // outer shuffles reduced rows co-partitioned on the key, once
+    // each — the reconciliation shape at any scale (full outer can't
+    // broadcast; its plan is the one-exchange-per-side sort-merge by
+    // construction). All output columns coalesced non-null.
+    "q67_full_outer_reconcile" -> ((s, dir) => {
+      val custs = customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      val ords = orders(s, dir).filter(col("o_totalprice") > 350000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_spend"))
+      custs.join(ords, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          when(col("c_acctbal").isNull, lit("orders_only"))
+            .when(col("n_orders").isNull, lit("customer_only"))
+            .otherwise(lit("both")).as("status"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+        .orderBy("custkey")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -2308,6 +2336,24 @@ object Relational {
            ROUND(list_reduce(vals::DOUBLE[],
              (acc, x) -> (1.0::DOUBLE - 0.2::DOUBLE) * acc
                + 0.2::DOUBLE * x), 6) AS ewma
-         FROM s ORDER BY user_id"""
+         FROM s ORDER BY user_id""",
+
+    "q67_full_outer_reconcile" ->
+      """WITH c AS (
+           SELECT c_custkey AS custkey, c_acctbal
+           FROM customer WHERE c_acctbal > 5000),
+         o AS (
+           SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+           FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey)
+         SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+           CASE WHEN c.custkey IS NULL THEN 'orders_only'
+                WHEN o.custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS status,
+           COALESCE(c_acctbal, 0.0) AS acctbal,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend
+         FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+         ORDER BY custkey"""
   )
 }

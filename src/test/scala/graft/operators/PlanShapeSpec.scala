@@ -497,6 +497,20 @@ class PlanShapeSpec extends SparkSuite {
       s"missing partial aggregates:\n$p")
   }
 
+  test("q67: full outer joins two pre-reduced sides and surfaces rows unique to each") {
+    val df = SparkEntry.queries("q67_full_outer_reconcile")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    // both inputs reduce BEFORE the join: the orders side aggregates,
+    // the customer side filters at the scan
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"orders side must pre-aggregate:\n$p")
+    assert(p.contains("PushedFilters:"), s"balance screen not pushed:\n$p")
+    val statuses = df.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("both", "customer_only", "orders_only"),
+      s"fixture must exercise all three reconciliation classes, got $statuses")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
