@@ -1195,6 +1195,61 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // Period-over-period (month-over-month) growth: lag/delta/pct on a
+    // PRE-AGGREGATED monthly series. The facts collapse to priority ×
+    // month (5 × ~84 rows at any SF) in one map-side-combinable hash
+    // aggregate; the navigation window then runs over that tiny series
+    // — the window never touches a fact row, so the plan is
+    // scale-invariant (contrast q32, whose window is keyed per
+    // customer BECAUSE its frame is per-fact). revenue is rounded at
+    // the aggregate; delta/pct are plain IEEE double ops on those
+    // rounded values, identical in both engines.
+    "q68_mom_growth" -> ((s, dir) => {
+      val monthly = orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      val prev = lag(col("revenue"), 1).over(w)
+      monthly
+        .select(col("o_orderpriority"), col("month"), col("revenue"),
+          prev.as("prev_revenue"),
+          (col("revenue") - prev).as("delta"),
+          ((col("revenue") - prev) / prev).as("pct_change"))
+        .orderBy("o_orderpriority", "month")
+    }),
+
+    // Ratio-to-report + rank within group: each nation's share of its
+    // region's revenue. Reduce-before-join shape: orders pre-aggregate
+    // per custkey (map-side combine), equi-join the customer dim on
+    // the SAME key (one co-partitioned shuffle each), re-aggregate to
+    // 25 nation rows, then broadcast the nation→region dim and run the
+    // share/rank window over 25 rows — facts are touched by exactly
+    // one aggregate and one join, and the window cost is O(nations).
+    "q69_revenue_share" -> ((s, dir) => {
+      val perCust = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum("o_totalprice").as("cust_rev"))
+      val byNation = perCust
+        .join(customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(round(sum("cust_rev"), 2).as("revenue"))
+      val dims = nation(s, dir)
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val w = Window.partitionBy("r_name")
+      val wRank = w.orderBy(col("revenue").desc, col("n_name"))
+      byNation.join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .select(col("r_name"), col("n_name"), col("revenue"),
+          // quantize the window total before dividing: the 5-double
+          // sum's addition order is engine-specific (last-ulp drift);
+          // round(·,2) snaps both engines to the same double
+          (col("revenue") / round(sum("revenue").over(w), 2)).as("share"),
+          rank().over(wRank).as("rnk"))
+        .orderBy("r_name", "rnk")
+    }),
+
     // Tumbling event-time window (batch analog of streaming
     // window(ts, '1 hour') — same grouping keys).
     "q23_hourly_window" -> ((s, dir) => {
@@ -2354,6 +2409,36 @@ object Relational {
            COALESCE(n_orders, 0) AS n_orders,
            COALESCE(total_spend, 0.0) AS total_spend
          FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
-         ORDER BY custkey"""
+         ORDER BY custkey""",
+
+    "q68_mom_growth" ->
+      """WITH m AS (
+           SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, month, revenue,
+           LAG(revenue) OVER w AS prev_revenue,
+           revenue - LAG(revenue) OVER w AS delta,
+           (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS pct_change
+         FROM m
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+         ORDER BY o_orderpriority, month""",
+
+    "q69_revenue_share" ->
+      """WITH pc AS (
+           SELECT o_custkey, SUM(o_totalprice) AS cust_rev
+           FROM orders GROUP BY o_custkey),
+         bn AS (
+           SELECT c_nationkey, ROUND(SUM(cust_rev), 2) AS revenue
+           FROM pc JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey)
+         SELECT r_name, n_name, revenue,
+           revenue / ROUND(SUM(revenue) OVER (PARTITION BY r_name), 2) AS share,
+           CAST(RANK() OVER (PARTITION BY r_name
+             ORDER BY revenue DESC, n_name) AS INT) AS rnk
+         FROM bn
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         ORDER BY r_name, rnk"""
   )
 }

@@ -511,6 +511,36 @@ class PlanShapeSpec extends SparkSuite {
       s"fixture must exercise all three reconciliation classes, got $statuses")
   }
 
+  test("q68: navigation window runs over the monthly aggregate, never over facts") {
+    val df = SparkEntry.queries("q68_mom_growth")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    // the facts reduce through a partial+final hash aggregate BEFORE
+    // the window — the window input is priority × month, not orders
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"monthly aggregate must be map-side combinable:\n$p")
+    // scan pruned to the 3 referenced columns
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(Seq("o_orderpriority", "o_orderdate", "o_totalprice")
+        .forall(read.contains) && !read.contains("o_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("q69: share/rank window sees 25 nation rows; dims broadcast; facts aggregate once") {
+    val df = SparkEntry.queries("q69_revenue_share")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"nation/region dims must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop allowed:\n$p")
+    // orders pre-aggregate per custkey (partial+final), then nation
+    // re-aggregate (partial+final): >=4 hash aggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"missing reduce-before-join aggregates:\n$p")
+    assert(df.count() == 25, "one row per nation")
+  }
+
   test("s04: IVF probe path has no KMeans fit — index read is joins/windows only") {
     // Building the plan must not train: the index is cached per
     // (session, dataset). Constructing the query twice must reuse it.
