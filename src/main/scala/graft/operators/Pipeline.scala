@@ -450,6 +450,48 @@ object Pipeline {
         col("batch"))
   }
 
+  /** Single-pass column profiling (the Deequ/"data quality report"
+    * shape): per column — row count, null count, distinct count,
+    * min/max (stringified AFTER aggregating in the column's native
+    * type, so numeric ordering is preserved). Output is long format,
+    * one row per profiled column — the shape a quality dashboard or a
+    * schema-drift monitor joins against.
+    *
+    * Scale: everything is ONE aggregate over one scan. With
+    * `approxNdv = true` (the 100 TB default) distinct counts are HLL
+    * sketches (`approx_count_distinct`) and the plan is a plain
+    * partial+final hash aggregate — no Expand, no second scan, state
+    * is O(cols). With exact NDV (the oracle-checkable path used by the
+    * gate) Spark rewrites the multi-column COUNT(DISTINCT) through one
+    * Expand — still one scan, but the shuffle carries cols× the rows;
+    * fine at audit cadence, wrong as an always-on monitor. Both plans
+    * are pinned in PlanShapeSpec.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        val ndv =
+          if (approxNdv) approx_count_distinct(col(c))
+          else countDistinct(col(c))
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          ndv.as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', n_rows - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
+    }.mkString(", ")
+    a.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs)")
+          .as(Seq("col_name", "n_nulls", "n_distinct", "min_val", "max_val")))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pack each language's documents into 512-token training bins.
     "p01_pack_sequences" -> ((s, dir) =>
@@ -524,7 +566,16 @@ object Pipeline {
     // proportion to n_chars. TakeOrderedAndProject — never a sort.
     "p11_weighted_sample" -> ((s, dir) =>
       weightedPrioritySample(documents(s, dir), k = 100)
-        .orderBy("priority", "doc_id"))
+        .orderBy("priority", "doc_id")),
+
+    // Column profile of the corpus table (exact-NDV path so DuckDB can
+    // replay it); lang_alt = nullif(lang,'en') exercises null counting.
+    "p12_profile" -> ((s, dir) =>
+      profile(
+        documents(s, dir).withColumn("lang_alt",
+          when(col("lang") === "en", lit(null)).otherwise(col("lang"))),
+        Seq("doc_id", "lang", "lang_alt", "n_chars"))
+        .orderBy("col_name"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -688,6 +739,39 @@ object Pipeline {
            CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
              / CAST(n_chars AS DOUBLE) AS priority
          FROM documents WHERE n_chars > 0
-         ORDER BY priority, doc_id LIMIT 100"""
+         ORDER BY priority, doc_id LIMIT 100""",
+
+    // One aggregate over one scan, then unpivoted by hand — the same
+    // long format the Spark side's stack() emits.
+    "p12_profile" ->
+      """WITH d AS (
+           SELECT doc_id, lang, nullif(lang, 'en') AS lang_alt, n_chars
+           FROM documents),
+         a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(doc_id) AS BIGINT) AS nn1,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd1,
+             CAST(MIN(doc_id) AS VARCHAR) AS mn1,
+             CAST(MAX(doc_id) AS VARCHAR) AS mx1,
+             CAST(COUNT(lang) AS BIGINT) AS nn2,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd2,
+             CAST(MIN(lang) AS VARCHAR) AS mn2,
+             CAST(MAX(lang) AS VARCHAR) AS mx2,
+             CAST(COUNT(lang_alt) AS BIGINT) AS nn3,
+             CAST(COUNT(DISTINCT lang_alt) AS BIGINT) AS nd3,
+             CAST(MIN(lang_alt) AS VARCHAR) AS mn3,
+             CAST(MAX(lang_alt) AS VARCHAR) AS mx3,
+             CAST(COUNT(n_chars) AS BIGINT) AS nn4,
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd4,
+             CAST(MIN(n_chars) AS VARCHAR) AS mn4,
+             CAST(MAX(n_chars) AS VARCHAR) AS mx4
+           FROM d)
+         SELECT * FROM (
+           SELECT 'doc_id' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+             nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+           UNION ALL SELECT 'lang', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+           UNION ALL SELECT 'lang_alt', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+           UNION ALL SELECT 'n_chars', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a)
+         ORDER BY col_name"""
   )
 }

@@ -252,4 +252,28 @@ class PipelineSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$plan")
   }
+
+  test("profile: nulls/ndv/min-max per column in one pass; min/max keep native ordering") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), 10),
+      (2L, Option("b"), 5),
+      (3L, Option.empty[String], 10),
+      (4L, Option("a"), 7)
+    ).toDF("id", "tag", "v")
+    def run(approx: Boolean) =
+      Pipeline.profile(df, Seq("id", "tag", "v"), approxNdv = approx)
+        .orderBy("col_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))
+    val exact = run(approx = false)
+    // v's min/max are "5"/"10": string-ordering would have said min "10"
+    assert(exact.toSeq == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("tag", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 0L, 3L, "5", "10")), s"got ${exact.toSeq}")
+    // HLL++ is exact at these cardinalities → identical rows
+    assert(run(approx = true).toSeq == exact.toSeq,
+      "approx-NDV path diverged on small data")
+  }
 }

@@ -471,6 +471,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), s"p11 joined:\n$p")
   }
 
+  test("p12: profile is one scan; approx NDV is Expand-free, exact NDV pays one Expand") {
+    val docs = graft.Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "lang", "n_chars")
+    val approx = graft.operators.Pipeline.profile(docs, cols, approxNdv = true)
+      .queryExecution.explainString(FormattedMode)
+    // formatted explain names each node in the tree AND the detail
+    // section — count detail headers for a unique-node count
+    def scans(p: String) = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    // the monitor path: plain partial+final aggregate, no row blow-up
+    assert(!approx.contains("Expand"), s"approx profile must not Expand:\n$approx")
+    assert(scans(approx) == 1,
+      s"approx profile must read the table once:\n$approx")
+    // string min/max buffers force SortAggregate (keyless → no sort);
+    // partial+final is the claim, not the agg flavor
+    assert("\\(\\d+\\) (Hash|Sort|ObjectHash)Aggregate".r.findAllIn(approx).size >= 2,
+      s"approx profile must partial-aggregate map-side:\n$approx")
+    val exact = graft.operators.Pipeline.profile(docs, cols)
+      .queryExecution.explainString(FormattedMode)
+    // the audit path: multi-column COUNT(DISTINCT) rewrites through one
+    // Expand — still a single scan, never one pass per column
+    assert(scans(exact) == 1,
+      s"exact profile must read the table once:\n$exact")
+    assert("Expand".r.findAllIn(exact).size <= 2,
+      s"exact profile grew more than the one distinct-rewrite Expand:\n$exact")
+  }
+
   test("q64: sliding distinct never joins the facts — pairs-only exchanges, spine broadcast") {
     val p = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
       .queryExecution.explainString(FormattedMode)
