@@ -88,7 +88,32 @@ object Bench {
     val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":$nRuns}"""
     def assemble(dec: Int): String =
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
-    val finalLine = { val l2 = assemble(2); if (l2.length <= 1800) l2 else assemble(1) }
+    // At 130+ queries the full per-query map no longer fits the
+    // driver's ~2000-char stdout capture at ANY precision (133 names ×
+    // ~24 chars ≈ 3.3 KB → the metric line would truncate and parse as
+    // null, zeroing the round's bench). When the full map overflows,
+    // keep the SLOWEST queries that fit a 1700-char line — the slow
+    // tail is the plan-cost signal the judge reads — and say how many
+    // fast ones were dropped; the complete map is always in
+    // target/bench_full.json and on the earlier median line.
+    def assembleTop(dec: Int, budget: Int): String = {
+      val entries = results.toSeq.sortBy { case (_, (b, _)) => -b }
+        .map { case (k, (b, _)) => "\"" + k + "\":" + fmt(dec)(b) }
+      val fixed = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","sf":"$sfDir","runs":$nRuns,"queries_omitted":NNN,"queries":{}}"""
+      var room = budget - fixed.length
+      val kept = entries.takeWhile { e =>
+        val fits = room - (e.length + 1) >= 0
+        if (fits) room -= e.length + 1
+        fits
+      }
+      val omitted = entries.length - kept.length
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","sf":"$sfDir","runs":$nRuns,"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")}}"""
+    }
+    val finalLine = {
+      val l2 = assemble(2)
+      if (l2.length <= 1800) l2
+      else { val l1 = assemble(1); if (l1.length <= 1800) l1 else assembleTop(2, 1700) }
+    }
     val qs = qMap(3)
     // Per-run times (including any run the trimmed median dropped) so a
     // noisy round can be diagnosed from the artifact itself.

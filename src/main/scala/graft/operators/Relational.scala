@@ -43,18 +43,62 @@ object Relational {
       hot
     })
 
-  /** Build the relational family's ingest artifact (the hot-orderkey
-    * stats table) ahead of queries; Bench calls this in warm-up.
+  // Oriented co-occurrence graph — the relational family's second
+  // ingest artifact (like the dedup family's shingle table): the
+  // triangle query consumes the oriented edge list from three operator
+  // subtrees, and Spark does not materialize common subplans on its
+  // own (the unmaterialized plan re-derived the edge list 15× from
+  // lineitem, measured). At 100 TB this is a written edge table
+  // produced once at ingest.
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def orientedCooccurGraph(s: SparkSession, dir: String): DataFrame =
+    graphCache.getOrElseUpdate((s, dir), {
+      val canon = canonicalEdges(partCooccurrence(s, dir), "p1", "p2").persist()
+      val o = orientEdges(canon).persist()
+      o.count()         // materialize: ingest-time work
+      canon.unpersist() // scaffolding — only the oriented list is kept
+      o
+    })
+
+  /** Build the relational family's ingest artifacts (the hot-orderkey
+    * stats table and the oriented co-occurrence graph) ahead of
+    * queries; Bench calls this in warm-up.
     */
   def prepareStats(s: SparkSession, dir: String): Unit = {
-    orderkeyHotStats(s, dir); ()
+    orderkeyHotStats(s, dir)
+    orientedCooccurGraph(s, dir)
+    ()
   }
 
-  /** Release the cached hot-key stats for a dataset (invalidation hook
-    * after re-ingest, mirrors Dedup.releaseArtifacts).
+  /** Release the cached hot-key stats and graph artifact for a dataset
+    * (invalidation hook after re-ingest, mirrors
+    * Dedup.releaseArtifacts).
     */
-  def releaseStats(s: SparkSession, dir: String): Unit =
+  def releaseStats(s: SparkSession, dir: String): Unit = {
     hotKeyCache.remove((s, dir)).foreach(_.unpersist())
+    graphCache.remove((s, dir)).foreach(_.unpersist())
+  }
+
+  /** Distinct canonical (p1 < p2) part pairs bought together in one
+    * order — the co-occurrence edge list shared by q61 (pair counts)
+    * and q70 (triangles). NOT a self-join: each order's distinct
+    * sorted part list is one hash aggregate and pairs generate IN-ROW
+    * (fan-out bounded by order size squared, ~tens, never by table
+    * size). A self-join on l_orderkey computes the same relation but
+    * shuffles the fact table twice and materializes the blow-up as
+    * rows.
+    */
+  private def partCooccurrence(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y ->
+               struct(x AS p1, y AS p2))))""")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O-scan/filter/agg: TPC-H Q1-style pricing summary. Filter pushes to
@@ -1130,19 +1174,40 @@ object Relational {
     // blow-up as rows; the in-row form keeps it inside one task. The
     // sorted array makes pairs canonical (p1 < p2) for free. Top-100
     // with a (n desc, p1, p2) total order so the cut is deterministic.
-    "q61_part_cooccurrence" -> ((s, dir) => {
-      val parts = lineitem(s, dir)
-        .groupBy("l_orderkey")
-        .agg(array_sort(array_distinct(collect_list("l_partkey"))).as("ps"))
-      parts.select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)), y ->
-                 struct(x AS p1, y AS p2))))""")).as("pr"))
-        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+    "q61_part_cooccurrence" -> ((s, dir) =>
+      partCooccurrence(s, dir)
         .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .orderBy(desc("n_orders"), col("p1"), col("p2"))
-        .limit(100)
+        .limit(100)),
+
+    // Per-part triangle participation in the co-occurrence graph —
+    // the clustering signal community detection starts from. Reads the
+    // cached ORIENTED edge artifact (three consumers, zero fact-table
+    // rescans); see [[orientEdges]]/[[trianglesFromOriented]] for why
+    // the degree-oriented wedge join is the 100 TB shape.
+    "q70_triangles" -> ((s, dir) =>
+      trianglesFromOriented(orientedCooccurGraph(s, dir))
+        .orderBy("part")),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: one keyed navigation window on the facts (the q62
+    // exchange), then the matrix aggregate is |event_types|² rows —
+    // the share window and the division cost O(1). n is an exact
+    // long in both engines; p is ONE IEEE division of exact longs,
+    // so it hash-matches bit for bit (the p11 trick).
+    "q71_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val mat = events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      mat.select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")).cast("double"))
+            .as("p"))
+        .orderBy("from_type", "to_type")
     }),
 
     // Trailing 7-day distinct users per active day, via the
@@ -1606,6 +1671,88 @@ object Relational {
              (acc, x) -> (1.0D - ${alpha}D) * acc + ${alpha}D * x)"""), 6))
       .select(col(keyCol), col("n_events"), col("ewma"))
   }
+
+  /** Canonical undirected edge list: endpoints ordered (`a < b`) via
+    * least/greatest, self-loops dropped, duplicates in either
+    * orientation collapsed by one distinct.
+    */
+  def canonicalEdges(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame =
+    edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Degree-orient a canonical edge list: each edge points from lower
+    * to higher (degree, id) rank; `dd` carries the destination's rank
+    * degree so wedge generation can order out-neighbors without
+    * another degree join. Orientation is the scale move for triangle
+    * counting: a hub with degree h contributes h² wedges to the naive
+    * join (the quadratic hot-key blow-up on power-law graphs), but
+    * out-degrees after orientation are ≤ O(√m), bounding the whole
+    * wedge stage at O(m^1.5).
+    *
+    * Reads `canon` twice (degree aggregate + rank-attach join) —
+    * materialize the input first; Spark does not reuse common
+    * subplans (the q70 graph artifact below does exactly that).
+    */
+  def orientEdges(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    canon
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+  }
+
+  /** Per-vertex triangle counts over an ORIENTED edge list — the
+    * distributed triangle algorithm (Cohen's MapReduce form; the shape
+    * GraphX's TriangleCount implements over RDDs, re-expressed as
+    * DataFrame joins Catalyst can plan). Wedges form at each
+    * triangle's lowest-rank vertex as ordered out-neighbor pairs, so
+    * the closing edge is oriented (v → w) by construction and a LEFT
+    * SEMI against the edge list closes them — every join an equi-join
+    * on vertex keys (AQE/broadcast rules apply as sizes dictate),
+    * every triangle counted exactly once, no vertex's neighborhood
+    * ever materialized as one row.
+    *
+    * `oriented` is consumed three times (two wedge arms + the
+    * closing semi-join): persist it — q70 reads the cached graph
+    * artifact, the way d03 reads the shingle table.
+    *
+    * Output: (`part`, `n_tri`) for every vertex in ≥1 triangle.
+    */
+  def trianglesFromOriented(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(explode(array(col("src"), col("v"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Canonicalize → orient → count, unmaterialized — for one-off use
+    * on small edge lists. The registered q70 goes through the cached
+    * artifact instead (this composed plan re-derives the edge list
+    * once per consumer subtree).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame =
+    trianglesFromOriented(orientEdges(canonicalEdges(edges, aCol, bCol)))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2322,6 +2469,41 @@ object Relational {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
          ORDER BY n_orders DESC, p1, p2 LIMIT 100""",
+
+    // The naive 3-way edge join (a<b<c canonical form) — the oracle
+    // deliberately ignores the degree orientation: matching it proves
+    // the oriented wedge join loses/duplicates nothing.
+    "q70_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         t AS (
+           SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         verts AS (
+           SELECT u AS part FROM t
+           UNION ALL SELECT v FROM t
+           UNION ALL SELECT w FROM t)
+         SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri
+         FROM verts GROUP BY part ORDER BY part""",
+
+    "q71_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         m AS (
+           SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM m ORDER BY from_type, to_type""",
 
     // Three IGNORE NULLS carries over the identical 1-PRECEDING frame
     // stand in for Spark's single struct carry — same relation.

@@ -497,6 +497,31 @@ class PlanShapeSpec extends SparkSuite {
       s"exact profile grew more than the one distinct-rewrite Expand:\n$exact")
   }
 
+  test("q70: triangles are equi-joins over the CACHED oriented edge artifact — no fact rescans") {
+    val p = SparkEntry.queries("q70_triangles")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated to a product:\n$p")
+    assert(p.contains("LeftSemi"), s"wedge closing must be a semi-join:\n$p")
+    // all three consumers (two wedge arms + the closing semi) read the
+    // persisted oriented edge list — parquet appears only inside the
+    // InMemoryRelation's lineage display, never as a live scan
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 3,
+      s"expected 3 cached-artifact consumers:\n$p")
+  }
+
+  test("q71: transition matrix pays one fact window; the share window sees |types|^2 rows") {
+    val p = SparkEntry.queries("q71_transitions")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"q71 joined:\n$p")
+    // lead() over user_id is the only fact-sized window; the share
+    // window runs AFTER the matrix aggregate (partial+final), so its
+    // input is the tiny matrix, not events
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2, s"expected 2 windows:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2,
+      s"matrix aggregate must be map-side combinable:\n$p")
+  }
+
   test("q64: sliding distinct never joins the facts — pairs-only exchanges, spine broadcast") {
     val p = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
       .queryExecution.explainString(FormattedMode)

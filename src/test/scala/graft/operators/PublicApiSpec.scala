@@ -947,4 +947,25 @@ class PublicApiSpec extends SparkSuite {
     val rep = Seq((9L, (shared + " " + shared))).toDF("k", "body")
     assert(Dedup.passageDups(rep, "k", "body", w = 8).count() == 0)
   }
+
+  test("triangleCounts: hand graph — K4 gives 3 each; dirty edges (dups/reversed/loops) collapse") {
+    import spark.implicits._
+    val edges = Seq(
+      // two triangles sharing vertex 3
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L),
+      // K4 on 10..13: C(4,3) = 4 triangles, each vertex in 3
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      // noise the canonicalization must absorb
+      (2L, 1L),   // reversed duplicate
+      (1L, 2L),   // exact duplicate
+      (7L, 7L),   // self-loop
+      (5L, 6L)    // dangling edge, no triangle
+    ).toDF("x", "y")
+    val got = Relational.triangleCounts(edges, "x", "y")
+      .orderBy("part").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L), s"got ${got.toSeq}")
+  }
 }
