@@ -247,6 +247,14 @@ object Dedup {
       p
     })
 
+  /** Public accessor for the verified near-dup pair artifact
+    * (`doc_a`, `doc_b`, `jaccard`) — cross-family consumers (the p13
+    * split-leakage check) read the same cached list d06/d08/d10 use
+    * instead of re-deriving the pair relation.
+    */
+  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
+
   /** Candidate pairs from rare-shingle blocking with their rare-shingle
     * intersection count. Exposed for the DF-cap spec.
     */

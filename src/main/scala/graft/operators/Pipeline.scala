@@ -575,7 +575,28 @@ object Pipeline {
         documents(s, dir).withColumn("lang_alt",
           when(col("lang") === "en", lit(null)).otherwise(col("lang"))),
         Seq("doc_id", "lang", "lang_alt", "n_chars"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // Cross-split contamination: verified near-dup pairs whose members
+    // landed in DIFFERENT splits — the leakage [[splitAssign]]'s
+    // content hashing can only prevent for byte-identical text, and
+    // the audit every eval split needs before a benchmark claim. Two
+    // equi-joins of the TINY cached pair artifact (true near-dups
+    // only) against the zero-shuffle split map; the corpus is never
+    // self-joined here. Rates 25%/25% (vs p04's 5%) so the fixture
+    // yields a non-trivial leak set.
+    "p13_split_leakage" -> ((s, dir) => {
+      val sp = splitAssign(documents(s, dir),
+        testRate = 16384, valRate = 16384)
+      Dedup.verifiedNearDupPairs(s, dir)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+          Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+          Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -772,6 +793,42 @@ object Pipeline {
            UNION ALL SELECT 'lang', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
            UNION ALL SELECT 'lang_alt', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
            UNION ALL SELECT 'n_chars', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    // d03's pair relation composed with p04's md5-threshold split CASE
+    // (thresholds 0x4000/0x8000 = 25%/25%); leakage = pair members in
+    // different splits.
+    "p13_split_leakage" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         good AS (
+           SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+           FROM pairs
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN substring(md5(text), 1, 4) < '4000' THEN 'test'
+                  WHEN substring(md5(text), 1, 4) < '8000' THEN 'val'
+                  ELSE 'train' END AS split
+           FROM documents)
+         SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+         FROM good
+         JOIN sp sa ON sa.doc_id = doc_a
+         JOIN sp sb ON sb.doc_id = doc_b
+         WHERE sa.split <> sb.split
+         ORDER BY doc_a, doc_b"""
   )
 }

@@ -1210,6 +1210,23 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
+    // One PageRank step over the co-occurrence graph — part centrality
+    // under the random-surfer model. Fourth consumer of the cached
+    // oriented edge artifact; the oracle re-derives the same grid-
+    // snapped arithmetic from scratch, so rank hash-matches bit for
+    // bit. See [[pagerankStep]].
+    "q72_pagerank_step" -> ((s, dir) =>
+      pagerankStep(orientedCooccurGraph(s, dir), "src", "dst")
+        .select(col("v").as("part"), col("s"), col("rank"))
+        .orderBy("part")),
+
+    // Degree histogram of the co-occurrence graph (log2 buckets) — the
+    // skew probe that justifies q70's degree orientation. Integer-only
+    // bucket logic; see [[degreeHistogram]].
+    "q73_degree_hist" -> ((s, dir) =>
+      degreeHistogram(orientedCooccurGraph(s, dir), "src", "dst")
+        .orderBy("bucket")),
+
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
     // day×day self-join, never a count-distinct range window.
@@ -1753,6 +1770,55 @@ object Relational {
   def triangleCounts(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame =
     trianglesFromOriented(orientEdges(canonicalEdges(edges, aCol, bCol)))
+
+  /** One PageRank power iteration from the uniform start over an
+    * undirected CANONICAL edge list (each edge carries rank both
+    * ways): rank₁(v) = (1−d)/N + d·Σ_{u∼v} 1/(N·deg(u)), d = 0.85.
+    * Two aggregates and one degree equi-join — the degree table is one
+    * row per vertex (AQE broadcasts it small, shuffles it on the key
+    * at scale, the same exchange the contribution aggregate needs).
+    * Nothing iterates on the driver; a full k-step PageRank is this
+    * operator applied k times with rank carried as a column.
+    *
+    * Cross-engine exactness: per-edge contributions are snapped to an
+    * integer grid (round(10¹²/deg) as a long — the t07 micro-grid
+    * trick), so the aggregate sums LONGS (order-independent, exact)
+    * and the final rank is a fixed IEEE op sequence over exact inputs.
+    * Output: (`v`, `s` = grid-summed inbound mass, `rank`).
+    */
+  def pagerankStep(canon: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val nv = deg.agg(count(lit(1)).as("nv"))
+    bi.join(deg, "u")
+      .select(col("v"), round(lit(1e12) / col("d")).cast("long").as("c"))
+      .groupBy("v").agg(sum("c").as("s"))
+      .crossJoin(broadcast(nv))
+      .select(col("v"), col("s"),
+        (lit(0.15) / col("nv") +
+          lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
+          .as("rank"))
+  }
+
+  /** Log2-bucketed degree histogram of an undirected canonical edge
+    * list — the power-law shape check that decides whether a graph
+    * needs the skew machinery (salting, degree orientation) before any
+    * expensive join. One aggregate over the edge endpoints, then a
+    * histogram over the (vertex-count-sized) degree table. The bucket
+    * is `length(bin(deg)) − 1` = floor(log2) in pure integer logic —
+    * no floating log whose ULP could flip a boundary between engines.
+    */
+  def degreeHistogram(canon: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val deg = canon.select(col(aCol).as("v"))
+      .unionAll(canon.select(col(bCol).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    deg.groupBy((length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min("d").as("min_deg"), max("d").as("max_deg"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2504,6 +2570,43 @@ object Relational {
            CAST(n AS DOUBLE) /
              CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          FROM m ORDER BY from_type, to_type""",
+
+    // Re-derives the grid-snapped contribution sum from the raw edge
+    // list; ROUND half-up on a positive double and the long sum are
+    // engine-identical, and the rank expression mirrors the Spark IEEE
+    // op order exactly.
+    "q72_pagerank_step" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         bi AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e),
+         deg AS (SELECT u, COUNT(*) AS dg FROM bi GROUP BY u),
+         nv AS (SELECT COUNT(*) AS nv FROM deg),
+         co AS (
+           SELECT bi.v, CAST(ROUND(1e12 / deg.dg) AS BIGINT) AS c
+           FROM bi JOIN deg ON bi.u = deg.u),
+         ag AS (SELECT v, CAST(SUM(c) AS BIGINT) AS s FROM co GROUP BY v)
+         SELECT v AS part, s,
+           0.15 / nv + 0.85 * ((CAST(s AS DOUBLE) / 1e12) / nv) AS rank
+         FROM ag, nv ORDER BY part""",
+
+    "q73_degree_hist" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT v, COUNT(*) AS dg FROM (
+             SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+           GROUP BY v)
+         SELECT CAST(LENGTH(BIN(dg)) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(dg) AS min_deg, MAX(dg) AS max_deg
+         FROM deg GROUP BY 1 ORDER BY bucket""",
 
     // Three IGNORE NULLS carries over the identical 1-PRECEDING frame
     // stand in for Spark's single struct carry — same relation.

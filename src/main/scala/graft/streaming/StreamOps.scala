@@ -242,6 +242,51 @@ object StreamOps {
         "src_ts", "attributed")
   }
 
+  /** Streaming transition log — the streaming twin of the batch q71
+    * transition matrix: each arriving event closes the (from → to)
+    * edge from the user's previous event and emits it. State per user
+    * is ONE event (ts, event_id, type) — constant size, exactly
+    * [[attributeLastTouch]]'s footprint and delivery contract
+    * (per-key event-time order across batches; rows are sorted by
+    * (ts, event_id) within a micro-batch). The matrix is then a plain
+    * aggregate over the emitted edge log — the stream never holds
+    * counts, so the log is replayable into any downstream grouping
+    * (per-hour matrices, per-cohort matrices) without re-reading the
+    * source.
+    *
+    * Output: (user_id, event_id, ts, from_type, to_type) — one row
+    * per closed edge; a user's first-ever event emits nothing.
+    */
+  def transitionsStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events.select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (java.sql.Timestamp, Long, String),
+          (Long, Long, java.sql.Timestamp, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var last = state.getOption
+          val sorted = rows.toArray.sortWith { (a, b) =>
+            val c = a._3.compareTo(b._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }
+          val out = Seq.newBuilder[(Long, Long, java.sql.Timestamp, String, String)]
+          sorted.foreach { r =>
+            last.foreach { l => out += ((user, r._2, r._3, l._3, r._4)) }
+            last = Some((r._3, r._2, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts", "from_type", "to_type")
+  }
+
   /** Per-shard sequence monitoring via Spark 4's transformWithState
     * (the successor arbitrary-state API): keeps each shard's last-seen
     * sequence in a ValueState and emits one anomaly row per record that

@@ -522,6 +522,46 @@ class PlanShapeSpec extends SparkSuite {
       s"matrix aggregate must be map-side combinable:\n$p")
   }
 
+  test("q72: pagerank step reads the cached graph — degree equi-join, scalar-only BNLJ") {
+    val p = SparkEntry.queries("q72_pagerank_step")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"pagerank degenerated to a product:\n$p")
+    // the one BroadcastNestedLoopJoin is the 1-row vertex-count scalar
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"extra BNLJ:\n$p")
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 3,
+      s"expected cached-artifact consumers, got live scans:\n$p")
+  }
+
+  test("q73: degree histogram is join-free — two aggregates over the cached edge list") {
+    // join-free claim on an uncached edge list (the registered query's
+    // plan text would also show the cached ARTIFACT's join lineage)
+    import spark.implicits._
+    val synth = Relational.degreeHistogram(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!synth.contains("Join"), s"degreeHistogram joined:\n$synth")
+    val p = SparkEntry.queries("q73_degree_hist")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 2,
+      s"expected cached-artifact consumers:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 4,
+      s"both aggregates must be map-side combinable:\n$p")
+  }
+
+  test("p13: split leakage joins the tiny cached pair artifact — never a corpus self-join") {
+    val p = SparkEntry.queries("p13_split_leakage")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"p13 degenerated to a product:\n$p")
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 1,
+      s"expected the cached pair artifact, got a re-derived pair relation:\n$p")
+    // both split-map joins hang off the pair list; the corpus appears
+    // as the two split-assignment scans plus the artifact's LINEAGE
+    // display (not a live scan), never joined to itself
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 3,
+      s"corpus scanned more than expected:\n$p")
+  }
+
   test("q64: sliding distinct never joins the facts — pairs-only exchanges, spine broadcast") {
     val p = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
       .queryExecution.explainString(FormattedMode)

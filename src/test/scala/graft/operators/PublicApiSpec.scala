@@ -968,4 +968,32 @@ class PublicApiSpec extends SparkSuite {
       1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
       10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L), s"got ${got.toSeq}")
   }
+
+  test("pagerankStep: path graph — exact grid sums and the IEEE rank formula") {
+    import spark.implicits._
+    // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2, N=3
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Relational.pagerankStep(edges)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def rank(s: Long) = 0.15 / 3 + 0.85 * ((s.toDouble / 1e12) / 3)
+    val ends = 500000000000L  // 2 halves its mass: round(1e12/2)
+    val mid = 2000000000000L  // both endpoints send their whole mass
+    assert(got.toSeq == Seq(
+      (1L, ends, rank(ends)), (2L, mid, rank(mid)), (3L, ends, rank(ends))),
+      s"got ${got.toSeq}")
+    // mass conservation on the grid: total inbound = N × 1e12 exactly
+    assert(got.map(_._2).sum == 3L * 1000000000000L)
+  }
+
+  test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
+    import spark.implicits._
+    val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
+    val got = Relational.degreeHistogram(star)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // leaves: deg 1 → bucket 0; hub: deg 5 → floor(log2 5) = 2
+    assert(got.toSeq == Seq((0L, 5L, 1L, 1L), (2L, 1L, 5L, 5L)),
+      s"got ${got.toSeq}")
+  }
 }

@@ -309,6 +309,53 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transitionsStream: edge log aggregates to batch q71's matrix on a chronological file-replay") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val chunked = ev.withColumn("chunk", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("transreplay").toString
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def stampNewFiles(epochMs: Long): Unit =
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && !stamped.contains(f.getName))
+        .foreach { f =>
+          assert(f.setLastModified(epochMs), s"cannot set mtime on $f")
+          stamped += f.getName
+        }
+    val base = (System.currentTimeMillis() / 1000) * 1000 - 3600000L
+    for (c <- 1 to 3) {
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      stampNewFiles(base + c * 2000L)
+    }
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.transitionsStream(streamed)
+      .writeStream.format("memory").queryName("so_trans_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected >=3 non-empty micro-batches")
+      // a transition spanning two micro-batches must still be emitted
+      // exactly once (state carries the from-event across the cut)
+      val stream = spark.sql(
+          """SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             FROM so_trans_stream GROUP BY 1, 2""")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Relational.queries("q71_transitions")(spark, dir)
+        .select("from_type", "to_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "parity test is vacuous: batch matrix is empty")
+      assert(stream == batch,
+        s"stream/batch matrix mismatch: ${stream.size} vs ${batch.size} cells; " +
+          s"diff=${(stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    } finally q.stop()
+  }
+
   test("ewmaStream: batch q66 ≡ streaming EWMA on a chronological file-replay") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
