@@ -18,15 +18,26 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = t(s, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 won't map to
-    * TimestampType. Read nanos as long (legacy conf) and truncate to
-    * micros — the same ns→µs floor DuckDB applies, so oracle parity
-    * holds.
+  /** events.ts has shipped as three physical parquet types across
+    * generator versions (FIXTURES.md): TIMESTAMP(NANOS) (loaded as long
+    * via the legacy conf), TIMESTAMP(MICROS) without tz (TIMESTAMP_NTZ
+    * in Spark 4), and plain TIMESTAMP. Adapt on the loaded dtype so all
+    * three normalize to TimestampType — the session TZ is pinned UTC
+    * everywhere, so NTZ→timestamp is a reinterpretation, preserving
+    * oracle parity with DuckDB's naive-timestamp semantics.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — update Tables.events/FIXTURES.md")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
