@@ -50,16 +50,29 @@ object Relational {
   // own (the unmaterialized plan re-derived the edge list 15× from
   // lineitem, measured). At 100 TB this is a written edge table
   // produced once at ingest.
-  private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private def orientedCooccurGraph(s: SparkSession, dir: String): DataFrame =
+  private def orientedCooccurGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graphCache.getOrElseUpdate((s, dir), {
       val canon = canonicalEdges(partCooccurrence(s, dir), "p1", "p2").persist()
       val o = orientEdges(canon).persist()
-      o.count()         // materialize: ingest-time work
-      canon.unpersist() // scaffolding — only the oriented list is kept
-      o
+      o.count()  // materialize: ingest-time work
+      // Out-adjacency table — the second half of the graph artifact.
+      // One row per vertex with the sorted out-neighbor array; after
+      // degree orientation, array length is bounded O(√m), so row size
+      // is bounded and the table has |V| rows (19,952 at sf0.1 vs 1.2M
+      // edges). The triangle query intersects these arrays in-row
+      // instead of materializing the O(m^1.5) wedge set through a
+      // shuffle — the r9 profiling result (41M wedges, 12 s of
+      // exchange, vs ~1 s in-row; a Bloom pre-filter on the closing
+      // edge was also measured and REJECTED: evaluating the filter
+      // over 41M wedge rows cost more than the shuffle it saved).
+      val adj = o.groupBy(col("src"))
+        .agg(array_sort(collect_list(col("dst"))).as("ns")).persist()
+      adj.count()       // materialize: ingest-time work
+      canon.unpersist() // scaffolding — only oriented + adjacency kept
+      (o, adj)
     })
 
   /** Build the relational family's ingest artifacts (the hot-orderkey
@@ -78,7 +91,9 @@ object Relational {
     */
   def releaseStats(s: SparkSession, dir: String): Unit = {
     hotKeyCache.remove((s, dir)).foreach(_.unpersist())
-    graphCache.remove((s, dir)).foreach(_.unpersist())
+    graphCache.remove((s, dir)).foreach { case (o, adj) =>
+      o.unpersist(); adj.unpersist()
+    }
   }
 
   /** Distinct canonical (p1 < p2) part pairs bought together in one
@@ -1183,12 +1198,15 @@ object Relational {
 
     // Per-part triangle participation in the co-occurrence graph —
     // the clustering signal community detection starts from. Reads the
-    // cached ORIENTED edge artifact (three consumers, zero fact-table
-    // rescans); see [[orientEdges]]/[[trianglesFromOriented]] for why
-    // the degree-oriented wedge join is the 100 TB shape.
-    "q70_triangles" -> ((s, dir) =>
-      trianglesFromOriented(orientedCooccurGraph(s, dir))
-        .orderBy("part")),
+    // cached graph artifact (oriented edges + out-adjacency table,
+    // zero fact-table rescans); see [[orientEdges]]/
+    // [[trianglesFromOriented]] for why degree orientation + in-row
+    // adjacency intersection is the 100 TB shape.
+    "q70_triangles" -> ((s, dir) => {
+      val (oriented, adj) = orientedCooccurGraph(s, dir)
+      trianglesFromOriented(oriented, Some(adj))
+        .orderBy("part")
+    }),
 
     // First-order Markov transition matrix over each user's event
     // sequence: one keyed navigation window on the facts (the q62
@@ -1216,7 +1234,7 @@ object Relational {
     // snapped arithmetic from scratch, so rank hash-matches bit for
     // bit. See [[pagerankStep]].
     "q72_pagerank_step" -> ((s, dir) =>
-      pagerankStep(orientedCooccurGraph(s, dir), "src", "dst")
+      pagerankStep(orientedCooccurGraph(s, dir)._1, "src", "dst")
         .select(col("v").as("part"), col("s"), col("rank"))
         .orderBy("part")),
 
@@ -1224,7 +1242,7 @@ object Relational {
     // skew probe that justifies q70's degree orientation. Integer-only
     // bucket logic; see [[degreeHistogram]].
     "q73_degree_hist" -> ((s, dir) =>
-      degreeHistogram(orientedCooccurGraph(s, dir), "src", "dst")
+      degreeHistogram(orientedCooccurGraph(s, dir)._1, "src", "dst")
         .orderBy("bucket")),
 
     // Trailing 7-day distinct users per active day, via the
@@ -1732,33 +1750,48 @@ object Relational {
         col("e.dd").as("dd"))
   }
 
-  /** Per-vertex triangle counts over an ORIENTED edge list — the
-    * distributed triangle algorithm (Cohen's MapReduce form; the shape
-    * GraphX's TriangleCount implements over RDDs, re-expressed as
-    * DataFrame joins Catalyst can plan). Wedges form at each
-    * triangle's lowest-rank vertex as ordered out-neighbor pairs, so
-    * the closing edge is oriented (v → w) by construction and a LEFT
-    * SEMI against the edge list closes them — every join an equi-join
-    * on vertex keys (AQE/broadcast rules apply as sizes dictate),
-    * every triangle counted exactly once, no vertex's neighborhood
-    * ever materialized as one row.
+  /** Per-vertex triangle counts over an ORIENTED edge list, by
+    * adjacency-list intersection (the GraphFrames/"compact-forward"
+    * shape): for each oriented edge (u → v), the triangles through it
+    * are the common out-neighbors N⁺(u) ∩ N⁺(v), computed IN-ROW with
+    * `array_intersect` — the O(m^1.5) wedge set never materializes as
+    * rows, let alone through a shuffle. Exactly-once: a triangle's
+    * three oriented edges are u→v, u→w, v→w, and (u,v) is the only
+    * edge whose BOTH endpoints point at the third vertex, so each
+    * triangle is found at precisely one edge. Degree orientation
+    * bounds every out-neighbor array at O(√m) — no power-law hub can
+    * blow up a row.
     *
-    * `oriented` is consumed three times (two wedge arms + the
-    * closing semi-join): persist it — q70 reads the cached graph
-    * artifact, the way d03 reads the shingle table.
+    * Shape economics (sf0.1 co-occurrence graph, measured in r9's
+    * TriangleProbe): the classic wedge-join + closing-semi-join plan
+    * shuffles 41M wedge rows for 1.2M edges — 12 s of exchange; this
+    * plan joins 1.2M edges against a 20k-row adjacency table twice
+    * and runs in ~1 s. (A Bloom pre-filter on the closing edge was
+    * measured and rejected: evaluating a 2 MiB filter literal over
+    * 41M wedge rows cost more than the pruned shuffle saved.) At
+    * scale both joins are vertex-keyed equi-joins: AQE broadcasts the
+    * adjacency side while |V| fits, and falls back to a shuffle that
+    * moves |E| + |V| rows — never O(m^1.5).
+    *
+    * `adjOpt`: the precomputed out-adjacency table (`src`, sorted
+    * `ns` array) — pass the cached artifact (q70 does); derived from
+    * `oriented` on the fly if absent.
     *
     * Output: (`part`, `n_tri`) for every vertex in ≥1 triangle.
     */
-  def trianglesFromOriented(oriented: DataFrame): DataFrame = {
-    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
-        Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .select(explode(array(col("src"), col("v"), col("w"))).as("part"))
+  def trianglesFromOriented(oriented: DataFrame,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
+    val adj = adjOpt.getOrElse(
+      oriented.groupBy(col("src"))
+        .agg(array_sort(collect_list(col("dst"))).as("ns")))
+    oriented
+      .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
+        col("src") === col("__u"))
+      .join(adj.select(col("src").as("__v"), col("ns").as("nv")),
+        col("dst") === col("__v"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 

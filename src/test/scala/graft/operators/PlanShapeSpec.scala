@@ -497,14 +497,21 @@ class PlanShapeSpec extends SparkSuite {
       s"exact profile grew more than the one distinct-rewrite Expand:\n$exact")
   }
 
-  test("q70: triangles are equi-joins over the CACHED oriented edge artifact — no fact rescans") {
+  test("q70: triangles intersect CACHED adjacency arrays — no wedge shuffle, no fact rescans") {
     val p = SparkEntry.queries("q70_triangles")(spark, dir)
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"triangle join degenerated to a product:\n$p")
-    assert(p.contains("LeftSemi"), s"wedge closing must be a semi-join:\n$p")
-    // all three consumers (two wedge arms + the closing semi) read the
-    // persisted oriented edge list — parquet appears only inside the
+    // the O(m^1.5) wedge set must stay in-row: common neighbors come
+    // from array_intersect over the adjacency arrays, not a self-join
+    // + closing semi-join (the r8 shape this replaced — 41M shuffled
+    // wedge rows for 1.2M edges at sf0.1, measured in TriangleProbe)
+    assert(p.contains("array_intersect"),
+      s"triangles must intersect adjacency arrays in-row:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"wedge-closing semi-join resurfaced — the wedge set is being materialized:\n$p")
+    // all three consumers (the edge list + two adjacency arms) read
+    // persisted artifacts — parquet appears only inside the
     // InMemoryRelation's lineage display, never as a live scan
     assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 3,
       s"expected 3 cached-artifact consumers:\n$p")
