@@ -1245,6 +1245,16 @@ object Relational {
       degreeHistogram(orientedCooccurGraph(s, dir)._1, "src", "dst")
         .orderBy("bucket")),
 
+    // Three PageRank power iterations over the co-occurrence graph —
+    // the k-step capstone of q72's single step, rank carried as a
+    // column across iterations (plan-side loop, nothing on the
+    // driver). Grid-snapped per iteration so the rank hash-matches
+    // DuckDB's unrolled CTE chain bit for bit; see [[pagerankIterate]].
+    "q74_pagerank_k" -> ((s, dir) =>
+      pagerankIterate(orientedCooccurGraph(s, dir)._1, 3, "src", "dst")
+        .select(col("v").as("part"), col("rank"))
+        .orderBy("part")),
+
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
     // day×day self-join, never a count-distinct range window.
@@ -1833,6 +1843,53 @@ object Relational {
         (lit(0.15) / col("nv") +
           lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
           .as("rank"))
+  }
+
+  /** k-step PageRank over an undirected CANONICAL edge list — the
+    * power method run to depth k with rank carried as a COLUMN:
+    * rank_t(v) = (1−d)/N + d·Σ_{u∼v} rank_{t−1}(u)/deg(u), d = 0.85,
+    * from the uniform start. Each iteration is ONE vertex-keyed
+    * equi-join of the bidirectional edge list against the current
+    * (|V|-row) rank table plus one aggregate — the loop only grows
+    * the PLAN on the driver (k is a small constant); no rank ever
+    * leaves the cluster, and the degree/rank tables broadcast while
+    * |V| fits, shuffle on the vertex key otherwise. This is the graph
+    * capstone of the q72 single step: identical exchange structure,
+    * applied k times.
+    *
+    * Cross-engine exactness, per iteration: each edge contribution is
+    * snapped to an integer grid (round(rank·10¹²/deg) as a long), the
+    * aggregate sums LONGS (order-independent, exact), and the new
+    * rank is a fixed IEEE op sequence over exact inputs — so the
+    * grid snap re-synchronizes both engines at every step and no
+    * float error can compound across iterations. (The grid differs
+    * from [[pagerankStep]]'s, which folds the uniform r₀ into a final
+    * ÷N — k=1 of this operator is the same math on a finer snap.)
+    *
+    * Output: (`v`, `rank`) after k iterations, one row per vertex.
+    */
+  def pagerankIterate(canon: DataFrame, k: Int, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val nv = deg.agg(count(lit(1)).as("nv"))
+    var r = deg.crossJoin(broadcast(nv))
+      .select(col("u").as("v"), (lit(1.0) / col("nv")).as("rank"))
+    for (_ <- 1 to k) {
+      r = bi
+        .join(r.select(col("v").as("u"), col("rank")), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v"),
+          round(col("rank") * lit(1e12) / col("d")).cast("long").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+        .crossJoin(broadcast(nv))
+        .select(col("v"),
+          (lit(0.15) / col("nv") +
+            lit(0.85) * (col("s").cast("double") / lit(1e12))).as("rank"))
+    }
+    r
   }
 
   /** Log2-bucketed degree histogram of an undirected canonical edge
@@ -2625,6 +2682,37 @@ object Relational {
          SELECT v AS part, s,
            0.15 / nv + 0.85 * ((CAST(s AS DOUBLE) / 1e12) / nv) AS rank
          FROM ag, nv ORDER BY part""",
+
+    "q74_pagerank_k" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         bi AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e),
+         deg AS (SELECT u, COUNT(*) AS dg FROM bi GROUP BY u),
+         nv AS (SELECT COUNT(*) AS nv FROM deg),
+         r0 AS (SELECT u AS v, 1.0 / nv AS rank FROM deg, nv),
+         c1 AS (SELECT bi.v,
+                  CAST(ROUND(r.rank * 1e12 / deg.dg) AS BIGINT) AS c
+                FROM bi JOIN r0 r ON bi.u = r.v JOIN deg ON bi.u = deg.u),
+         r1 AS (SELECT v,
+                  0.15 / nv + 0.85 * (CAST(SUM(c) AS DOUBLE) / 1e12) AS rank
+                FROM c1, nv GROUP BY v, nv),
+         c2 AS (SELECT bi.v,
+                  CAST(ROUND(r.rank * 1e12 / deg.dg) AS BIGINT) AS c
+                FROM bi JOIN r1 r ON bi.u = r.v JOIN deg ON bi.u = deg.u),
+         r2 AS (SELECT v,
+                  0.15 / nv + 0.85 * (CAST(SUM(c) AS DOUBLE) / 1e12) AS rank
+                FROM c2, nv GROUP BY v, nv),
+         c3 AS (SELECT bi.v,
+                  CAST(ROUND(r.rank * 1e12 / deg.dg) AS BIGINT) AS c
+                FROM bi JOIN r2 r ON bi.u = r.v JOIN deg ON bi.u = deg.u),
+         r3 AS (SELECT v,
+                  0.15 / nv + 0.85 * (CAST(SUM(c) AS DOUBLE) / 1e12) AS rank
+                FROM c3, nv GROUP BY v, nv)
+         SELECT v AS part, rank FROM r3 ORDER BY part""",
 
     "q73_degree_hist" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -540,6 +540,18 @@ class PlanShapeSpec extends SparkSuite {
       s"expected cached-artifact consumers, got live scans:\n$p")
   }
 
+  test("q74: k-step pagerank — per-iteration BNLJs are all 1-row scalars, no products") {
+    val p = SparkEntry.queries("q74_pagerank_k")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"pagerank degenerated to a product:\n$p")
+    // one 1-row vertex-count scalar BNLJ per iteration + one for r0
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"extra BNLJ beyond the per-iteration scalars:\n$p")
+    // rank/degree joins stay vertex-keyed equi-joins at every depth
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"expected hash/merge equi-joins for the rank+degree attach:\n$p")
+  }
+
   test("q73: degree histogram is join-free — two aggregates over the cached edge list") {
     // join-free claim on an uncached edge list (the registered query's
     // plan text would also show the cached ARTIFACT's join lineage)

@@ -986,6 +986,29 @@ class PublicApiSpec extends SparkSuite {
     assert(got.map(_._2).sum == 3L * 1000000000000L)
   }
 
+  test("pagerankIterate: path graph — symmetry, ordering, mass conservation across k") {
+    import spark.implicits._
+    // path 1—2—3: the ends are symmetric, the middle dominates, and
+    // total rank stays ~1 at every depth (grid error ≤ |E|·5e-13/iter)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    for (k <- Seq(1, 3)) {
+      val r = Relational.pagerankIterate(edges, k)
+        .orderBy("v").collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(r.map(_._1) == Seq(1L, 2L, 3L))
+      assert(r(0)._2 == r(2)._2, s"k=$k: path ends must tie: $r")
+      assert(r(1)._2 > r(0)._2, s"k=$k: middle must outrank ends: $r")
+      assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9, s"k=$k: mass drifted: $r")
+    }
+    // k=1 closed form: r1(end) = 0.15/3 + 0.85·(r0(2)/2) with r0 = 1/3
+    // snapped to the 1e12 grid
+    val k1 = Relational.pagerankIterate(edges, 1)
+      .orderBy("v").collect().map(_.getDouble(1))
+    val endIn = math.round(1.0 / 3 * 1e12 / 2)   // half the middle's mass
+    val midIn = 2 * math.round(1.0 / 3 * 1e12)   // both ends' full mass
+    assert(k1(0) == 0.15 / 3 + 0.85 * (endIn.toDouble / 1e12))
+    assert(k1(1) == 0.15 / 3 + 0.85 * (midIn.toDouble / 1e12))
+  }
+
   test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
     import spark.implicits._
     val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
