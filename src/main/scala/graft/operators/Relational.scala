@@ -50,29 +50,40 @@ object Relational {
   // own (the unmaterialized plan re-derived the edge list 15× from
   // lineitem, measured). At 100 TB this is a written edge table
   // produced once at ingest.
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  /** The cached co-occurrence graph, three ingest-time tables (at
+    * 100 TB: written, bucketed tables maintained at ingest):
+    *  - `oriented`: the degree-oriented edge list (src, dst, dd);
+    *  - `adj`: out-adjacency arrays, |V| rows, array length bounded
+    *    O(√m) by orientation — the triangle query intersects these
+    *    in-row instead of materializing the O(m^1.5) wedge set
+    *    through a shuffle (r9 profiling: 41M shuffled wedges → ~1 s
+    *    in-row; a Bloom pre-filter on the closing edge was measured
+    *    and REJECTED — evaluating the filter over 41M wedge rows
+    *    cost more than the shuffle it saved);
+    *  - `deg`: total (undirected) degree per vertex, |V| rows — the
+    *    PageRank family reads it at every iteration depth; deriving
+    *    it in-plan re-shuffled the 2·|E|-row bidirectional list once
+    *    per plan occurrence (4× in q74, measured 3.6 s → cached).
+    */
+  case class GraphArtifact(oriented: DataFrame, adj: DataFrame, deg: DataFrame)
 
-  private def orientedCooccurGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), GraphArtifact]
+
+  private def orientedCooccurGraph(s: SparkSession, dir: String): GraphArtifact =
     graphCache.getOrElseUpdate((s, dir), {
       val canon = canonicalEdges(partCooccurrence(s, dir), "p1", "p2").persist()
       val o = orientEdges(canon).persist()
       o.count()  // materialize: ingest-time work
-      // Out-adjacency table — the second half of the graph artifact.
-      // One row per vertex with the sorted out-neighbor array; after
-      // degree orientation, array length is bounded O(√m), so row size
-      // is bounded and the table has |V| rows (19,952 at sf0.1 vs 1.2M
-      // edges). The triangle query intersects these arrays in-row
-      // instead of materializing the O(m^1.5) wedge set through a
-      // shuffle — the r9 profiling result (41M wedges, 12 s of
-      // exchange, vs ~1 s in-row; a Bloom pre-filter on the closing
-      // edge was also measured and REJECTED: evaluating the filter
-      // over 41M wedge rows cost more than the shuffle it saved).
       val adj = o.groupBy(col("src"))
         .agg(array_sort(collect_list(col("dst"))).as("ns")).persist()
       adj.count()       // materialize: ingest-time work
-      canon.unpersist() // scaffolding — only oriented + adjacency kept
-      (o, adj)
+      val deg = o.select(col("src").as("v"))
+        .unionAll(o.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")).persist()
+      deg.count()       // materialize: ingest-time work
+      canon.unpersist() // scaffolding — only the three tables are kept
+      GraphArtifact(o, adj, deg)
     })
 
   /** Build the relational family's ingest artifacts (the hot-orderkey
@@ -91,8 +102,8 @@ object Relational {
     */
   def releaseStats(s: SparkSession, dir: String): Unit = {
     hotKeyCache.remove((s, dir)).foreach(_.unpersist())
-    graphCache.remove((s, dir)).foreach { case (o, adj) =>
-      o.unpersist(); adj.unpersist()
+    graphCache.remove((s, dir)).foreach { g =>
+      g.oriented.unpersist(); g.adj.unpersist(); g.deg.unpersist()
     }
   }
 
@@ -1203,8 +1214,8 @@ object Relational {
     // [[trianglesFromOriented]] for why degree orientation + in-row
     // adjacency intersection is the 100 TB shape.
     "q70_triangles" -> ((s, dir) => {
-      val (oriented, adj) = orientedCooccurGraph(s, dir)
-      trianglesFromOriented(oriented, Some(adj))
+      val g = orientedCooccurGraph(s, dir)
+      trianglesFromOriented(g.oriented, Some(g.adj))
         .orderBy("part")
     }),
 
@@ -1233,27 +1244,33 @@ object Relational {
     // oriented edge artifact; the oracle re-derives the same grid-
     // snapped arithmetic from scratch, so rank hash-matches bit for
     // bit. See [[pagerankStep]].
-    "q72_pagerank_step" -> ((s, dir) =>
-      pagerankStep(orientedCooccurGraph(s, dir)._1, "src", "dst")
+    "q72_pagerank_step" -> ((s, dir) => {
+      val g = orientedCooccurGraph(s, dir)
+      pagerankStep(g.oriented, "src", "dst", Some(g.deg))
         .select(col("v").as("part"), col("s"), col("rank"))
-        .orderBy("part")),
+        .orderBy("part")
+    }),
 
     // Degree histogram of the co-occurrence graph (log2 buckets) — the
     // skew probe that justifies q70's degree orientation. Integer-only
     // bucket logic; see [[degreeHistogram]].
-    "q73_degree_hist" -> ((s, dir) =>
-      degreeHistogram(orientedCooccurGraph(s, dir)._1, "src", "dst")
-        .orderBy("bucket")),
+    "q73_degree_hist" -> ((s, dir) => {
+      val g = orientedCooccurGraph(s, dir)
+      degreeHistogram(g.oriented, "src", "dst", Some(g.deg))
+        .orderBy("bucket")
+    }),
 
     // Three PageRank power iterations over the co-occurrence graph —
     // the k-step capstone of q72's single step, rank carried as a
     // column across iterations (plan-side loop, nothing on the
     // driver). Grid-snapped per iteration so the rank hash-matches
     // DuckDB's unrolled CTE chain bit for bit; see [[pagerankIterate]].
-    "q74_pagerank_k" -> ((s, dir) =>
-      pagerankIterate(orientedCooccurGraph(s, dir)._1, 3, "src", "dst")
+    "q74_pagerank_k" -> ((s, dir) => {
+      val g = orientedCooccurGraph(s, dir)
+      pagerankIterate(g.oriented, 3, "src", "dst", Some(g.deg))
         .select(col("v").as("part"), col("rank"))
-        .orderBy("part")),
+        .orderBy("part")
+    }),
 
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
@@ -1830,10 +1847,11 @@ object Relational {
     * Output: (`v`, `s` = grid-summed inbound mass, `rank`).
     */
   def pagerankStep(canon: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
+      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
     val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
-    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val deg = degOpt.map(_.select(col("v").as("u"), col("d")))
+      .getOrElse(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val nv = deg.agg(count(lit(1)).as("nv"))
     bi.join(deg, "u")
       .select(col("v"), round(lit(1e12) / col("d")).cast("long").as("c"))
@@ -1869,11 +1887,15 @@ object Relational {
     * Output: (`v`, `rank`) after k iterations, one row per vertex.
     */
   def pagerankIterate(canon: DataFrame, k: Int, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
+      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
-    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    // `deg` appears at every iteration depth; pass the cached degree
+    // artifact (`(v, d)` schema) or it re-aggregates the 2·|E|-row
+    // bidirectional list once per plan occurrence.
+    val deg = degOpt.map(_.select(col("v").as("u"), col("d")))
+      .getOrElse(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val nv = deg.agg(count(lit(1)).as("nv"))
     var r = deg.crossJoin(broadcast(nv))
       .select(col("u").as("v"), (lit(1.0) / col("nv")).as("rank"))
@@ -1901,10 +1923,11 @@ object Relational {
     * no floating log whose ULP could flip a boundary between engines.
     */
   def degreeHistogram(canon: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
-    val deg = canon.select(col(aCol).as("v"))
-      .unionAll(canon.select(col(bCol).as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(
+      canon.select(col(aCol).as("v"))
+        .unionAll(canon.select(col(bCol).as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
     deg.groupBy((length(bin(col("d"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_vertices"),
         min("d").as("min_deg"), max("d").as("max_deg"))

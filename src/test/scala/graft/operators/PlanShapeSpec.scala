@@ -552,7 +552,7 @@ class PlanShapeSpec extends SparkSuite {
       s"expected hash/merge equi-joins for the rank+degree attach:\n$p")
   }
 
-  test("q73: degree histogram is join-free — two aggregates over the cached edge list") {
+  test("q73: degree histogram is join-free — one aggregate over the cached degree table") {
     // join-free claim on an uncached edge list (the registered query's
     // plan text would also show the cached ARTIFACT's join lineage)
     import spark.implicits._
@@ -560,12 +560,15 @@ class PlanShapeSpec extends SparkSuite {
         Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
       .queryExecution.explainString(FormattedMode)
     assert(!synth.contains("Join"), s"degreeHistogram joined:\n$synth")
+    // the registered query reads the cached |V|-row DEGREE artifact —
+    // the edge-endpoint aggregate ran once at ingest, so only the
+    // histogram aggregate remains in the per-query plan
     val p = SparkEntry.queries("q73_degree_hist")(spark, dir)
       .queryExecution.explainString(FormattedMode)
-    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 2,
-      s"expected cached-artifact consumers:\n$p")
-    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 4,
-      s"both aggregates must be map-side combinable:\n$p")
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 1,
+      s"expected the cached degree-table consumer:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2,
+      s"histogram aggregate must be map-side combinable:\n$p")
   }
 
   test("p13: split leakage joins the tiny cached pair artifact — never a corpus self-join") {
