@@ -69,8 +69,13 @@ object Relational {
     *    q61's pair counts are a filter + top-k over it and the edge
     *    list is its projection.
     */
+  /** `nv` = |V|, captured from the ingest-time `deg.count()` — the
+    * PageRank family folds it in as a literal instead of paying a
+    * 1-row broadcast cross-join per plan depth (4 broadcast jobs in
+    * the 3-step q74, measured).
+    */
   case class GraphArtifact(oriented: DataFrame, adj: DataFrame,
-      deg: DataFrame, pairs: DataFrame)
+      deg: DataFrame, pairs: DataFrame, nv: Long)
 
   private val graphCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), GraphArtifact]
@@ -89,8 +94,8 @@ object Relational {
       val deg = o.select(col("src").as("v"))
         .unionAll(o.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d")).persist()
-      deg.count()  // materialize: ingest-time work
-      GraphArtifact(o, adj, deg, pairs)
+      val nv = deg.count()  // materialize: ingest-time work
+      GraphArtifact(o, adj, deg, pairs, nv)
     })
 
   /** Build the relational family's ingest artifacts (the hot-orderkey
@@ -1257,7 +1262,7 @@ object Relational {
     // bit. See [[pagerankStep]].
     "q72_pagerank_step" -> ((s, dir) => {
       val g = orientedCooccurGraph(s, dir)
-      pagerankStep(g.oriented, "src", "dst", Some(g.deg))
+      pagerankStep(g.oriented, "src", "dst", Some(g.deg), Some(g.nv))
         .select(col("v").as("part"), col("s"), col("rank"))
         .orderBy("part")
     }),
@@ -1278,7 +1283,7 @@ object Relational {
     // DuckDB's unrolled CTE chain bit for bit; see [[pagerankIterate]].
     "q74_pagerank_k" -> ((s, dir) => {
       val g = orientedCooccurGraph(s, dir)
-      pagerankIterate(g.oriented, 3, "src", "dst", Some(g.deg))
+      pagerankIterate(g.oriented, 3, "src", "dst", Some(g.deg), Some(g.nv))
         .select(col("v").as("part"), col("rank"))
         .orderBy("part")
     }),
@@ -1858,20 +1863,25 @@ object Relational {
     * Output: (`v`, `s` = grid-summed inbound mass, `rank`).
     */
   def pagerankStep(canon: DataFrame, aCol: String = "a",
-      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
+      bCol: String = "b", degOpt: Option[DataFrame] = None,
+      nvOpt: Option[Long] = None): DataFrame = {
     val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
     val deg = degOpt.map(_.select(col("v").as("u"), col("d")))
       .getOrElse(bi.groupBy("u").agg(count(lit(1)).as("d")))
-    val nv = deg.agg(count(lit(1)).as("nv"))
-    bi.join(deg, "u")
+    val agg = bi.join(deg, "u")
       .select(col("v"), round(lit(1e12) / col("d")).cast("long").as("c"))
       .groupBy("v").agg(sum("c").as("s"))
-      .crossJoin(broadcast(nv))
-      .select(col("v"), col("s"),
-        (lit(0.15) / col("nv") +
-          lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
-          .as("rank"))
+    // |V| as an ingest-time literal when known (same double either
+    // way — the division below is the identical IEEE op); otherwise a
+    // 1-row broadcast scalar
+    val withNv = nvOpt.fold(
+      agg.crossJoin(broadcast(deg.agg(count(lit(1)).as("nv")))))(
+      n => agg.withColumn("nv", lit(n)))
+    withNv.select(col("v"), col("s"),
+      (lit(0.15) / col("nv") +
+        lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
+        .as("rank"))
   }
 
   /** k-step PageRank over an undirected CANONICAL edge list — the
@@ -1898,26 +1908,31 @@ object Relational {
     * Output: (`v`, `rank`) after k iterations, one row per vertex.
     */
   def pagerankIterate(canon: DataFrame, k: Int, aCol: String = "a",
-      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
+      bCol: String = "b", degOpt: Option[DataFrame] = None,
+      nvOpt: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
     // `deg` appears at every iteration depth; pass the cached degree
     // artifact (`(v, d)` schema) or it re-aggregates the 2·|E|-row
-    // bidirectional list once per plan occurrence.
+    // bidirectional list once per plan occurrence. Same for `nv`: the
+    // ingest-time |V| literal replaces one 1-row broadcast cross-join
+    // PER DEPTH (k+1 broadcast jobs at k=3, measured in BENCH_r9's
+    // q74 tail). The rank arithmetic is IEEE-identical either way.
     val deg = degOpt.map(_.select(col("v").as("u"), col("d")))
       .getOrElse(bi.groupBy("u").agg(count(lit(1)).as("d")))
-    val nv = deg.agg(count(lit(1)).as("nv"))
-    var r = deg.crossJoin(broadcast(nv))
+    def withNv(df: DataFrame): DataFrame = nvOpt.fold(
+      df.crossJoin(broadcast(deg.agg(count(lit(1)).as("nv")))))(
+      n => df.withColumn("nv", lit(n)))
+    var r = withNv(deg)
       .select(col("u").as("v"), (lit(1.0) / col("nv")).as("rank"))
     for (_ <- 1 to k) {
-      r = bi
+      r = withNv(bi
         .join(r.select(col("v").as("u"), col("rank")), Seq("u"))
         .join(deg, Seq("u"))
         .select(col("v"),
           round(col("rank") * lit(1e12) / col("d")).cast("long").as("c"))
-        .groupBy("v").agg(sum("c").as("s"))
-        .crossJoin(broadcast(nv))
+        .groupBy("v").agg(sum("c").as("s")))
         .select(col("v"),
           (lit(0.15) / col("nv") +
             lit(0.85) * (col("s").cast("double") / lit(1e12))).as("rank"))
