@@ -1288,6 +1288,16 @@ object Relational {
         .orderBy("part")
     }),
 
+    // Weighted PageRank step over the cached pair root — co-purchase
+    // FREQUENCY as edge weight, so a 40-order pairing pulls 40× the
+    // mass of a one-off. Sixth consumer of the graph artifact; see
+    // [[weightedPagerankStep]].
+    "q75_pagerank_weighted" -> ((s, dir) =>
+      weightedPagerankStep(orientedCooccurGraph(s, dir).pairs,
+        "p1", "p2", "n_orders")
+        .select(col("v").as("part"), col("s"), col("rank"))
+        .orderBy("part")),
+
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
     // day×day self-join, never a count-distinct range window.
@@ -1882,6 +1892,37 @@ object Relational {
       (lit(0.15) / col("nv") +
         lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
         .as("rank"))
+  }
+
+  /** One WEIGHTED PageRank iteration from the uniform start over an
+    * undirected weighted edge list: mass leaves each vertex
+    * proportionally to edge weight — rank₁(v) = (1−d)/N +
+    * d·Σ_{u∼v} w(u,v)/(N·W(u)), W(u) = Σ_x w(u,x), d = 0.85. The
+    * natural centrality over the co-occurrence graph, where an edge
+    * seen in 40 orders should pull 40× the mass of a one-off pairing
+    * (unweighted q72 treats them identically). Same plan skeleton as
+    * [[pagerankStep]] — the weighted-degree table is one aggregate
+    * over the bidirectional list, everything else is the vertex-keyed
+    * equi-join + aggregate pair — and the same integer-grid snap
+    * (round(10¹²·w/W) summed as longs) makes the rank hash-exact
+    * across engines.
+    * Output: (`v`, `s` = grid-summed inbound mass, `rank`).
+    */
+  def weightedPagerankStep(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b", wCol: String = "w"): DataFrame = {
+    val bi = edges.select(col(aCol).as("u"), col(bCol).as("v"), col(wCol).as("w"))
+      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v"), col(wCol).as("w")))
+    val wdeg = bi.groupBy("u").agg(sum("w").as("wd"))
+    val nv = wdeg.agg(count(lit(1)).as("nv"))
+    bi.join(wdeg, "u")
+      .select(col("v"),
+        round(lit(1e12) * col("w") / col("wd")).cast("long").as("c"))
+      .groupBy("v").agg(sum("c").as("s"))
+      .crossJoin(broadcast(nv))
+      .select(col("v"), col("s"),
+        (lit(0.15) / col("nv") +
+          lit(0.85) * ((col("s").cast("double") / lit(1e12)) / col("nv")))
+          .as("rank"))
   }
 
   /** k-step PageRank over an undirected CANONICAL edge list — the
@@ -2727,6 +2768,25 @@ object Relational {
          co AS (
            SELECT bi.v, CAST(ROUND(1e12 / deg.dg) AS BIGINT) AS c
            FROM bi JOIN deg ON bi.u = deg.u),
+         ag AS (SELECT v, CAST(SUM(c) AS BIGINT) AS s FROM co GROUP BY v)
+         SELECT v AS part, s,
+           0.15 / nv + 0.85 * ((CAST(s AS DOUBLE) / 1e12) / nv) AS rank
+         FROM ag, nv ORDER BY part""",
+
+    "q75_pagerank_weighted" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         bi AS (SELECT p1 AS u, p2 AS v, w FROM e
+                UNION ALL SELECT p2 AS u, p1 AS v, w FROM e),
+         wdg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wd FROM bi GROUP BY u),
+         nv AS (SELECT COUNT(*) AS nv FROM wdg),
+         co AS (
+           SELECT bi.v, CAST(ROUND(1e12 * bi.w / wdg.wd) AS BIGINT) AS c
+           FROM bi JOIN wdg ON bi.u = wdg.u),
          ag AS (SELECT v, CAST(SUM(c) AS BIGINT) AS s FROM co GROUP BY v)
          SELECT v AS part, s,
            0.15 / nv + 0.85 * ((CAST(s AS DOUBLE) / 1e12) / nv) AS rank

@@ -986,6 +986,25 @@ class PublicApiSpec extends SparkSuite {
     assert(got.map(_._2).sum == 3L * 1000000000000L)
   }
 
+  test("weightedPagerankStep: weighted path — mass splits by weight on the exact grid") {
+    import spark.implicits._
+    // path 1—2—3 with w(1,2)=3, w(2,3)=1: vertex 2 sends 3/4 of its
+    // mass to 1 and 1/4 to 3; the ends send everything to 2
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val got = Relational.weightedPagerankStep(edges, "a", "b", "w")
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def rank(s: Long) = 0.15 / 3 + 0.85 * ((s.toDouble / 1e12) / 3)
+    val s1 = 750000000000L   // round(1e12·3/4)
+    val s2 = 2000000000000L  // 1e12·3/3 + 1e12·1/1
+    val s3 = 250000000000L   // round(1e12·1/4)
+    assert(got.toSeq == Seq(
+      (1L, s1, rank(s1)), (2L, s2, rank(s2)), (3L, s3, rank(s3))),
+      s"got ${got.toSeq}")
+    // grid mass conservation: every vertex's outbound fractions sum to 1e12
+    assert(got.map(_._2).sum == 3L * 1000000000000L)
+  }
+
   test("pagerankIterate: path graph — symmetry, ordering, mass conservation across k") {
     import spark.implicits._
     // path 1—2—3: the ends are symmetric, the middle dominates, and
