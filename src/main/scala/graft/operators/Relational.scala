@@ -1298,6 +1298,27 @@ object Relational {
         .select(col("v").as("part"), col("s"), col("rank"))
         .orderBy("part")),
 
+    // Neighborhood-Jaccard tie strength per co-occurrence edge — the
+    // link-prediction score, riding the SAME adjacency intersection
+    // as the triangle count plus the cached degree table; see
+    // [[linkJaccard]]. Top-200 strongest ties, deterministic order.
+    "q76_link_jaccard" -> ((s, dir) => {
+      val g = orientedCooccurGraph(s, dir)
+      linkJaccard(g.oriented, Some(g.adj), Some(g.deg))
+        .orderBy(desc("jaccard"), col("a"), col("b"))
+        .limit(200)
+    }),
+
+    // Three rounds of min-label propagation — the distributed
+    // connected-components primitive over the co-occurrence graph,
+    // integer-exact; see [[minLabelPropagate]].
+    "q77_min_label_k" -> ((s, dir) => {
+      val g = orientedCooccurGraph(s, dir)
+      minLabelPropagate(g.oriented, 3, "src", "dst", Some(g.deg))
+        .select(col("v").as("part"), col("label"))
+        .orderBy("part")
+    }),
+
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
     // day×day self-join, never a count-distinct range window.
@@ -1979,6 +2000,95 @@ object Relational {
             lit(0.85) * (col("s").cast("double") / lit(1e12))).as("rank"))
     }
     r
+  }
+
+  /** Neighborhood-overlap (Jaccard) link scores for every edge in at
+    * least one triangle — THE classic link-prediction/tie-strength
+    * signal: jaccard(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| =
+    * common/(deg(a)+deg(b)−common). Common-neighbor counts fall out
+    * of the SAME in-row adjacency intersection the triangle count
+    * uses ([[trianglesFromOriented]]): each triangle {u,v,w} found at
+    * its oriented edge (u,v) credits ALL THREE of its edges with one
+    * common neighbor (the intersection finds w for (u,v); u and v are
+    * the common neighbors the other two edges can't see from their
+    * own out-lists) — so per-edge counts are one explode + one
+    * aggregate over triangle instances, never a second wedge pass.
+    * Degrees attach from the cached |V|-row degree table, and the
+    * final score is ONE IEEE division of exact longs (hash-exact).
+    *
+    * Edges in zero triangles have jaccard 0 and are omitted — at
+    * 100 TB that's the difference between |triangle edges| and |E|
+    * output rows.
+    *
+    * Output: (`a`, `b`, `common`, `jaccard`), a < b canonical.
+    */
+  def linkJaccard(oriented: DataFrame, adjOpt: Option[DataFrame] = None,
+      degOpt: Option[DataFrame] = None): DataFrame = {
+    val adj = adjOpt.getOrElse(
+      oriented.groupBy(col("src"))
+        .agg(array_sort(collect_list(col("dst"))).as("ns")))
+    val deg = degOpt.getOrElse(
+      oriented.select(col("src").as("v"))
+        .unionAll(oriented.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    val triEdges = oriented
+      .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
+        col("src") === col("__u"))
+      .join(adj.select(col("src").as("__v"), col("ns").as("nv")),
+        col("dst") === col("__v"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      // credit each of the triangle's three edges, id-canonicalized
+      .select(explode(array(
+        struct(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        struct(least(col("src"), col("w")).as("a"),
+          greatest(col("src"), col("w")).as("b")),
+        struct(least(col("dst"), col("w")).as("a"),
+          greatest(col("dst"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    triEdges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common"))).as("jaccard"))
+  }
+
+  /** k rounds of min-label propagation over an undirected CANONICAL
+    * edge list — label(v) after round t = the smallest vertex id
+    * within t hops of v; labels initialized to each vertex's own id.
+    * This is the distributed connected-components primitive (the
+    * hashmin / pointer-jumping seed d06's dedup clustering scales
+    * with) exposed as a first-class graph operator: each round is one
+    * vertex-keyed equi-join (edge list against the |V|-row label
+    * table) + a min aggregate over propagated ∪ own labels — all
+    * integer arithmetic, so cross-engine equality is exact with no
+    * grid tricks. Converged labels (k ≥ graph diameter) ARE the
+    * component ids.
+    *
+    * Output: (`v`, `label`) after k rounds, one row per vertex.
+    */
+  def minLabelPropagate(canon: DataFrame, k: Int, aCol: String = "a",
+      bCol: String = "b", degOpt: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bi = canon.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(canon.select(col(bCol).as("u"), col(aCol).as("v")))
+    val verts = degOpt.map(_.select(col("v")))
+      .getOrElse(bi.select(col("u").as("v")).distinct())
+    // Self-loops fold "min with own label" INTO the propagation join,
+    // so each round references the previous label table exactly ONCE.
+    // The naive `propagated ∪ previous` form references it twice,
+    // doubling the plan subtree per round — exponential in k
+    // (measured: 5.7 s vs ~2 s at k=3, sf0.1).
+    val biPlus = bi.unionAll(verts.select(col("v").as("u"), col("v")))
+    var lab = verts.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to k) {
+      lab = biPlus.join(lab.select(col("v").as("u"), col("label")), Seq("u"))
+        .groupBy("v").agg(min("label").as("label"))
+    }
+    lab
   }
 
   /** Log2-bucketed degree histogram of an undirected canonical edge
@@ -2772,6 +2882,49 @@ object Relational {
          SELECT v AS part, s,
            0.15 / nv + 0.85 * ((CAST(s AS DOUBLE) / 1e12) / nv) AS rank
          FROM ag, nv ORDER BY part""",
+
+    "q76_link_jaccard" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         n AS (SELECT a AS u, b AS v FROM e
+               UNION ALL SELECT b AS u, a AS v FROM e),
+         deg AS (SELECT u, COUNT(*) AS dg FROM n GROUP BY u),
+         cm AS (
+           SELECT e.a, e.b, COUNT(*) AS common
+           FROM e
+           JOIN n na ON na.u = e.a
+           JOIN n nb ON nb.u = e.b AND nb.v = na.v
+           GROUP BY e.a, e.b)
+         SELECT cm.a, cm.b, cm.common,
+           CAST(cm.common AS DOUBLE) / (da.dg + db.dg - cm.common) AS jaccard
+         FROM cm
+         JOIN deg da ON da.u = cm.a
+         JOIN deg db ON db.u = cm.b
+         ORDER BY jaccard DESC, cm.a, cm.b
+         LIMIT 200""",
+
+    "q77_min_label_k" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         bi AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e),
+         l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM bi),
+         l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l0 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l0) GROUP BY v),
+         l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l1 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l1) GROUP BY v),
+         l3 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l2 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l2) GROUP BY v)
+         SELECT v AS part, lbl AS label FROM l3 ORDER BY part""",
 
     "q75_pagerank_weighted" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -986,6 +986,38 @@ class PublicApiSpec extends SparkSuite {
     assert(got.map(_._2).sum == 3L * 1000000000000L)
   }
 
+  test("linkJaccard: K4 plus pendant — overlap scores match hand-computed neighborhoods") {
+    import spark.implicits._
+    // K4 on 1..4 with a pendant vertex 5 hanging off 1: every K4 edge
+    // has 2 common neighbors; deg(1)=4, deg(2..4)=3, deg(5)=1; the
+    // pendant edge (1,5) is in no triangle and must be ABSENT
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("x", "y")
+    val oriented = Relational.orientEdges(
+      Relational.canonicalEdges(edges, "x", "y"))
+    val got = Relational.linkJaccard(oriented)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def j(c: Long, da: Long, db: Long) = c.toDouble / (da + db - c)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, j(2, 4, 3)), (1L, 3L, 2L, j(2, 4, 3)),
+      (1L, 4L, 2L, j(2, 4, 3)), (2L, 3L, 2L, j(2, 3, 3)),
+      (2L, 4L, 2L, j(2, 3, 3)), (3L, 4L, 2L, j(2, 3, 3))),
+      s"got ${got.toSeq}")
+  }
+
+  test("minLabelPropagate: path graph — labels spread exactly one hop per round") {
+    import spark.implicits._
+    // path 1—2—3—4—5: after k rounds, label(v) = min id within k hops
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def labels(k: Int) = Relational.minLabelPropagate(edges, k)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(labels(1) == Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(labels(3) == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    assert(labels(4) == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      "k = diameter must converge to the component min")
+  }
+
   test("weightedPagerankStep: weighted path — mass splits by weight on the exact grid") {
     import spark.implicits._
     // path 1—2—3 with w(1,2)=3, w(2,3)=1: vertex 2 sends 3/4 of its
