@@ -1060,6 +1060,41 @@ class PublicApiSpec extends SparkSuite {
     assert(k1(1) == 0.15 / 3 + 0.85 * (midIn.toDouble / 1e12))
   }
 
+  test("prepared graph loop: q74/q75/q77 registered paths match the generic operators row for row") {
+    val dir = sf("sf0.001")
+    val g = Relational.orientedCooccurGraph(spark, dir)
+    // loop context invariants: clamped width, bidirectional row count
+    assert(g.loop.parts >= 1 && g.loop.bi.count() == 2 * g.ne)
+    assert(g.loop.deg.count() == g.nv && g.loop.selfLoops.count() == g.nv)
+
+    // q74: prepared loop vs generic lazy plan — rank is a fixed IEEE fn
+    // of exact grid ints, so equality is exact, not approximate
+    val prGen = Relational.pagerankIterate(
+      g.oriented, 3, "src", "dst", Some(g.deg), Some(g.nv))
+    val prLoop = Relational.pagerankIterateLoop(g.loop, 3)
+    assert(prLoop.count() == g.nv)
+    assert(prGen.join(prLoop.withColumnRenamed("rank", "r2"), Seq("v"))
+      .filter(col("rank") =!= col("r2")).count() == 0)
+
+    // q77: integer labels, exact
+    val mlGen = Relational.minLabelPropagate(
+      g.oriented, 3, "src", "dst", Some(g.deg))
+    val mlLoop = Relational.minLabelPropagateLoop(g.loop, 3)
+    assert(mlLoop.count() == g.nv)
+    assert(mlGen.join(mlLoop.withColumnRenamed("label", "l2"), Seq("v"))
+      .filter(col("label") =!= col("l2")).count() == 0)
+
+    // q75: cached weighted-degree/|V| divisors vs in-plan derivation
+    val wGen = Relational.weightedPagerankStep(g.pairs, "p1", "p2", "n_orders")
+    val wCached = Relational.weightedPagerankStep(g.pairs, "p1", "p2",
+      "n_orders", Some(g.wdeg), Some(g.nv))
+    assert(wCached.count() == g.nv)
+    assert(wGen.join(wCached.select(col("v"), col("s").as("s2"),
+        col("rank").as("r2")), Seq("v"))
+      .filter(col("s") =!= col("s2") || col("rank") =!= col("r2"))
+      .count() == 0)
+  }
+
   test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
     import spark.implicits._
     val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
