@@ -85,9 +85,51 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    // Matched-query guardrail (r10): compare this run's best-of-N to
+    // the committed previous-round snapshot (BENCH_BASELINE.json,
+    // refreshed at round close) over the queries present in BOTH.
+    // Uniform box drift (the r7-r9 ±13% pattern that kept costing
+    // analysis time) moves matched_cur_total/matched_prev_total
+    // together across the whole matched set; a real plan regression
+    // is localized to its query. Failure to read the baseline
+    // degrades to omitting the fields, never to failing the bench.
+    val matchedExtra: String = (try {
+      val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        // baseline times are sf-specific: a different-sf run against
+        // them would report a meaningless delta — omit the fields
+        if (root.hasNonNull("sf") && root.get("sf").asText() != sfDir) None
+        else {
+          val best = root.get("best")
+          val it = best.fieldNames()
+          val prev = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) {
+            val k = it.next(); prev(k) = best.get(k).asDouble()
+          }
+          // results.toSeq first: collect on the MAP would key the pairs
+          // by previous-round time and silently collapse queries whose
+          // 2-decimal baselines coincide (observed 64 -> 45)
+          val matched = results.toSeq.collect {
+            case (k, (b, _)) if b >= 0 && prev.get(k).exists(_ >= 0) =>
+              (prev(k), b)
+          }
+          Some((root.get("round").asLong(), matched.size,
+            matched.map(_._1).sum, matched.map(_._2).sum))
+        }
+      }
+    } catch { case _: Throwable => None }) match {
+      case Some((rnd, n, prevTot, curTot)) =>
+        s""","baseline_round":$rnd,"matched_n":$n,""" +
+          s""""matched_prev_total":${fmt(2)(prevTot)},""" +
+          s""""matched_cur_total":${fmt(2)(curTot)}"""
+      case None => ""
+    }
     val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":$nRuns}"""
     def assemble(dec: Int): String =
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec"$matchedExtra,"queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
     // At 130+ queries the full per-query map no longer fits the
     // driver's ~2000-char stdout capture at ANY precision (133 names ×
     // ~24 chars ≈ 3.3 KB → the metric line would truncate and parse as
@@ -99,7 +141,7 @@ object Bench {
     def assembleTop(dec: Int, budget: Int): String = {
       val entries = results.toSeq.sortBy { case (_, (b, _)) => -b }
         .map { case (k, (b, _)) => "\"" + k + "\":" + fmt(dec)(b) }
-      val fixed = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","sf":"$sfDir","runs":$nRuns,"queries_omitted":NNN,"queries":{}}"""
+      val fixed = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec"$matchedExtra,"sf":"$sfDir","runs":$nRuns,"queries_omitted":NNN,"queries":{}}"""
       var room = budget - fixed.length
       val kept = entries.takeWhile { e =>
         val fits = room - (e.length + 1) >= 0
@@ -107,7 +149,7 @@ object Bench {
         fits
       }
       val omitted = entries.length - kept.length
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","sf":"$sfDir","runs":$nRuns,"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec"$matchedExtra,"sf":"$sfDir","runs":$nRuns,"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")}}"""
     }
     val finalLine = {
       val l2 = assemble(2)
@@ -122,7 +164,7 @@ object Bench {
         "\"" + k + "\":" + fmt(3)(if (v.isInfinity) -1.0 else v)
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$nRuns}"""
+    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"sf":"$sfDir","runs":$nRuns}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

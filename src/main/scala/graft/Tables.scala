@@ -22,14 +22,20 @@ object Tables {
     * generator versions (FIXTURES.md): TIMESTAMP(NANOS) (loaded as long
     * via the legacy conf), TIMESTAMP(MICROS) without tz (TIMESTAMP_NTZ
     * in Spark 4), and plain TIMESTAMP. Adapt on the loaded dtype so all
-    * three normalize to TimestampType — the session TZ is pinned UTC
-    * everywhere, so NTZ→timestamp is a reinterpretation, preserving
-    * oracle parity with DuckDB's naive-timestamp semantics.
+    * three normalize to TimestampType. INVARIANT: the NTZ→timestamp
+    * cast (and timestamp_micros on the nanos path) is a pure
+    * reinterpretation ONLY under a UTC session time zone — any other
+    * zone silently shifts event instants and breaks oracle parity
+    * with DuckDB's naive-timestamp semantics — so the zone is pinned
+    * here, not trusted to the entrypoint (this function already
+    * mutates session conf for nanosAsLong; pinning the TZ beside it
+    * keeps the invariant with the code that relies on it).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
