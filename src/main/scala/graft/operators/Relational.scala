@@ -101,22 +101,22 @@ object Relational {
     */
   private val LoopRowsPerTask = 1000000L
 
-  /** Build a [[GraphLoop]] from the parent-session oriented edge list
-    * and degree table (both persisted). Crossing into the child
-    * session goes through the RDD (context-level), so the child reads
-    * the parent's cached blocks, and the repartition + persist below
-    * are ingest-time work.
+  /** Build a [[GraphLoop]] from a parent-session edge list and degree
+    * table (both ideally persisted — this reads each once). Crossing
+    * into the child session goes through the RDD (context-level), so
+    * the child reads the parent's cached blocks, and the repartition
+    * + persist below are ingest-time work.
     */
-  private def prepareGraphLoop(oriented: DataFrame, deg: DataFrame,
-      nv: Long, ne: Long): GraphLoop = {
-    val s = oriented.sparkSession.newSession()
+  private def prepareGraphLoop(edges: DataFrame, aCol: String,
+      bCol: String, deg: DataFrame, nv: Long, ne: Long): GraphLoop = {
+    val s = edges.sparkSession.newSession()
     val origParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L,
       math.min(origParts.toLong, 2L * ne / LoopRowsPerTask + 1L)).toInt
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     def cross(df: DataFrame) = s.createDataFrame(df.rdd, df.schema)
-    val biP = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(oriented.select(col("dst").as("u"), col("src").as("v")))
+    val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
     val bi = cross(biP).repartition(parts, col("u")).persist()
     bi.count() // materialize: ingest-time work
     // repartitioned like `bi`: the parent aggregate's partitioning
@@ -129,6 +129,34 @@ object Relational {
       .repartition(1).persist()
     selfLoops.count() // materialize: ingest-time work
     GraphLoop(s, bi, degLoop, selfLoops, nv, parts)
+  }
+
+  /** Public [[GraphLoop]] builder for an arbitrary undirected edge
+    * list — the ingest-time prepare step a library user runs once per
+    * graph before serving [[pagerankIterateLoop]] /
+    * [[minLabelPropagateLoop]] queries against it (the registered
+    * q74/q77 use the co-occurrence artifact's prepared loop, built by
+    * this same path). Canonicalizes (dedup both orientations, drop
+    * self-loops), derives the degree table, and materializes the loop
+    * tables; `releaseGraphLoop` frees them.
+    */
+  def buildGraphLoop(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): GraphLoop = {
+    val canon = canonicalEdges(edges, aCol, bCol).persist()
+    val ne = canon.count() // materialize: read once for deg, once for bi
+    val deg = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nv = deg.count()
+    val loop = prepareGraphLoop(canon, "a", "b", deg, nv, ne)
+    canon.unpersist() // loop tables are materialized; input not needed
+    loop
+  }
+
+  /** Free a [[buildGraphLoop]] result's persisted loop tables. */
+  def releaseGraphLoop(loop: GraphLoop): Unit = {
+    loop.bi.unpersist(); loop.deg.unpersist(); loop.selfLoops.unpersist()
+    ()
   }
 
   /** The cached co-occurrence graph — five ingest-time tables plus the
@@ -196,7 +224,7 @@ object Relational {
         s"weighted and unweighted vertex sets diverged ($wnv vs $nv) — " +
           "pairs and oriented must project the same vertices")
       GraphArtifact(o, adj, deg, pairs, wdeg, nv, ne,
-        prepareGraphLoop(o, deg, nv, ne))
+        prepareGraphLoop(o, "src", "dst", deg, nv, ne))
     })
 
   /** Build the relational family's ingest artifacts (the hot-orderkey

@@ -1095,6 +1095,30 @@ class PublicApiSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("buildGraphLoop: public loop builder matches generic operators on a hand-built graph") {
+    import spark.implicits._
+    // two components: path 1—2—3—4 and pair 10—11, with a duplicate
+    // and a reversed edge the canonicalization must collapse
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 11L))
+      .toDF("a", "b")
+    val loop = Relational.buildGraphLoop(edges)
+    try {
+      assert(loop.nv == 6 && loop.bi.count() == 8) // 4 canonical edges
+      assert(loop.parts == 1, "tiny graph must clamp to one partition")
+      val canon = Relational.canonicalEdges(edges)
+      val prGen = Relational.pagerankIterate(canon, 3)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val prLoop = Relational.pagerankIterateLoop(loop, 3)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(prGen == prLoop, s"$prGen vs $prLoop")
+      val mlLoop = Relational.minLabelPropagateLoop(loop, 3)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // k=3 ≥ both diameters → component minima
+      assert(mlLoop == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L), s"got $mlLoop")
+    } finally Relational.releaseGraphLoop(loop)
+  }
+
   test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
     import spark.implicits._
     val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
