@@ -1393,7 +1393,7 @@ object Relational {
     // bit. See [[pagerankStep]].
     "q72_pagerank_step" -> ((s, dir) => {
       val g = orientedCooccurGraph(s, dir)
-      pagerankStep(g.oriented, "src", "dst", Some(g.deg), Some(g.nv))
+      pagerankStepLoop(g.loop)
         .select(col("v").as("part"), col("s"), col("rank"))
         .orderBy("part")
     }),
@@ -2155,6 +2155,23 @@ object Relational {
     }
     r
   }
+
+  /** [[pagerankStep]] on a prepared [[GraphLoop]] — the registered
+    * q72 path. Identical output (`v`, `s`, `rank`) and identical
+    * grid arithmetic to the generic single step with cached divisors
+    * (s-sums cross-checked exact in GraphLoopProbe3); the prepared
+    * context supplies the pre-materialized bidirectional list and
+    * degree table so the one vertex-keyed join + aggregate plan at
+    * graph-sized parallelism is all that runs per query.
+    */
+  def pagerankStepLoop(loop: GraphLoop): DataFrame =
+    loop.bi.join(loop.deg, Seq("u"))
+      .select(col("v"), round(lit(1e12) / col("d")).cast("long").as("c"))
+      .groupBy("v").agg(sum("c").as("s"))
+      .select(col("v"), col("s"),
+        (lit(0.15) / lit(loop.nv) +
+          lit(0.85) * ((col("s").cast("double") / lit(1e12)) / lit(loop.nv)))
+          .as("rank"))
 
   /** [[pagerankIterate]] on a prepared [[GraphLoop]] — the registered
     * q74 path. Same math per row (the grid snap re-synchronizes every

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Property-style tests for the graph family over seeded random
+  * graphs (deterministic — no scalacheck/scalatest bridge in the
+  * offline dependency set): the fixture-graph specs in PublicApiSpec
+  * pin exact values on hand-built paths/stars; these check the
+  * INVARIANTS that must hold on any graph — component labels equal a
+  * reference union-find, triangle counts equal brute-force
+  * enumeration, PageRank conserves mass, and the prepared-loop
+  * variants agree with the generic operators row for row.
+  */
+class GraphPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Seeded G(n, p): canonical (a < b) edge list, no dups. */
+  private def randomEdges(rnd: scala.util.Random, n: Int, p: Double): Seq[(Long, Long)] =
+    (for {
+      a <- 1 to n; b <- (a + 1) to n
+      if rnd.nextDouble() < p
+    } yield (a.toLong, b.toLong)).toSeq
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min vertex id per component, only for vertices with >= 1 edge
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> {
+      var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+    }).toMap
+  }
+
+  test("minLabelPropagate at k >= diameter equals reference union-find components") {
+    val rnd = new scala.util.Random(10)
+    for (i <- 1 to 8) {
+      val n = 6 + rnd.nextInt(5) // <= 10 vertices: k = n bounds diameter
+      val edges = randomEdges(rnd, n, 0.25)
+      if (edges.nonEmpty) {
+        val expected = unionFind(n, edges)
+        val got = Relational.minLabelPropagate(edges.toDF("a", "b"), n)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"case $i (n=$n, edges=$edges)")
+      }
+    }
+  }
+
+  test("trianglesFromOriented equals brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(20)
+    for (i <- 1 to 6) {
+      val n = 8 + rnd.nextInt(10)
+      val edges = randomEdges(rnd, n, 0.3)
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        // brute force: per-vertex triangle membership counts
+        val triangles = for {
+          a <- verts; b <- verts if a < b && es((a, b))
+          c <- verts if b < c && es((b, c)) && es((a, c))
+        } yield (a, b, c)
+        val expected = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+          .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        val got = Relational.triangleCounts(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"case $i (n=$n): got $got expected $expected")
+      }
+    }
+  }
+
+  test("pagerankIterate conserves unit mass on random graphs at every depth") {
+    val rnd = new scala.util.Random(30)
+    for (_ <- 1 to 4) {
+      val n = 10 + rnd.nextInt(15)
+      val edges = randomEdges(rnd, n, 0.2)
+      if (edges.nonEmpty) {
+        for (k <- Seq(1, 3)) {
+          val mass = Relational.pagerankIterate(edges.toDF("a", "b"), k)
+            .agg(sum("rank")).head().getDouble(0)
+          // grid error <= |E|·5e-13 per iteration
+          assert(math.abs(mass - 1.0) < 1e-8,
+            s"mass drifted to $mass (n=$n, k=$k)")
+        }
+      }
+    }
+  }
+
+  test("prepared loop variants equal generic operators on random graphs") {
+    val rnd = new scala.util.Random(40)
+    for (i <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = randomEdges(rnd, n, 0.25)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val loop = Relational.buildGraphLoop(df)
+        try {
+          val canon = Relational.canonicalEdges(df)
+          val prGen = Relational.pagerankIterate(canon, 3)
+            .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val prLoop = Relational.pagerankIterateLoop(loop, 3)
+            .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(prGen == prLoop, s"case $i pagerank: $prGen vs $prLoop")
+          val mlGen = Relational.minLabelPropagate(canon, 3)
+            .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val mlLoop = Relational.minLabelPropagateLoop(loop, 3)
+            .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          assert(mlGen == mlLoop, s"case $i minlabel: $mlGen vs $mlLoop")
+        } finally Relational.releaseGraphLoop(loop)
+      }
+    }
+  }
+}

@@ -1076,6 +1076,16 @@ class PublicApiSpec extends SparkSuite {
     assert(prGen.join(prLoop.withColumnRenamed("rank", "r2"), Seq("v"))
       .filter(col("rank") =!= col("r2")).count() == 0)
 
+    // q72: single prepared step vs generic with cached divisors
+    val stGen = Relational.pagerankStep(
+      g.oriented, "src", "dst", Some(g.deg), Some(g.nv))
+    val stLoop = Relational.pagerankStepLoop(g.loop)
+    assert(stLoop.count() == g.nv)
+    assert(stGen.join(stLoop.select(col("v"), col("s").as("s2"),
+        col("rank").as("r2")), Seq("v"))
+      .filter(col("s") =!= col("s2") || col("rank") =!= col("r2"))
+      .count() == 0)
+
     // q77: integer labels, exact
     val mlGen = Relational.minLabelPropagate(
       g.oriented, 3, "src", "dst", Some(g.deg))
