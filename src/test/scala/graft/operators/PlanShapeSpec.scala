@@ -539,15 +539,19 @@ class PlanShapeSpec extends SparkSuite {
       s"matrix aggregate must be map-side combinable:\n$p")
   }
 
-  test("q72: pagerank step reads the cached graph — degree equi-join, scalar-only BNLJ") {
+  test("q72: pagerank step runs on the prepared loop tables — vertex-keyed equi-join, zero BNLJ") {
     val p = SparkEntry.queries("q72_pagerank_step")(spark, dir)
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"), s"pagerank degenerated to a product:\n$p")
-    // the one BroadcastNestedLoopJoin is the 1-row vertex-count scalar
-    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
-      s"extra BNLJ:\n$p")
-    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 3,
-      s"expected cached-artifact consumers, got live scans:\n$p")
+    // r10: |V| is an ingest-time literal and the bidirectional list +
+    // degree table come persisted from the GraphLoop — no 1-row
+    // vertex-count scalar join remains anywhere in the plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected scalar/nested-loop join (nv should be a literal):\n$p")
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 2,
+      s"expected the persisted loop bi+deg tables, got live scans:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"expected a vertex-keyed equi-join for the degree attach:\n$p")
   }
 
   test("q74: k-step pagerank — per-iteration BNLJs are all 1-row scalars, no products") {
