@@ -50,12 +50,16 @@ object Dedup {
   // consumer: 10 parquet scans, 0 reused exchanges, measured). At
   // 100 TB this is a written table produced at ingest, like s04's IVF
   // cell assignment.
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // computeIfAbsent (not TrieMap.getOrElseUpdate) across every
+  // artifact cache in the library: the latter can run the builder in
+  // two racing threads and leak the loser's persisted tables (r10
+  // ADVICE on Relational.graphCache; applied uniformly).
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
 
   private[operators] def shingleHashes(s: SparkSession, dir: String,
       family: String = "xxhash64"): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir, family), {
+    shingleCache.computeIfAbsent((s, dir, family), _ => {
       val ex = ngramHashesOf(documents(s, dir), 3, Nil, family).persist()
       ex.count() // materialize: ingest-time work
       ex
@@ -68,12 +72,12 @@ object Dedup {
   // aggs — no per-doc array allocation) whose generated class is large
   // enough that janino recompilation dominated d04's per-query cost
   // when rebuilt per run.
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
 
   private def minhashSignatures(s: SparkSession, dir: String,
       family: String = "xxhash64"): DataFrame =
-    sigCache.getOrElseUpdate((s, dir, family), {
+    sigCache.computeIfAbsent((s, dir, family), _ => {
       val sig = minhashSignaturesOf(shingleHashes(s, dir, family), family).persist()
       sig.count() // materialize: ingest-time work
       sig
@@ -84,12 +88,12 @@ object Dedup {
   // worthwhile because the band SELF-join references the signature
   // subplan twice, so the unpersisted derivation ran twice per query
   // (measured: d05 1.6 -> 0.6 s at sf0.1).
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val simhashCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
 
   private def simhashSignatures(s: SparkSession, dir: String,
       family: String = "xxhash64"): DataFrame =
-    simhashCache.getOrElseUpdate((s, dir, family), {
+    simhashCache.computeIfAbsent((s, dir, family), _ => {
       val sig = simhashSigs(documents(s, dir), family).persist()
       sig.count() // materialize: ingest-time work
       sig
@@ -141,11 +145,11 @@ object Dedup {
     */
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     Seq("xxhash64", "md5").foreach { fam =>
-      sigCache.remove((s, dir, fam)).foreach(_.unpersist())
-      simhashCache.remove((s, dir, fam)).foreach(_.unpersist())
-      shingleCache.remove((s, dir, fam)).foreach(_.unpersist())
+      Option(sigCache.remove((s, dir, fam))).foreach(_.unpersist())
+      Option(simhashCache.remove((s, dir, fam))).foreach(_.unpersist())
+      Option(shingleCache.remove((s, dir, fam))).foreach(_.unpersist())
     }
-    pairCache.remove((s, dir)).foreach(_.unpersist())
+    Option(pairCache.remove((s, dir))).foreach(_.unpersist())
   }
 
   private[operators] def shingleHashesOf(docs: DataFrame): DataFrame =
@@ -255,11 +259,11 @@ object Dedup {
   // — a pipeline computes pairs once and derives every downstream
   // policy from the same list. Tiny (only true near-dups), persisted
   // per (session, dataset); Bench builds it in untimed warm-up.
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), {
+    pairCache.computeIfAbsent((s, dir), _ => {
       val p = jaccardPairsOf(shingleHashes(s, dir), ShingleDfCap).persist()
       p.count() // materialize: ingest-time work
       p

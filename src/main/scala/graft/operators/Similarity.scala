@@ -351,8 +351,11 @@ object Similarity {
 
   // Built IVF indexes, one per (session, dataset). Session identity is
   // part of the key so test sessions don't see each other's cached plans.
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfIndex]
+  // computeIfAbsent like every other artifact cache (see
+  // Dedup.shingleCache): at-most-once build per key, no leaked
+  // persisted tables under racing first calls.
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IvfIndex]()
 
   /** Cached per-(session, dataset) IVF index for the registered s04/s06
     * queries: [[buildIvfIndex]] at the gate parameters, with the cell
@@ -361,7 +364,7 @@ object Similarity {
     * probe-side only.
     */
   private[operators] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
-    ivfIndexCache.getOrElseUpdate((s, dir), {
+    ivfIndexCache.computeIfAbsent((s, dir), _ => {
       val idx = buildIvfIndex(embeddings(s, dir), cells = IvfCells)
       val assigned = idx.assigned.persist()
       assigned.count() // materialize: the index is built at ingest, not per query
@@ -370,11 +373,11 @@ object Similarity {
 
   // Built PQ indexes, one per (session, dataset) — the ingest-artifact
   // pattern (see ivfIndexCache).
-  private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PqIndex]
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PqIndex]()
 
   private[operators] def pqIndex(s: SparkSession, dir: String): PqIndex =
-    pqIndexCache.getOrElseUpdate((s, dir), {
+    pqIndexCache.computeIfAbsent((s, dir), _ => {
       val idx = buildPqIndex(embeddings(s, dir))
       val codes = idx.codes.persist()
       codes.count() // materialize at ingest, not per query
@@ -385,11 +388,11 @@ object Similarity {
   // dataset) — Dedup.pairCache's twin for the embedding side: s06
   // defines the relation, s07 consumes it for survivor selection, so
   // a pipeline computes it once. Tiny (true near-dups only).
-  private val semPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val semPairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private def semPairs(s: SparkSession, dir: String): DataFrame =
-    semPairCache.getOrElseUpdate((s, dir), {
+    semPairCache.computeIfAbsent((s, dir), _ => {
       val p = semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .persist()
       p.count() // materialize: ingest-time work
@@ -410,9 +413,9 @@ object Similarity {
     * the next query rebuilds the index from the current files.
     */
   def releaseIndex(s: SparkSession, dir: String): Unit = {
-    ivfIndexCache.remove((s, dir)).foreach(_.assigned.unpersist())
-    pqIndexCache.remove((s, dir)).foreach(_.codes.unpersist())
-    semPairCache.remove((s, dir)).foreach(_.unpersist())
+    Option(ivfIndexCache.remove((s, dir))).foreach(_.assigned.unpersist())
+    Option(pqIndexCache.remove((s, dir))).foreach(_.codes.unpersist())
+    Option(semPairCache.remove((s, dir))).foreach(_.unpersist())
     Seq("ann", "neardup").foreach { f =>
       Option(lshBucketCache.remove((s, dir, f))).foreach(_.unpersist())
     }
