@@ -86,8 +86,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // Matched-query guardrail (r10): compare this run's best-of-N to
-    // the committed previous-round snapshot (BENCH_BASELINE.json,
-    // refreshed at round close) over the queries present in BOTH.
+    // the committed previous-round snapshot (BENCH_BASELINE.json —
+    // convention: refreshed at round OPEN from the previous round's
+    // driver capture, so a round's driver bench always compares
+    // against the PRIOR round, never against itself) over the
+    // queries present in BOTH.
     // Uniform box drift (the r7-r9 ±13% pattern that kept costing
     // analysis time) moves matched_cur_total/matched_prev_total
     // together across the whole matched set; a real plan regression

@@ -738,7 +738,7 @@ object Dedup {
     * set it.
     */
   private[operators] def simhashSigs(docs: DataFrame, family: String): DataFrame = {
-    val nBits = if (family == "md5") 60 else 64
+    val nBits = simhashBits(family)
     val tokHash: Column =
       if (family == "md5") sharedHash60(col("tok")) else xxhash64(col("tok"))
     val toks = docs
@@ -768,10 +768,18 @@ object Dedup {
     * (pigeonhole: 3 flipped bits touch at most 3 of 4 bands), so the
     * result is exact over the signature space.
     */
+  /** Signature width per hash family — the single owner of the
+    * family→bits rule; simhashSigs, simhashPairsOf, and the d05
+    * registration all read it (a hardcoded width at any call site
+    * would silently mis-band if the family's width ever changed).
+    */
+  private[operators] def simhashBits(family: String): Int =
+    if (family == "md5") 60 else 64
+
   private[operators] def simhashPairsOf(docs: DataFrame, family: String,
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSig(simhashSigs(docs, family),
-      if (family == "md5") 60 else 64, maxHamming)
+      simhashBits(family), maxHamming)
 
   /** Band-blocked pairing over a prebuilt (doc_id, simhash) signature
     * table — the path the registered d05 takes through the cached
@@ -887,7 +895,7 @@ object Dedup {
     // bit-for-bit → full rows+schema+hash check; the 64-bit xxhash64
     // family stays the library default via [[simhashPairs]].
     "d05_dedup_simhash" -> ((s, dir) =>
-      simhashPairsFromSig(simhashSignatures(s, dir, "md5"), 60)
+      simhashPairsFromSig(simhashSignatures(s, dir, "md5"), simhashBits("md5"))
         .orderBy("doc_a", "doc_b")),
 
     // Benchmark decontamination: the synthetic "eval suite" is every

@@ -92,6 +92,13 @@ object Relational {
     * shuffles when they don't — a hard `broadcast()` would pin a
     * billion-vertex rank table to the driver.
     */
+  /** `session` is DEDICATED to the loop plans: its shuffle
+    * parallelism is permanently clamped, so do not route unrelated
+    * queries through it. Released loops (releaseStats /
+    * [[releaseGraphLoop]]) drop the session for GC — child sessions
+    * share the SparkContext and must never be close()d (that stops
+    * the context).
+    */
   case class GraphLoop(session: SparkSession, bi: DataFrame,
       deg: DataFrame, selfLoops: DataFrame, nv: Long, parts: Int)
 
@@ -125,8 +132,15 @@ object Relational {
     val degLoop = cross(deg.select(col("v").as("u"), col("d")))
       .repartition(parts, col("u")).persist()
     degLoop.count() // materialize: ingest-time work
+    // |V| rows riding a 2·|E|-row union: squeeze them into as few
+    // partitions as the ROW-SIZED clamp allows (1 at test scale —
+    // leaving them at degLoop's width re-widens every q77 round's map
+    // stage) but NEVER unconditionally one — a billion-vertex table
+    // in a single cached partition is a straggler/OOM by construction.
+    val slParts = math.max(1L,
+      math.min(parts.toLong, nv / LoopRowsPerTask + 1L)).toInt
     val selfLoops = degLoop.select(col("u").as("u"), col("u").as("v"))
-      .repartition(1).persist()
+      .repartition(slParts).persist()
     selfLoops.count() // materialize: ingest-time work
     GraphLoop(s, bi, degLoop, selfLoops, nv, parts)
   }
@@ -144,12 +158,14 @@ object Relational {
       bCol: String = "b"): GraphLoop = {
     val canon = canonicalEdges(edges, aCol, bCol).persist()
     val ne = canon.count() // materialize: read once for deg, once for bi
+    // persisted so the aggregate runs once (nv count here + the degLoop
+    // cross in prepareGraphLoop), then dropped with the input
     val deg = canon.select(col("a").as("v"))
       .unionAll(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy("v").agg(count(lit(1)).as("d")).persist()
     val nv = deg.count()
     val loop = prepareGraphLoop(canon, "a", "b", deg, nv, ne)
-    canon.unpersist() // loop tables are materialized; input not needed
+    canon.unpersist(); deg.unpersist() // loop tables are materialized
     loop
   }
 

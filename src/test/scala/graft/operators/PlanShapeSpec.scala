@@ -554,13 +554,18 @@ class PlanShapeSpec extends SparkSuite {
       s"expected a vertex-keyed equi-join for the degree attach:\n$p")
   }
 
-  test("q74: k-step pagerank — per-iteration BNLJs are all 1-row scalars, no products") {
+  test("q74: k-step pagerank on the prepared loop — zero BNLJ, cached loop tables, equi-joins at every depth") {
     val p = SparkEntry.queries("q74_pagerank_k")(spark, dir)
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"), s"pagerank degenerated to a product:\n$p")
-    // one 1-row vertex-count scalar BNLJ per iteration + one for r0
-    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
-      s"extra BNLJ beyond the per-iteration scalars:\n$p")
+    // r10: |V| is an ingest-time literal and every iteration reads the
+    // persisted GraphLoop bi/deg tables — a regression back to
+    // per-depth 1-row scalar joins or live edge re-derivation must
+    // fail here, as in the q72 pin above
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected scalar/nested-loop join (nv should be a literal):\n$p")
+    assert("InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size >= 2,
+      s"expected the persisted loop bi+deg tables, got live scans:\n$p")
     // rank/degree joins stay vertex-keyed equi-joins at every depth
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
       s"expected hash/merge equi-joins for the rank+degree attach:\n$p")
