@@ -103,8 +103,10 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(p))
         // baseline times are sf-specific: a different-sf run against
-        // them would report a meaningless delta — omit the fields
-        if (root.hasNonNull("sf") && root.get("sf").asText() != sfDir) None
+        // them would report a meaningless delta — omit the fields. A
+        // baseline WITHOUT an sf field is equally unverifiable, so it
+        // is treated as a mismatch too (r10 ADVICE).
+        if (!root.hasNonNull("sf") || root.get("sf").asText() != sfDir) None
         else {
           val best = root.get("best")
           val it = best.fieldNames()

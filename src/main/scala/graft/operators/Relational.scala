@@ -116,33 +116,47 @@ object Relational {
     */
   private def prepareGraphLoop(edges: DataFrame, aCol: String,
       bCol: String, deg: DataFrame, nv: Long, ne: Long): GraphLoop = {
+    // cap read from the OWNER session's runtime conf (not the child's,
+    // which only sees builder-time SparkContext conf — r10 ADVICE), so
+    // a parent-session spark.conf.set is honored
+    val origParts =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val s = edges.sparkSession.newSession()
-    val origParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L,
       math.min(origParts.toLong, 2L * ne / LoopRowsPerTask + 1L)).toInt
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     def cross(df: DataFrame) = s.createDataFrame(df.rdd, df.schema)
-    val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-    val bi = cross(biP).repartition(parts, col("u")).persist()
-    bi.count() // materialize: ingest-time work
-    // repartitioned like `bi`: the parent aggregate's partitioning
-    // (session width) would otherwise re-widen every round's
-    // broadcast-side materialization to the parent's task count
-    val degLoop = cross(deg.select(col("v").as("u"), col("d")))
-      .repartition(parts, col("u")).persist()
-    degLoop.count() // materialize: ingest-time work
-    // |V| rows riding a 2·|E|-row union: squeeze them into as few
-    // partitions as the ROW-SIZED clamp allows (1 at test scale —
-    // leaving them at degLoop's width re-widens every q77 round's map
-    // stage) but NEVER unconditionally one — a billion-vertex table
-    // in a single cached partition is a straggler/OOM by construction.
-    val slParts = math.max(1L,
-      math.min(parts.toLong, nv / LoopRowsPerTask + 1L)).toInt
-    val selfLoops = degLoop.select(col("u").as("u"), col("u").as("v"))
-      .repartition(slParts).persist()
-    selfLoops.count() // materialize: ingest-time work
-    GraphLoop(s, bi, degLoop, selfLoops, nv, parts)
+    // a partial failure must not leak persisted loop tables with no
+    // release handle (r10 ADVICE) — track and unpersist before rethrow
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); kept += p
+      p.count() // materialize: ingest-time work
+      p
+    }
+    try {
+      val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      val bi = mat(cross(biP).repartition(parts, col("u")))
+      // repartitioned like `bi`: the parent aggregate's partitioning
+      // (session width) would otherwise re-widen every round's
+      // broadcast-side materialization to the parent's task count
+      val degLoop = mat(cross(deg.select(col("v").as("u"), col("d")))
+        .repartition(parts, col("u")))
+      // |V| rows riding a 2·|E|-row union: squeeze them into as few
+      // partitions as the ROW-SIZED clamp allows (1 at test scale —
+      // leaving them at degLoop's width re-widens every q77 round's map
+      // stage) but NEVER unconditionally one — a billion-vertex table
+      // in a single cached partition is a straggler/OOM by construction.
+      val slParts = math.max(1L,
+        math.min(parts.toLong, nv / LoopRowsPerTask + 1L)).toInt
+      val selfLoops = mat(degLoop.select(col("u").as("u"), col("u").as("v"))
+        .repartition(slParts))
+      GraphLoop(s, bi, degLoop, selfLoops, nv, parts)
+    } catch { case e: Throwable =>
+      kept.foreach(_.unpersist())
+      throw e
+    }
   }
 
   /** Public [[GraphLoop]] builder for an arbitrary undirected edge
@@ -157,16 +171,18 @@ object Relational {
   def buildGraphLoop(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): GraphLoop = {
     val canon = canonicalEdges(edges, aCol, bCol).persist()
-    val ne = canon.count() // materialize: read once for deg, once for bi
-    // persisted so the aggregate runs once (nv count here + the degLoop
-    // cross in prepareGraphLoop), then dropped with the input
-    val deg = canon.select(col("a").as("v"))
-      .unionAll(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d")).persist()
-    val nv = deg.count()
-    val loop = prepareGraphLoop(canon, "a", "b", deg, nv, ne)
-    canon.unpersist(); deg.unpersist() // loop tables are materialized
-    loop
+    try {
+      val ne = canon.count() // materialize: read once for deg, once for bi
+      // persisted so the aggregate runs once (nv count here + the degLoop
+      // cross in prepareGraphLoop), then dropped with the input
+      val deg = canon.select(col("a").as("v"))
+        .unionAll(canon.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")).persist()
+      try {
+        val nv = deg.count()
+        prepareGraphLoop(canon, "a", "b", deg, nv, ne)
+      } finally deg.unpersist() // loop tables are materialized
+    } finally canon.unpersist()
   }
 
   /** Free a [[buildGraphLoop]] result's persisted loop tables. */
@@ -219,28 +235,38 @@ object Relational {
 
   private[operators] def orientedCooccurGraph(s: SparkSession, dir: String): GraphArtifact =
     graphCache.computeIfAbsent((s, dir), _ => {
-      val pairs = partCooccurrence(s, dir)
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders")).persist()
-      pairs.count()  // materialize: the ONE fact-table pass
-      val canon = canonicalEdges(pairs, "p1", "p2")
-      val o = orientEdges(canon).persist()
-      val ne = o.count()  // materialize: ingest-time work
-      val adj = o.groupBy(col("src"))
-        .agg(array_sort(collect_list(col("dst"))).as("ns")).persist()
-      adj.count()  // materialize: ingest-time work
-      val deg = o.select(col("src").as("v"))
-        .unionAll(o.select(col("dst").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d")).persist()
-      val nv = deg.count()  // materialize: ingest-time work
-      val wdeg = pairs.select(col("p1").as("v"), col("n_orders").as("wd"))
-        .unionAll(pairs.select(col("p2").as("v"), col("n_orders").as("wd")))
-        .groupBy("v").agg(sum("wd").as("wd")).persist()
-      val wnv = wdeg.count()  // materialize: ingest-time work
-      require(wnv == nv,
-        s"weighted and unweighted vertex sets diverged ($wnv vs $nv) — " +
-          "pairs and oriented must project the same vertices")
-      GraphArtifact(o, adj, deg, pairs, wdeg, nv, ne,
-        prepareGraphLoop(o, "src", "dst", deg, nv, ne))
+      // a failed build step (e.g. the wnv==nv require) must not leak
+      // the already-persisted tables with no unpersist handle — and a
+      // retried computeIfAbsent would leak another set (r10 ADVICE)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def keep(df: DataFrame): DataFrame = { kept += df.persist(); df }
+      try {
+        val pairs = keep(partCooccurrence(s, dir)
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders")))
+        pairs.count()  // materialize: the ONE fact-table pass
+        val canon = canonicalEdges(pairs, "p1", "p2")
+        val o = keep(orientEdges(canon))
+        val ne = o.count()  // materialize: ingest-time work
+        val adj = keep(o.groupBy(col("src"))
+          .agg(array_sort(collect_list(col("dst"))).as("ns")))
+        adj.count()  // materialize: ingest-time work
+        val deg = keep(o.select(col("src").as("v"))
+          .unionAll(o.select(col("dst").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")))
+        val nv = deg.count()  // materialize: ingest-time work
+        val wdeg = keep(pairs.select(col("p1").as("v"), col("n_orders").as("wd"))
+          .unionAll(pairs.select(col("p2").as("v"), col("n_orders").as("wd")))
+          .groupBy("v").agg(sum("wd").as("wd")))
+        val wnv = wdeg.count()  // materialize: ingest-time work
+        require(wnv == nv,
+          s"weighted and unweighted vertex sets diverged ($wnv vs $nv) — " +
+            "pairs and oriented must project the same vertices")
+        GraphArtifact(o, adj, deg, pairs, wdeg, nv, ne,
+          prepareGraphLoop(o, "src", "dst", deg, nv, ne))
+      } catch { case e: Throwable =>
+        kept.foreach(_.unpersist())
+        throw e
+      }
     })
 
   /** Build the relational family's ingest artifacts (the hot-orderkey

@@ -86,11 +86,15 @@ object Similarity {
   // corpus is 2000 vectors, yet per-run bucket derivation (96-plane
   // array literal + transform codegen, evaluated once per plan
   // occurrence) dominated s03's 2.4 s.
+  // key carries the plane-family CONTENT (planes hash + bits), not just
+  // its name — a future call site reusing a family name with different
+  // planes gets its own bucket table, never the other family's (r10
+  // ADVICE)
   private val lshBucketCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    (SparkSession, String, String, Int, Int), DataFrame]()
   private def cachedBuckets(s: SparkSession, dir: String, family: String,
       planes: Seq[Seq[Double]], bits: Int): DataFrame =
-    lshBucketCache.computeIfAbsent((s, dir, family), _ => {
+    lshBucketCache.computeIfAbsent((s, dir, family, planes.hashCode, bits), _ => {
       val bk = lshBuckets(vecs(s, dir), planes, bits).persist()
       bk.count() // materialize: ingest-time work
       bk
@@ -416,8 +420,11 @@ object Similarity {
     Option(ivfIndexCache.remove((s, dir))).foreach(_.assigned.unpersist())
     Option(pqIndexCache.remove((s, dir))).foreach(_.codes.unpersist())
     Option(semPairCache.remove((s, dir))).foreach(_.unpersist())
-    Seq("ann", "neardup").foreach { f =>
-      Option(lshBucketCache.remove((s, dir, f))).foreach(_.unpersist())
+    Seq(("ann", annPlanes, BitsPerTable),
+        ("neardup", nearDupPlanes, NearDupBitsPerTable)).foreach {
+      case (f, planes, bits) =>
+        Option(lshBucketCache.remove((s, dir, f, planes.hashCode, bits)))
+          .foreach(_.unpersist())
     }
   }
 
