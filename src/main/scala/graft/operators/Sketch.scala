@@ -92,6 +92,107 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---------------------------------------------------------------
+  // KMV (bottom-k) distinct sketch — the deterministic, cross-engine
+  // twin of the HLL family (q27/q37/q65 keep their Datasketches HLL
+  // forms for streaming state; these KMV forms are hash-checked
+  // against DuckDB because both engines rebuild the IDENTICAL sketch
+  // from the shared md5-affine hash).
+  //
+  // Sketch of a set S = its k smallest DISTINCT hash values, h(x) =
+  // sharedHash60(x) mod P + 1 ∈ [1, P]. Estimator: |S| if fewer than
+  // k distinct hashes, else (k−1)·P div h_(k) — pure integer
+  // arithmetic, no IEEE rounding to diverge between engines
+  // (σ ≈ 1/√(k−2) ≈ 6% at k = 256).
+  //
+  // Mergeability (the rollup property): bottom-k(A ∪ B) =
+  // bottom-k(bottom-k(A) ∪ bottom-k(B)) — union never rescans data,
+  // exactly like the CMS counter-add and the q37 HLL union
+  // (asserted in SketchAndFormatSpec).
+  //
+  // 100 TB shape: sketch state is ≤ k longs per group; the bottom-k
+  // prune is TWO spill-backed row_number windows — level 1 partitions
+  // by (group, h mod 64) so no single task ever sorts a whole group's
+  // distinct-hash set, level 2 sees ≤ 64·k rows per group.
+  // ---------------------------------------------------------------
+
+  private[operators] val KmvK = 256
+  private[operators] val KmvNum: Long = (KmvK - 1).toLong * P // (k−1)·P
+
+  private def kmvHash(c: org.apache.spark.sql.Column) =
+    Dedup.sharedHash60(c) % P + 1L
+
+  // The k smallest distinct `h` per group. Input: grp columns + "h".
+  private def bottomKDistinct(pairs: DataFrame, grp: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl1 = Window
+      .partitionBy(grp.map(col) :+ pmod(col("h"), lit(64)): _*)
+      .orderBy("h")
+    val lvl2 = Window.partitionBy(grp.map(col): _*).orderBy("h")
+    pairs.distinct()
+      .withColumn("__rn", row_number().over(lvl1))
+      .filter(col("__rn") <= k).drop("__rn")
+      .withColumn("__rn", row_number().over(lvl2))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-group KMV sketch of `items(keyCol)`: (grp…, ks) with `ks`
+    * the sorted bottom-k distinct hash array (≤ k longs per group).
+    */
+  def kmvSketch(items: DataFrame, grp: Seq[String], keyCol: String,
+      k: Int = KmvK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pairs = items.select(grp.map(col) :+ kmvHash(col(keyCol)).as("h"): _*)
+    bottomKDistinct(pairs, grp, k)
+      .groupBy(grp.map(col): _*)
+      .agg(sort_array(collect_list("h")).as("ks"))
+  }
+
+  /** Merge per-subgroup sketches up a rollup level: input rows carry
+    * (grp…, subgrp…, ks); output is one sketch per `grp` —
+    * bottom-k of the union of the members' hash sets, identical to
+    * sketching the union directly (the KMV union property). Never
+    * rescans the base data.
+    */
+  def kmvMerge(sketches: DataFrame, grp: Seq[String],
+      k: Int = KmvK): DataFrame = {
+    val pairs = sketches.select(grp.map(col) :+ explode(col("ks")).as("h"): _*)
+    bottomKDistinct(pairs, grp, k)
+      .groupBy(grp.map(col): _*)
+      .agg(sort_array(collect_list("h")).as("ks"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch column: exact when the
+    * group has fewer than k distinct hashes, else (k−1)·P div h_(k).
+    * Adds `est` (long); all-integer, hash-exact cross-engine.
+    */
+  def kmvEstimate(sk: DataFrame, k: Int = KmvK): DataFrame =
+    sk.withColumn("est",
+      when(size(col("ks")) < k, size(col("ks")).cast("long"))
+        .otherwise(expr(s"${(k - 1).toLong * P} div element_at(ks, $k)")))
+
+  /** Trailing `windowDays`-day approximate distinct via daily KMV
+    * sketches (the q65 shape on the hash-checkable sketch): each
+    * day's sketch contributes to the next windowDays−1 days
+    * (contribution-explode — never a day×day self-join), merged
+    * bottom-k per day, then estimated. Input: (day, ks) from
+    * [[kmvSketch]]; output (day, u7_est) for active days only.
+    */
+  def slidingDistinctKmv(daily: DataFrame, windowDays: Int,
+      k: Int = KmvK): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366], got $windowDays")
+    val days = daily.select(col("day")).distinct()
+    val expanded = daily
+      .select(explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"), col("ks"))
+      .join(broadcast(days), Seq("day"))
+    kmvEstimate(kmvMerge(expanded, Seq("day"), k), k)
+      .select(col("day"), col("est").as("u7_est"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Heavy hitters over the corpus token stream: CMS estimates joined
     // with the exact counts (top 20 by estimate). Hash-checked — the
@@ -114,6 +215,53 @@ object Sketch {
         .orderBy(col("est").desc, col("tok"))
         .limit(20)
         .select("tok", "est", "exact")
+    }),
+
+    // KMV distinct sketch per group — the hash-checked twin of q27's
+    // HLL approx_count_distinct: per-returnflag bottom-256 sketch of
+    // the part keys, estimated, with the exact count alongside as the
+    // in-gate accuracy witness. All-integer estimator, so the oracle
+    // rebuilds it bit-exactly from the shared hash.
+    "q27b_kmv_distinct" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
+      val est = kmvEstimate(kmvSketch(li, Seq("l_returnflag"), "pk"))
+        .select(col("l_returnflag"), col("est").as("approx_parts"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("pk").as("exact_parts"))
+      est.join(exact, "l_returnflag").orderBy("l_returnflag")
+    }),
+
+    // Mergeable-sketch rollup on KMV — the hash-checked twin of q37's
+    // HLL union: per-nation customer sketches built once, merged per
+    // region WITHOUT rescanning customers (bottom-k of the union of
+    // bottom-ks ≡ bottom-k of the union — the KMV union property the
+    // oracle exploits by sketching the region directly).
+    "q37b_kmv_union" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val n = nation(s, dir)
+      val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_regionkey"), col("n_nationkey"),
+          col("c_custkey").cast("string").as("ck"))
+      val perNation = kmvSketch(cn, Seq("n_regionkey", "n_nationkey"), "ck")
+      val est = kmvEstimate(kmvMerge(perNation, Seq("n_regionkey")))
+        .select(col("n_regionkey"), col("est").as("approx_customers"))
+      val exact = cn.groupBy("n_regionkey")
+        .agg(countDistinct("ck").as("exact_customers"))
+      est.join(exact, "n_regionkey").orderBy("n_regionkey")
+    }),
+
+    // Trailing 7-day distinct users from per-day KMV sketches — the
+    // hash-checked twin of q65's sliding HLL: daily sketches are the
+    // streaming-ingest artifact, the window merge touches only sketch
+    // rows (≤ k longs per day), and the oracle's direct day-spine
+    // interval join lands on the identical bottom-k by the union
+    // property.
+    "q65b_sliding_distinct_kmv" -> ((s, dir) => {
+      val pairs = events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          col("user_id").cast("string").as("u"))
+      slidingDistinctKmv(kmvSketch(pairs, Seq("day"), "u"), windowDays = 7)
     })
   )
 
@@ -145,7 +293,75 @@ object Sketch {
            SELECT e.tok, CAST(e.est AS BIGINT) AS est,
              CAST(x.exact AS BIGINT) AS exact
            FROM est e JOIN exact x USING (tok)
-           ORDER BY est DESC, tok LIMIT 20"""
+           ORDER BY est DESC, tok LIMIT 20""",
+
+      // KMV twin family: DuckDB rebuilds the identical bottom-k
+      // sketches from the shared '0x'||substr(md5(x),1,15) hash and
+      // the same all-integer estimator ((k−1)·P // h_k). For q37b and
+      // q65b the oracle sketches the MERGED group directly — equal to
+      // merging the member sketches by the KMV union property.
+      "q27b_kmv_distinct" ->
+        s"""WITH t AS (SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483647 + 1 AS h
+             FROM lineitem),
+           r AS (SELECT l_returnflag, h,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS nh
+                 FROM t),
+           e AS (SELECT l_returnflag,
+                   CASE WHEN MAX(nh) < $KmvK THEN MAX(nh)
+                        ELSE $KmvNum // MAX(CASE WHEN rn = $KmvK THEN h END)
+                   END AS approx_parts
+                 FROM r WHERE rn <= $KmvK GROUP BY l_returnflag),
+           x AS (SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts
+                 FROM lineitem GROUP BY 1)
+           SELECT e.l_returnflag, CAST(approx_parts AS BIGINT) AS approx_parts,
+             CAST(exact_parts AS BIGINT) AS exact_parts
+           FROM e JOIN x USING (l_returnflag) ORDER BY l_returnflag""",
+
+      "q37b_kmv_union" ->
+        s"""WITH cn AS (SELECT n.n_regionkey, c.c_custkey,
+               ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483647 + 1 AS h
+             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+           t AS (SELECT DISTINCT n_regionkey, h FROM cn),
+           r AS (SELECT n_regionkey, h,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS nh
+                 FROM t),
+           e AS (SELECT n_regionkey,
+                   CASE WHEN MAX(nh) < $KmvK THEN MAX(nh)
+                        ELSE $KmvNum // MAX(CASE WHEN rn = $KmvK THEN h END)
+                   END AS approx_customers
+                 FROM r WHERE rn <= $KmvK GROUP BY n_regionkey),
+           x AS (SELECT n_regionkey,
+                   COUNT(DISTINCT c_custkey) AS exact_customers
+                 FROM cn GROUP BY 1)
+           SELECT e.n_regionkey,
+             CAST(approx_customers AS BIGINT) AS approx_customers,
+             CAST(exact_customers AS BIGINT) AS exact_customers
+           FROM e JOIN x USING (n_regionkey) ORDER BY n_regionkey""",
+
+      "q65b_sliding_distinct_kmv" ->
+        s"""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483647 + 1 AS h
+             FROM events),
+           days AS (SELECT DISTINCT d AS day FROM pairs),
+           t AS (SELECT DISTINCT days.day, p.h
+                 FROM days JOIN pairs p
+                   ON p.d BETWEEN days.day - 6 AND days.day),
+           r AS (SELECT day, h,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY day) AS nh
+                 FROM t)
+           SELECT day,
+             CAST(CASE WHEN MAX(nh) < $KmvK THEN MAX(nh)
+                       ELSE $KmvNum // MAX(CASE WHEN rn = $KmvK THEN h END)
+                  END AS BIGINT) AS u7_est
+           FROM r WHERE rn <= $KmvK GROUP BY day ORDER BY day"""
     )
   }
 }

@@ -135,6 +135,32 @@ class SketchAndFormatSpec extends SparkSuite {
     assert(merged.toSeq == whole.toSeq, "CMS merge is not the sketch of the union")
   }
 
+  test("KMV: union property, sub-k exactness, and estimator accuracy") {
+    import spark.implicits._
+    // 40k distinct keys in one group (>> k = 256), 100 in another
+    val items = spark.range(40000).select(lit("big").as("g"),
+        concat(lit("key_"), col("id")).as("x"))
+      .unionAll(spark.range(100).select(lit("small").as("g"),
+        concat(lit("key_"), col("id")).as("x")))
+    val est = Sketch.kmvEstimate(Sketch.kmvSketch(items, Seq("g"), "x"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    // below k distinct → the estimate IS the exact count
+    assert(est("small") == 100L, s"sub-k group not exact: ${est("small")}")
+    // k = 256 → σ ≈ 6%; 4σ bound keeps the test deterministic-ish
+    assert(math.abs(est("big") - 40000L) < 40000L * 0.25,
+      s"KMV estimate off: ${est("big")} vs 40000")
+    // union property: merging per-half sketches == sketching the union
+    val halves = Seq(items.filter(crc32(col("x")) % 2 === 0),
+      items.filter(crc32(col("x")) % 2 === 1))
+    val merged = Sketch.kmvMerge(
+        halves.map(h => Sketch.kmvSketch(h, Seq("g"), "x"))
+          .reduce(_ unionByName _), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val whole = Sketch.kmvSketch(items, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == whole, "KMV merge is not the sketch of the union")
+  }
+
   test("distributionHist: one-row groups get pr_est 0.0 (never a 0/0 NaN)") {
     import spark.implicits._
     // group "B" has a single order — the raw cum_lt/(n-1) ratio is 0/0
