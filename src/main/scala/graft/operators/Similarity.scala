@@ -254,6 +254,64 @@ object Similarity {
     "s13_class_diversity" -> ((s, dir) =>
       classDiversity(embeddings(s, dir))),
 
+    // The hash-checked deterministic twin of s04: the SAME [[ivfTopK]]
+    // route-and-score path, run over a seed-vector coarse quantizer
+    // (cells = the 16 lowest vec_ids — the s11 seeding rule) instead
+    // of the KMeans fit, so the oracle reproduces assignment, routing,
+    // scoring, and ranking bit-exactly. s04 keeps the trained
+    // quantizer (recall gated in DedupSimilaritySpec); this pins the
+    // operator's semantics.
+    "s04b_ivf_route" -> ((s, dir) => {
+      val probes = embeddings(s, dir).filter(col("vec_id") < 10).select("vec_id")
+      ivfTopK(detIndexes(s, dir).ivf, probes, k = 5, nProbe = IvfNProbe)
+        .orderBy("qid", "rnk")
+    }),
+
+    // The hash-checked twin of s06: the SAME [[semanticNearDup]]
+    // cluster-blocked pair derivation (multi-assign to 4 nearest
+    // cells → within-cell self-join → exact-cosine verify) over the
+    // seed-vector quantizer, so the oracle reproduces blocking AND
+    // verification bit-exactly. s06 keeps the trained quantizer
+    // (recall gated in DedupSimilaritySpec).
+    "s06b_semantic_neardup" -> ((s, dir) =>
+      detIndexes(s, dir).pairs.orderBy("id_a", "id_b")),
+
+    // s06b's pairs fed through Dedup.keepRepresentatives — the full
+    // SemDeDup survivor selection, hash-checked: the oracle runs the
+    // same pair derivation then a recursive-CTE transitive closure
+    // (the d08 pattern) for the connected-components keep rule.
+    "s07b_semantic_survivors" -> ((s, dir) => {
+      val pairs = detIndexes(s, dir).pairs.select(col("id_a"), col("id_b"))
+      Dedup.keepRepresentatives(
+          embeddings(s, dir).select("vec_id", "label"), pairs, idCol = "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // The hash-checked PQ ENCODE stage ([[pqEncode]]) against
+    // deterministic codebooks (sub-slices of the 16 lowest vec_ids):
+    // the fit-on-sample → transform-the-corpus production step s08's
+    // trained index can't oracle. Long-form (vec_id, sub, code) for
+    // the oracle's argmin reproduction.
+    "s08b_pq_encode" -> ((s, dir) => {
+      detIndexes(s, dir).codes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // The FULL production serving composition — IVF route → PQ ADC
+    // shortlist → exact rerank ([[ivfPqTopK]]) — hash-checked end to
+    // end over the deterministic seed indexes: the oracle rebuilds
+    // cell assignment, codebooks, codes, the snapped-long ADC
+    // shortlist, and the exact rerank. s09 keeps the trained
+    // quantizers; this is the bit-exact pin of the composed plan.
+    "s09b_ivf_pq_rerank" -> ((s, dir) => {
+      val det = detIndexes(s, dir)
+      val pq = PqIndex(det.books, det.codes, DetSubs, DetCells, Dim)
+      ivfPqTopK(det.ivf, pq, embeddings(s, dir).filter(col("vec_id") < 10),
+          k = 5, nProbe = IvfNProbe, shortlist = 50)
+        .orderBy("qid", "rnk")
+    }),
+
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
       // bucket) rows — carrying the vectors through it would shuffle
@@ -408,7 +466,7 @@ object Similarity {
     */
   def prepareIndex(s: SparkSession, dir: String): Unit = {
     ivfIndex(s, dir); pqIndex(s, dir); semPairs(s, dir)
-    annBuckets(s, dir); nearDupBuckets(s, dir); ()
+    annBuckets(s, dir); nearDupBuckets(s, dir); detIndexes(s, dir); ()
   }
 
   /** Release the cached IVF index for a dataset: unpersists the cell
@@ -420,6 +478,10 @@ object Similarity {
     Option(ivfIndexCache.remove((s, dir))).foreach(_.assigned.unpersist())
     Option(pqIndexCache.remove((s, dir))).foreach(_.codes.unpersist())
     Option(semPairCache.remove((s, dir))).foreach(_.unpersist())
+    Option(detIndexCache.remove((s, dir))).foreach { d =>
+      d.ivf.assigned.unpersist(); d.books.unpersist()
+      d.codes.unpersist(); d.pairs.unpersist()
+    }
     Seq(("ann", annPlanes, BitsPerTable),
         ("neardup", nearDupPlanes, NearDupBitsPerTable)).foreach {
       case (f, planes, bits) =>
@@ -659,6 +721,107 @@ object Similarity {
     PqIndex(codebooks, codes, subs, codesPerSub, dim)
   }
 
+  /** Encode vectors against an EXISTING PQ codebook table — the
+    * production encode step ([[buildPqIndex]]'s scaladoc: at scale the
+    * codebooks are fitted on a sample and the corpus is transformed;
+    * THIS is that transform, and unlike the KMeans fit it is fully
+    * deterministic given the codebooks, so it oracle-checks —
+    * s08b gates it). Per subspace, each vector's code is the
+    * squared-L2 argmin over that subspace's codebook (c·c − 2·v·c,
+    * code-id tie-break — the [[kmeansAssign]] rule per slice).
+    *
+    * Scale shape mirrors [[kmeansAssign]]: the codebooks collapse to
+    * ONE broadcast row (subs × codesPerSub entries, KBs), and each
+    * vector's codes are an in-row fold — ZERO corpus shuffles.
+    * Output: (idCol, codes: array<int>), the [[PqIndex]].codes schema.
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, subs: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(subs > 0 && dim % subs == 0, s"dim $dim not divisible by subs $subs")
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val subDim = dim / subs
+    val books = codebooks
+      .select(struct(col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("code"),
+        col("cv").cast("array<double>").as("cv")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("__books"))
+    emb.crossJoin(broadcast(books))
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${subs - 1}), j ->
+              aggregate(filter(__books, b -> b.sub = j),
+                struct(CAST(-1 AS INT) AS code,
+                       CAST('Infinity' AS DOUBLE) AS d),
+                (acc, b) -> CASE
+                  WHEN vector_dot(b.cv, b.cv)
+                       - 2D * vector_dot(slice(__v, j * $subDim + 1, $subDim),
+                                         b.cv) < acc.d
+                  THEN struct(b.code AS code,
+                         vector_dot(b.cv, b.cv)
+                           - 2D * vector_dot(slice(__v, j * $subDim + 1,
+                                                   $subDim), b.cv) AS d)
+                  ELSE acc END).code)"""))
+      .select(col(idCol), col("codes"))
+  }
+
+  // Deterministic seed indexes for the hash-checked ANN stage twins
+  // (s04b/s08b/s09b): coarse cells and PQ codebooks taken from the 16
+  // lowest vec_ids (the s11 seeding rule) instead of a KMeans fit, so
+  // the WHOLE route/encode/score/rerank pipeline is reproducible in
+  // the DuckDB oracle. Quantizer QUALITY differs from the trained
+  // s04/s08/s09 (recall is gated there, in DedupSimilaritySpec); the
+  // operator code paths exercised — ivfTopK, pqEncode, ivfPqTopK —
+  // are the same ones the trained indexes serve.
+  private val DetCells = 16
+  private val DetSubs = 8
+
+  /** The deterministic seed indexes as ONE cached ingest artifact per
+    * (session, dataset) — the same economics as ivfIndexCache /
+    * pqIndexCache / semPairCache: cell assignment, PQ codes, and the
+    * verified pair list are corpus properties built once at ingest
+    * (at 100 TB: written tables), so the registered s04b–s09b queries
+    * pay probe/consume cost only. [[prepareIndex]] warms it;
+    * [[releaseIndex]] is the invalidation hook.
+    */
+  private case class DetIndexes(ivf: IvfIndex, books: DataFrame,
+    codes: DataFrame, pairs: DataFrame)
+  private val detIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DetIndexes]()
+  private def detIndexes(s: SparkSession, dir: String): DetIndexes =
+    detIndexCache.computeIfAbsent((s, dir), _ => {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist(); kept += p
+        p.count() // materialize: ingest-time work
+        p
+      }
+      try {
+        val e = embeddings(s, dir)
+        val subDim = Dim / DetSubs
+        val cents = e.filter(col("vec_id") < DetCells)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").cast("array<double>").as("cv"))
+        val assigned = mat(
+          kmeansAssign(e, e.filter(col("vec_id") < DetCells), cidCol = "vec_id")
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v"),
+              col("cluster").cast("int").as("cell")))
+        val ivf = IvfIndex(cents, assigned, DetCells)
+        val books = mat(e.filter(col("vec_id") < DetCells)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            explode(sequence(lit(0), lit(DetSubs - 1))).as("sub"), col("v"))
+          .select(col("sub"), col("vec_id").cast("int").as("code"),
+            expr(s"slice(v, sub * $subDim + 1, $subDim)").as("cv")))
+        val codes = mat(pqEncode(e, books, DetSubs, Dim))
+        val pairs = mat(semanticNearDup(ivf, NearDupThreshold, nAssign = 4))
+        DetIndexes(ivf, books, codes, pairs)
+      } catch { case ex: Throwable =>
+        kept.foreach(_.unpersist())
+        throw ex
+      }
+    })
+
   /** Asymmetric-distance (ADC) approximate top-k over a PQ index: each
     * probe dots its subvectors against ALL sub-centroids once (a
     * subs × codesPerSub lookup table, ~128 doubles per probe), then
@@ -674,10 +837,15 @@ object Similarity {
     val subDim = index.dim / index.subs
     val q = probes.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    // LUT: (qid, sub, code, pdot)
+    // LUT: (qid, sub, code, pd) — partial dots snapped to a 1e-9
+    // integer grid (the t07 micro-grid trick) so the per-candidate ADC
+    // total is an order-independent LONG sum: deterministic across
+    // partitionings and engines (ADC ranks candidates; a 1e-9 snap on
+    // O(1) dots is far below the approximation's own error).
     val lut = q.crossJoin(broadcast(index.codebooks))
       .select(col("qid"), col("sub"), col("code"),
-        expr(s"vector_dot(slice(qv, sub * $subDim + 1, $subDim), cv)").as("pdot"))
+        expr(s"CAST(round(vector_dot(slice(qv, sub * $subDim + 1, $subDim)," +
+          s" cv) * 1e9) AS BIGINT)").as("pd"))
     val exploded = index.codes
       .select(col("vec_id").as("cid"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -685,7 +853,7 @@ object Similarity {
     exploded.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("qid") =!= col("cid"))
       .groupBy("qid", "cid")
-      .agg(sum("pdot").as("score"))
+      .agg((sum("pd").cast("double") / lit(1e9)).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "cid", "rnk", "score")
@@ -781,10 +949,14 @@ object Similarity {
     val q = probes.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
     val cand = ivfRoutedCandidates(ivf, q, nProbe)
-    // Per-probe ADC lookup table: subs × codesPerSub partial dots.
+    // Per-probe ADC lookup table: subs × codesPerSub partial dots,
+    // snapped to the 1e-9 integer grid (see [[pqTopK]]) so the
+    // shortlist order is an exact long sum — deterministic across
+    // partitionings and engines.
     val lut = q.crossJoin(broadcast(pq.codebooks))
       .select(col("qid"), col("sub"), col("code"),
-        expr(s"vector_dot(slice(qv, sub * $subDim + 1, $subDim), cv)").as("pdot"))
+        expr(s"CAST(round(vector_dot(slice(qv, sub * $subDim + 1, $subDim)," +
+          s" cv) * 1e9) AS BIGINT)").as("pd"))
     // ADC-score only the routed candidates' codes. The LUT join keys on
     // qid too (unlike pqTopK's corpus-wide scan, where every probe
     // scores every code): candidates are already per-probe here.
@@ -794,7 +966,7 @@ object Similarity {
       .select(col("qid"), col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "cid")
-      .agg(sum("pdot").as("adc"))
+      .agg(sum("pd").as("adc"))
       .withColumn("srk", row_number().over(wShort))
       .filter(col("srk") <= shortlist)
       .select("qid", "cid")
@@ -1103,6 +1275,150 @@ object Similarity {
          SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
          FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
     },
+
+    // Deterministic ANN stage twins: every stage of the seed-quantizer
+    // pipeline is argmin/argmax over shared dot-product folds, so the
+    // oracle rebuilds it exactly. DuckDB list slices v[a:b] are
+    // 1-based INCLUSIVE: v[j*8+1 : j*8+8] ≡ Spark slice(v, j*8+1, 8).
+    "s04b_ivf_route" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
+         a AS (SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(e.v, c.cv), c.cell) AS rk
+                 FROM e CROSS JOIN c) z WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         pc AS (SELECT qid, cell FROM (
+                 SELECT q.qid, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) AS rk
+                 FROM q CROSS JOIN c) z WHERE rk <= $IvfNProbe),
+         scored AS (SELECT pc.qid, a.vec_id AS cid,
+                      list_dot_product(q.qv, ec.v) AS score
+                    FROM pc JOIN a ON a.cell = pc.cell
+                         JOIN q ON q.qid = pc.qid
+                         JOIN e ec ON ec.vec_id = a.vec_id
+                    WHERE a.vec_id != pc.qid),
+         r AS (SELECT qid, cid, score, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+               FROM scored)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+
+    "s06b_semantic_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
+         m AS (SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rk
+                 FROM e CROSS JOIN c) z WHERE rk <= 4),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM m a JOIN m b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT cd.id_a, cd.id_b, list_dot_product(ea.v, eb.v) AS cosine
+         FROM cand cd JOIN e ea ON ea.vec_id = cd.id_a
+              JOIN e eb ON eb.vec_id = cd.id_b
+         WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
+         ORDER BY id_a, id_b""",
+
+    "s07b_semantic_survivors" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
+         m AS (SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rk
+                 FROM e CROSS JOIN c) z WHERE rk <= 4),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM m a JOIN m b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         g AS (SELECT cd.id_a, cd.id_b
+               FROM cand cd JOIN e ea ON ea.vec_id = cd.id_a
+                    JOIN e eb ON eb.vec_id = cd.id_b
+               WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold),
+         bi AS (SELECT id_a AS a, id_b AS b FROM g
+                UNION SELECT id_b, id_a FROM g),
+         tc(a, b) AS (
+           SELECT a, b FROM bi
+           UNION
+           SELECT tc.a, bi.b FROM tc JOIN bi ON tc.b = bi.a)
+         SELECT emb.vec_id, emb.label
+         FROM embeddings emb
+         WHERE emb.vec_id NOT IN (
+           SELECT a FROM tc GROUP BY a HAVING MIN(b) < a)
+         ORDER BY vec_id""",
+
+    "s08b_pq_encode" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         books AS (SELECT s.j AS sub, e.vec_id AS code,
+                     e.v[s.j * 8 + 1 : s.j * 8 + 8] AS cv
+                   FROM e, (SELECT unnest(generate_series(0, ${DetSubs - 1})) AS j) s
+                   WHERE e.vec_id < 16)
+         SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+           CAST(code AS INTEGER) AS code
+         FROM (SELECT e.vec_id, b.sub, b.code, ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, b.sub
+                 ORDER BY list_dot_product(b.cv, b.cv)
+                   - 2 * list_dot_product(e.v[b.sub * 8 + 1 : b.sub * 8 + 8],
+                                          b.cv), b.code) AS rk
+               FROM e CROSS JOIN books b) z
+         WHERE rk = 1 ORDER BY vec_id, sub""",
+
+    "s09b_ivf_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
+         a AS (SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(e.v, c.cv), c.cell) AS rk
+                 FROM e CROSS JOIN c) z WHERE rk = 1),
+         books AS (SELECT s.j AS sub, e.vec_id AS code,
+                     e.v[s.j * 8 + 1 : s.j * 8 + 8] AS cv
+                   FROM e, (SELECT unnest(generate_series(0, ${DetSubs - 1})) AS j) s
+                   WHERE e.vec_id < 16),
+         enc AS (SELECT vec_id, sub, code FROM (
+                 SELECT e.vec_id, b.sub, b.code, ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, b.sub
+                   ORDER BY list_dot_product(b.cv, b.cv)
+                     - 2 * list_dot_product(e.v[b.sub * 8 + 1 : b.sub * 8 + 8],
+                                            b.cv), b.code) AS rk
+                 FROM e CROSS JOIN books b) z WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         pc AS (SELECT qid, cell FROM (
+                 SELECT q.qid, c.cell, ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) AS rk
+                 FROM q CROSS JOIN c) z WHERE rk <= $IvfNProbe),
+         cand AS (SELECT pc.qid, a.vec_id AS cid
+                  FROM pc JOIN a ON a.cell = pc.cell
+                  WHERE a.vec_id != pc.qid),
+         lut AS (SELECT q.qid, b.sub, b.code,
+                   CAST(round(list_dot_product(
+                     q.qv[b.sub * 8 + 1 : b.sub * 8 + 8], b.cv) * 1e9)
+                     AS BIGINT) AS pd
+                 FROM q CROSS JOIN books b),
+         adc AS (SELECT cand.qid, cand.cid, SUM(l.pd) AS s
+                 FROM cand JOIN enc ON enc.vec_id = cand.cid
+                      JOIN lut l ON l.qid = cand.qid
+                        AND l.sub = enc.sub AND l.code = enc.code
+                 GROUP BY 1, 2),
+         short AS (SELECT qid, cid FROM (
+                 SELECT qid, cid, ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY s DESC, cid) AS rk
+                 FROM adc) z WHERE rk <= 50),
+         r AS (SELECT sh.qid, sh.cid,
+                 list_dot_product(eq.v, ec.v) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY sh.qid
+                   ORDER BY list_dot_product(eq.v, ec.v) DESC, sh.cid) AS rnk
+               FROM short sh JOIN e eq ON eq.vec_id = sh.qid
+                    JOIN e ec ON ec.vec_id = sh.cid)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 
     "s03_embed_neardup" -> {
       val vals = nearDupPlaneBits.zipWithIndex

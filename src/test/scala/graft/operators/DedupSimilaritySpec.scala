@@ -176,6 +176,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(a.toSeq == b.toSeq, "PQ codebook training is not deterministic")
   }
 
+  test("pqEncode reproduces the trained index's codes from its codebooks") {
+    // the production fit-on-sample → encode-corpus split: encoding the
+    // corpus against the TRAINED codebooks must land on the same codes
+    // the KMeans transform assigned (same Euclidean argmin rule), so
+    // the hash-checked s08b stage and the trained s08 path are the
+    // same operator under different quantizers
+    val e = graft.Tables.embeddings(spark, dir)
+    val idx = Similarity.buildPqIndex(e)
+    val trained = idx.codes.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val encoded = Similarity.pqEncode(e, idx.codebooks, idx.subs, idx.dim)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(encoded == trained, "pqEncode diverged from the KMeans transform")
+  }
+
   test("s09 composed IVF→PQ→rerank: exact scores, recall, and strictly less scan work than PQ-alone or IVF-alone") {
     val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
       .select("qid", "cid", "score").collect()
