@@ -54,4 +54,37 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Pipeline.oracles ++
       operators.Sketch.oracles
+
+  /** The rows-only policy, machine-readable: every registered query
+    * WITHOUT an [[oracleSql]] entry maps to (a) the named ScalaTest
+    * invariant that stands in for the hash gate and (b) its
+    * hash-checked deterministic twin query where one exists (""
+    * otherwise). [[Verify]] emits this as `rows_only.json` next to
+    * `oracle_sql.json` and fails loudly if the two drift, so the
+    * correctness gate can mechanically confirm that no query is
+    * merely rows-counted without a named green test backing it.
+    */
+  def rowsOnlyInvariants: Map[String, (String, String)] = Map(
+    "q27_sketches" -> (("SketchAndFormatSpec: approx_count_distinct within " +
+      "10% of exact; percentiles bracket the true median",
+      "q27b_kmv_distinct")),
+    "q37_hll_union" -> (("SketchAndFormatSpec: q37 HLL sketches: estimates " +
+      "within 5% and union-of-sketches == sketch-of-union",
+      "q37b_kmv_union")),
+    "q65_sliding_distinct_hll" -> (("SketchAndFormatSpec: q65 sketch-form " +
+      "sliding distinct within 2% of exact q64, same day set",
+      "q65b_sliding_distinct_kmv")),
+    "s04_sim_ivf" -> (("DedupSimilaritySpec: ivf finds mostly the same " +
+      "neighbors as brute force (recall sanity)", "s04b_ivf_route")),
+    "s06_semantic_neardup" -> (("DedupSimilaritySpec: s06 cluster-blocked " +
+      "near-dup: exact subset of ground truth with >=85% recall",
+      "s06b_semantic_neardup")),
+    "s07_semantic_survivors" -> (("DedupSimilaritySpec: s07 semantic " +
+      "survivors: one representative per near-dup cluster, all unpaired " +
+      "kept", "s07b_semantic_survivors")),
+    "s08_pq_ann" -> (("DedupSimilaritySpec: s08 PQ+rerank: exact scores, " +
+      "decent recall, deterministic codebooks", "s08b_pq_encode")),
+    "s09_ivf_pq_ann" -> (("DedupSimilaritySpec: s09 composed IVF→PQ" +
+      "→rerank: exact scores, recall, and strictly less scan work " +
+      "than PQ-alone or IVF-alone", "s09b_ivf_pq_rerank")))
 }

@@ -269,13 +269,33 @@ object Relational {
       }
     })
 
+  /** The SECOND prepared loop context — the bipartite supplier–part
+    * supply graph (part node = 2·partkey, supplier node =
+    * 2·suppkey + 1; an even node never equals an odd one, so the id
+    * namespaces can't collide) — built via the PUBLIC
+    * [[buildGraphLoop]] path, unlike the co-occurrence artifact's
+    * internal one: the registered q78 proves the public builder's
+    * loop economics on a graph with a completely different shape
+    * (bipartite, no triangles, low diameter through supplier hubs).
+    */
+  private val supplyLoopCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GraphLoop]()
+
+  private[operators] def supplyGraphLoop(s: SparkSession, dir: String): GraphLoop =
+    supplyLoopCache.computeIfAbsent((s, dir), _ =>
+      buildGraphLoop(lineitem(s, dir).select(
+        (col("l_partkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))))
+
   /** Build the relational family's ingest artifacts (the hot-orderkey
-    * stats table and the oriented co-occurrence graph) ahead of
-    * queries; Bench calls this in warm-up.
+    * stats table, the oriented co-occurrence graph, and the supply
+    * graph's prepared loop) ahead of queries; Bench calls this in
+    * warm-up.
     */
   def prepareStats(s: SparkSession, dir: String): Unit = {
     orderkeyHotStats(s, dir)
     orientedCooccurGraph(s, dir)
+    supplyGraphLoop(s, dir)
     ()
   }
 
@@ -291,6 +311,7 @@ object Relational {
       g.loop.bi.unpersist(); g.loop.deg.unpersist()
       g.loop.selfLoops.unpersist()
     }
+    Option(supplyLoopCache.remove((s, dir))).foreach(releaseGraphLoop)
   }
 
   /** Distinct canonical (p1 < p2) part pairs bought together in one
@@ -1496,6 +1517,18 @@ object Relational {
         .select(col("v").as("part"), col("label"))
         .orderBy("part")
     }),
+
+    // Supply-chain connected components: three min-label rounds over
+    // the bipartite supplier–part graph, served from the SECOND
+    // prepared loop ([[supplyGraphLoop]]) — the one built through the
+    // public [[buildGraphLoop]] API. Integer-exact; the oracle unrolls
+    // the same three join+min rounds (self-loops folded in) in SQL.
+    // Loop-vs-generic parity is additionally asserted in
+    // GraphPropertySpec.
+    "q78_supply_components" -> ((s, dir) =>
+      minLabelPropagateLoop(supplyGraphLoop(s, dir), 3)
+        .select(col("v").as("node"), col("label"))
+        .orderBy("node")),
 
     // Trailing 7-day distinct users per active day, via the
     // contribution-explode in [[slidingDistinctUsers]] — never a
@@ -3186,6 +3219,26 @@ object Relational {
                   SELECT bi.v, l.lbl FROM bi JOIN l2 l ON bi.u = l.v
                   UNION ALL SELECT v, lbl FROM l2) GROUP BY v)
          SELECT v AS part, lbl AS label FROM l3 ORDER BY part""",
+
+    // q77's three-round unroll over the bipartite supplier–part graph
+    // (even = 2·partkey, odd = 2·suppkey+1 — disjoint id namespaces).
+    "q78_supply_components" ->
+      """WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                      l_suppkey * 2 + 1 AS b
+                    FROM lineitem),
+         bi AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e),
+         l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM bi),
+         l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l0 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l0) GROUP BY v),
+         l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l1 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l1) GROUP BY v),
+         l3 AS (SELECT v, MIN(lbl) AS lbl FROM (
+                  SELECT bi.v, l.lbl FROM bi JOIN l2 l ON bi.u = l.v
+                  UNION ALL SELECT v, lbl FROM l2) GROUP BY v)
+         SELECT v AS node, lbl AS label FROM l3 ORDER BY node""",
 
     "q75_pagerank_weighted" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -114,4 +114,21 @@ class GraphPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("q78 supply loop equals the generic operator on the real bipartite graph") {
+    // the registered q78 path (public buildGraphLoop over the
+    // supplier–part graph) must agree with the generic lazy operator
+    // on the actual fixture — the loop-vs-generic parity claim at the
+    // data the gate runs on, not just random toys
+    val dir = sf("sf0.001")
+    val edges = graft.Tables.lineitem(spark, dir).select(
+      (col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    val viaLoop = graft.SparkEntry.queries("q78_supply_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val generic = Relational.minLabelPropagate(
+        Relational.canonicalEdges(edges), 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaLoop.nonEmpty && viaLoop == generic,
+      s"loop path diverged from generic (${viaLoop.size} vs ${generic.size} rows)")
+  }
 }
