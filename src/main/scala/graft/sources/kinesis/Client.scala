@@ -87,6 +87,10 @@ trait ConfigurableKinesisClient extends KinesisLikeClient {
   * local-mode executors see the same service.
   */
 object FakeKinesisService {
+  // All mutators hold THIS object's monitor — the same one
+  // FakeKinesisClient's readers take — so a concurrent push can never
+  // mutate a shard's record buffer mid-iteration (the volume spec
+  // pushes tens of thousands of records while the query is running).
   final class ShardState(val shardId: String, val parent: Option[String]) {
     var closed: Boolean = false
     val records: mutable.ArrayBuffer[ClientRecord] = mutable.ArrayBuffer.empty
@@ -101,7 +105,7 @@ object FakeKinesisService {
 
   def reset(): Unit = streams.clear()
 
-  def createStream(name: String, nShards: Int): Unit = streams.synchronized {
+  def createStream(name: String, nShards: Int): Unit = this.synchronized {
     val st = new StreamState
     (0 until nShards).foreach { i =>
       val id = f"shardId-$i%012d"
@@ -114,7 +118,7 @@ object FakeKinesisService {
     * zero-padded so lexicographic order == numeric order).
     */
   def push(name: String, shardId: String, partitionKey: String,
-      data: Array[Byte], arrivalMs: Long = 1700000000000L): String = streams.synchronized {
+      data: Array[Byte], arrivalMs: Long = 1700000000000L): String = this.synchronized {
     val st = streams(name)
     val sh = st.shards(shardId)
     require(!sh.closed, s"cannot push to closed shard $shardId")
@@ -127,7 +131,7 @@ object FakeKinesisService {
   /** Reshard: close the parent, open two child shards (the scenario the
     * reference's monitor loop exists for — kinesis.go:58-98, README.md:6).
     */
-  def splitShard(name: String, parentId: String): (String, String) = streams.synchronized {
+  def splitShard(name: String, parentId: String): (String, String) = this.synchronized {
     val st = streams(name)
     val parent = st.shards(parentId)
     parent.closed = true
@@ -140,7 +144,7 @@ object FakeKinesisService {
   }
 
   def setStatus(name: String, status: String): Unit =
-    streams.synchronized { streams(name).status = status }
+    this.synchronized { streams(name).status = status }
 
   // ---- accessors used by the fake client ----
   private[kinesis] def stream(name: String): StreamState =

@@ -293,6 +293,98 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("volume: 1e5 records across staged reshards under admission control " +
+      "(exactly-once, caps, offset monotonicity, one commit per advance)") {
+    // The e2e scale check the small fixtures can't give: ~100k records,
+    // TWO staged reshards (parent split mid-run, then a child split),
+    // admission cap well below the backlog. Asserts the envelope the
+    // reference promises at any volume: every record exactly once, no
+    // batch over the cap, per-shard offsets never regress across
+    // batches, and the saver sees exactly one write per (batch, shard)
+    // ADVANCE (syncSaver dedupe) with drained parents deleted (O5/O8).
+    class CountingSaver extends InMemorySequenceSaver {
+      val sets = new java.util.concurrent.atomic.AtomicInteger
+      val dels = new java.util.concurrent.atomic.AtomicInteger
+      override def set(stream: String, shardId: String, seq: String): Unit = {
+        sets.incrementAndGet(); super.set(stream, shardId, seq)
+      }
+      override def del(stream: String, shardId: String): Unit = {
+        dels.incrementAndGet(); super.del(stream, shardId)
+      }
+    }
+    freshStream("sv", 3)
+    val saver = new CountingSaver
+    KinesisRegistry.savers.put("svv", saver)
+    val Seq(sh0, sh1, sh2) =
+      (0 to 2).map(i => f"shardId-$i%012d")
+    val pushed = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+    def push(shard: String, n: Int, tag: String): Unit =
+      (1 to n).foreach { i =>
+        pushed(shard) :+= FakeKinesisService.push("sv", shard, "pk", s"$tag$i".getBytes)
+      }
+    val cap = 4000
+    push(sh0, 20000, "a"); push(sh1, 15000, "b"); push(sh2, 15000, "c")
+    val q = runToMemory(
+      readSource("sv", Map("saverName" -> "svv", "maxRecordsPerFetch" -> cap.toString)),
+      "t_volume")
+    try {
+      // stage B: split shard 0, keep pushing to children AND a survivor
+      val (c1, c2) = FakeKinesisService.splitShard("sv", sh0)
+      push(c1, 10000, "d"); push(c2, 10000, "e"); push(sh1, 10000, "f")
+      q.processAllAvailable(); q.processAllAvailable()
+      // stage C: split a CHILD (second-generation reshard)
+      val (d1, d2) = FakeKinesisService.splitShard("sv", c1)
+      push(d1, 10000, "g"); push(sh2, 10000, "h")
+      q.processAllAvailable(); q.processAllAvailable()
+
+      val rows = spark.sql("SELECT shardId, sequenceNumber FROM t_volume").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // exactly once, all 100k
+      assert(rows.length == 100000, s"expected 100000 rows, got ${rows.length}")
+      assert(rows.distinct.length == 100000, "duplicate (shard, sequence) delivered")
+      // per-shard delivery is exactly the pushed sequence set
+      val byShard = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      pushed.foreach { case (shard, seqs) =>
+        assert(byShard.getOrElse(shard, Set.empty) == seqs.toSet,
+          s"shard $shard delivered set diverged")
+      }
+      // admission: no batch above the total cap
+      val prog = q.recentProgress.toSeq
+      val sizes = prog.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.nonEmpty && sizes.forall(_ <= cap),
+        s"batch exceeded cap $cap: ${sizes.max}")
+      // per-shard offsets never regress across committed batches
+      val offs = prog.flatMap(p => Option(p.sources.head.endOffset))
+        .map(KinesisOffset.fromJson(_).positions)
+      offs.sliding(2).foreach {
+        case Seq(prev, next) =>
+          prev.foreach { case (shard, s0) =>
+            next.get(shard).foreach(s1 =>
+              assert(SequenceOrder.leq(s0, s1), s"offset regressed on $shard"))
+          }
+        case _ => ()
+      }
+      // one commit per (batch, shard) advance: every saver write moved a
+      // shard forward, so writes are bounded by data-batches × shards
+      // (7 shards ever), and drained parents were deleted exactly once
+      val dataBatches = sizes.length
+      assert(saver.sets.get <= dataBatches * 7,
+        s"saver writes ${saver.sets.get} exceed one-per-(batch,shard) bound " +
+          s"($dataBatches batches)")
+      assert(eventually()(saver.get("sv", sh0).isEmpty &&
+        saver.get("sv", c1).isEmpty), "drained parents not deleted")
+      assert(saver.dels.get == 2, s"expected exactly 2 deletes, got ${saver.dels.get}")
+      // survivors carry their final sequences
+      Seq(sh1, sh2, c2, d1).foreach { shard =>
+        assert(eventually()(saver.get("sv", shard).contains(pushed(shard).last)),
+          s"saver not at final sequence for $shard")
+      }
+      // d2 never got data: TRIM_HORIZON position, no saver entry required
+      assert(saver.get("sv", d2).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-status gating: not-ACTIVE holds offsets, ACTIVE resumes (kinesis.go:84-93, O9)") {
     freshStream("s8", 1)
     (1 to 3).foreach(i => FakeKinesisService.push("s8", "shardId-000000000000", "pk", s"a$i".getBytes))
