@@ -1,13 +1,14 @@
 package graft.sources.kinesis
 
-/** Documentation-only sketch of the production AWS adapter.
+/** RPC mapping contract for the production AWS adapter.
   *
-  * The AWS SDK is deliberately NOT a dependency of this build (the
-  * engine is tested against [[FakeKinesisClient]]); this object records
-  * how a production `AwsKinesisClient extends ConfigurableKinesisClient`
-  * maps onto the AWS SDK for Java v2 (`software.amazon.awssdk.services
-  * .kinesis`), the same API surface the Go reference drives through
-  * `aws-sdk-go-v2` (kinesis.go:45-52).
+  * The AWS SDK is deliberately NOT a compile-time dependency of this
+  * build; [[AwsKinesisClient]] implements this mapping by reflection
+  * against the SDK for Java v2 (`software.amazon.awssdk.services
+  * .kinesis`) — the same API surface the Go reference drives through
+  * `aws-sdk-go-v2` (kinesis.go:45-52) — and AwsKinesisClientSpec proves
+  * the binding end-to-end against an API-shaped stub. This object stays
+  * as the human-readable method-by-method contract.
   *
   * == Construction (configure) ==
   *

@@ -35,7 +35,8 @@ class ExpiredIteratorException(msg: String) extends RuntimeException(msg)
 /** The service interface the source depends on — the injectable twin of
   * the reference's concrete `NewClient` (kinesis.go:45-52, which is
   * constructed inside doHandle/goShard/monitor and therefore untestable;
-  * SURVEY.md §5). An AWS adapter would implement this over the v2 SDK;
+  * SURVEY.md §5). [[AwsKinesisClient]] implements it over the v2 SDK
+  * (bound by reflection, so the build stays offline);
   * [[FakeKinesisClient]] implements it deterministically for tests.
   *
   * Iterator semantics mirror sequence.go:74-89: TRIM_HORIZON to read a

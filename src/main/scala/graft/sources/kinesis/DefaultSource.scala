@@ -62,8 +62,9 @@ class KinesisTable(options: CaseInsensitiveStringMap) extends Table with Support
                 .newInstance().asInstanceOf[KinesisLikeClient]
             }).getOrElse(throw new IllegalArgumentException(
               "set option 'clientName' (registry) or 'clientClass' (FQCN); " +
-                "an AWS-backed client would be the production default " +
-                "(see AwsKinesisAdapter for the SDK mapping)"))
+                "production default: clientClass=graft.sources.kinesis" +
+                ".AwsKinesisClient with the AWS SDK v2 kinesis jar on " +
+                "the classpath (see AwsKinesisAdapter for the mapping)"))
           // Config plumb-through (option.go:36-43 → kinesis.go:45-52):
           // region/sts/etc. reach the client before first use.
           client match {

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import software.amazon.awssdk.services.kinesis.StubSdk
+
+import graft.SparkSuite
+import graft.sources.kinesis._
+
+/** Exercises [[AwsKinesisClient]] — the reflection-bound production AWS
+  * adapter — against the SDK-API-shaped stub (AwsSdkStubs.scala) backed
+  * by [[FakeKinesisService]]. What this proves: the adapter builds SDK
+  * requests via the real builder protocol, paginates ListShards,
+  * translates SDK errors to the reader's exception surface, retries
+  * throughput throttles with bounded backoff, and drives the FULL DSv2
+  * micro-batch path (discovery → admission → reshard gating →
+  * exactly-once delivery) purely through the SDK-shaped client — i.e.
+  * the only untestable-offline piece left is AWS's wire protocol
+  * itself.
+  */
+class AwsKinesisClientSpec extends SparkSuite {
+
+  private def fresh(): Unit = { StubSdk.reset(); AwsKinesisClient.resetClientCache() }
+
+  /** Adapter configured directly (keys lower-cased like DefaultSource). */
+  private def adapter(extra: (String, String)*): AwsKinesisClient = {
+    val c = new AwsKinesisClient
+    c.configure(Map("region" -> "us-east-1", "throughputbackoffms" -> "1") ++ extra)
+    c
+  }
+
+  private def readSource(stream: String, extra: Map[String, String]): DataFrame = {
+    var r = spark.readStream.format("kinesis-graft")
+      .option("streamName", stream)
+      .option("clientClass", "graft.sources.kinesis.AwsKinesisClient")
+      .option("region", "us-east-1")
+      .option("throughputBackoffMs", "1")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("listShards paginates nextToken pages and maps closed/parent fields") {
+    fresh()
+    FakeKinesisService.createStream("aws1", 5) // stub pages by 2 → 3 pages
+    val (c1, _) = FakeKinesisService.splitShard("aws1", "shardId-000000000000")
+    val got = adapter().listShards("aws1")
+    val viaFake = new FakeKinesisClient().listShards("aws1")
+    assert(got == viaFake, "adapter listShards must match the fake client's view")
+    assert(got.size == 7)
+    assert(got.find(_.shardId == "shardId-000000000000").get.closed)
+    assert(got.find(_.shardId == c1).get.parentShardId.contains("shardId-000000000000"))
+  }
+
+  test("streamStatus, iterator init/resume, getRecords and putRecord round-trip") {
+    fresh()
+    FakeKinesisService.createStream("aws2", 1)
+    val a = adapter()
+    assert(a.streamStatus("aws2") == "ACTIVE")
+    FakeKinesisService.setStatus("aws2", "UPDATING")
+    assert(a.streamStatus("aws2") == "UPDATING")
+    FakeKinesisService.setStatus("aws2", "ACTIVE")
+
+    val seqs = (1 to 6).map(i => a.putRecord("aws2", "pk", s"r$i".getBytes))
+    // TRIM_HORIZON: everything, in order, payloads/keys/sequences intact
+    val it0 = a.getShardIterator("aws2", "shardId-000000000000", None)
+    val all = a.getRecords(it0, 100)
+    assert(all.records.map(r => new String(r.data)) == (1 to 6).map(i => s"r$i"))
+    assert(all.records.map(_.sequenceNumber) == seqs)
+    assert(all.records.forall(_.partitionKey == "pk"))
+    assert(all.nextIterator.isDefined, "open shard keeps a next iterator")
+    // AFTER_SEQUENCE_NUMBER resume
+    val it1 = a.getShardIterator("aws2", "shardId-000000000000", Some(seqs(3)))
+    assert(a.getRecords(it1, 100).records.map(r => new String(r.data)) == Seq("r5", "r6"))
+  }
+
+  test("sequenceAfter: parity with the fake client; capped scans stay prefix-correct") {
+    fresh()
+    FakeKinesisService.createStream("aws3", 1)
+    val a = adapter()
+    val seqs = (1 to 9).map(i =>
+      FakeKinesisService.push("aws3", "shardId-000000000000", "pk", s"x$i".getBytes))
+    val fake = new FakeKinesisClient()
+    for (max <- Seq(1, 3, 9, 100); after <- Seq(None, Some(seqs(4)))) {
+      val (gotLast, _) = a.sequenceAfter("aws3", "shardId-000000000000", after, max)
+      val (expLast, _) = fake.sequenceAfter("aws3", "shardId-000000000000", after, max)
+      assert(gotLast == expLast, s"max=$max after=$after")
+    }
+    // closed shard scanned to the tail reports closed (null next iterator)
+    FakeKinesisService.splitShard("aws3", "shardId-000000000000")
+    val (last, closed) = a.sequenceAfter("aws3", "shardId-000000000000", None, 100)
+    assert(closed && last.contains(seqs.last))
+  }
+
+  test("ProvisionedThroughputExceededException: bounded backoff rides out a spike, then rethrows when exhausted") {
+    fresh()
+    FakeKinesisService.createStream("aws4", 1)
+    FakeKinesisService.push("aws4", "shardId-000000000000", "pk", "v".getBytes)
+    val a = adapter("throughputretries" -> "3")
+    val it = a.getShardIterator("aws4", "shardId-000000000000", None)
+    StubSdk.throttleNext.set(2) // < retries: recovered transparently
+    assert(a.getRecords(it, 10).records.size == 1)
+    StubSdk.throttleNext.set(10) // > retries: surfaces after 3 backoffs
+    val e = intercept[RuntimeException](a.getRecords(it, 10))
+    assert(e.getClass.getSimpleName == "ProvisionedThroughputExceededException")
+    StubSdk.throttleNext.set(0)
+  }
+
+  test("expired SDK iterators translate to the reader's refresh path (kinesis.go:184-191)") {
+    fresh()
+    FakeKinesisService.createStream("aws5", 1)
+    val a = adapter()
+    val it = a.getShardIterator("aws5", "shardId-000000000000", None)
+    StubSdk.expireEvery = 1 // next getRecords throws in the stub SDK
+    intercept[ExpiredIteratorException](a.getRecords(it, 10))
+    StubSdk.expireEvery = 0
+  }
+
+  test("full DSv2 path through the reflective adapter: reshard + expiry, exactly-once, one cached SDK client") {
+    fresh()
+    FakeKinesisService.createStream("aws6", 2)
+    (1 to 12).foreach(i => FakeKinesisService.push("aws6",
+      f"shardId-${i % 2}%012d", s"pk$i", s"a$i".getBytes))
+    StubSdk.expireEvery = 7 // every 7th SDK getRecords expires mid-run
+    val q = readSource("aws6", Map("maxRecordsPerFetch" -> "5"))
+      .writeStream.format("memory").queryName("t_aws")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      // reshard while the query runs; children only admit after the
+      // parent drains (O9 gating) — all through the SDK-shaped client
+      FakeKinesisService.splitShard("aws6", "shardId-000000000000")
+      (13 to 18).foreach(i => FakeKinesisService.push("aws6",
+        "shardId-000000000002", s"pk$i", s"a$i".getBytes))
+      q.processAllAvailable()
+      Thread.sleep(200) // one extra trigger for post-drain child admission
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT data, shardId, sequenceNumber FROM t_aws").collect()
+      val payloads = rows.map(r => new String(r.getAs[Array[Byte]]("data")))
+      assert(payloads.length == payloads.toSet.size, "duplicate delivery")
+      assert(payloads.toSet == (1 to 18).map(i => s"a$i").toSet)
+      rows.groupBy(_.getAs[String]("shardId")).values.foreach { rs =>
+        val seqs = rs.map(_.getAs[String]("sequenceNumber")).toSeq
+        assert(seqs == seqs.sorted, "per-shard order broken")
+      }
+      assert(StubSdk.builds.get() == 1,
+        s"SDK client must be built once per (JVM, config), got ${StubSdk.builds.get()}")
+    } finally { q.stop(); StubSdk.expireEvery = 0 }
+  }
+}
