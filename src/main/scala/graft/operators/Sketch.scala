@@ -178,12 +178,20 @@ object Sketch {
     * (contribution-explode — never a day×day self-join), merged
     * bottom-k per day, then estimated. Input: (day, ks) from
     * [[kmvSketch]]; output (day, u7_est) for active days only.
+    *
+    * `spineOpt`: the active-day spine. Defaults to deriving it from
+    * `daily` — correct, but when `daily` is an unpersisted sketch PLAN
+    * (vs a materialized sketch table, the streaming-ingest case) Spark
+    * re-executes the whole bottom-k pipeline for the spine branch;
+    * callers holding the raw rows should pass the cheap
+    * distinct-of-days instead (identical set: the sketch has exactly
+    * one row per active day).
     */
   def slidingDistinctKmv(daily: DataFrame, windowDays: Int,
-      k: Int = KmvK): DataFrame = {
+      k: Int = KmvK, spineOpt: Option[DataFrame] = None): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays must be in [1, 366], got $windowDays")
-    val days = daily.select(col("day")).distinct()
+    val days = spineOpt.getOrElse(daily.select(col("day")).distinct())
     val expanded = daily
       .select(explode(sequence(col("day"),
         date_add(col("day"), windowDays - 1))).as("day"), col("ks"))
@@ -261,7 +269,10 @@ object Sketch {
       val pairs = events(s, dir)
         .select(to_date(col("ts")).as("day"),
           col("user_id").cast("string").as("u"))
-      slidingDistinctKmv(kmvSketch(pairs, Seq("day"), "u"), windowDays = 7)
+      // spine from the raw rows: one cheap scan+distinct instead of a
+      // second execution of the bottom-k sketch plan (same day set)
+      slidingDistinctKmv(kmvSketch(pairs, Seq("day"), "u"), windowDays = 7,
+        spineOpt = Some(pairs.select("day").distinct()))
     })
   )
 
