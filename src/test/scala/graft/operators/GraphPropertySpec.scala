@@ -131,4 +131,19 @@ class GraphPropertySpec extends SparkSuite {
     assert(viaLoop.nonEmpty && viaLoop == generic,
       s"loop path diverged from generic (${viaLoop.size} vs ${generic.size} rows)")
   }
+
+  test("buildGraphLoop: a build step failing mid-flight leaks no cached tables") {
+    import spark.implicits._
+    // raise_error fires while canon.count() materializes the input, i.e.
+    // AFTER the builder started persisting intermediates — the r10
+    // ADVICE leak scenario. Every persisted handle must be released on
+    // the way out, so retries can't accumulate zombie cached blocks.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val bad = spark.range(0, 20).toDF("id").selectExpr(
+      "id as a",
+      "if(id < 10, id + 1, cast(raise_error('boom') as bigint)) as b")
+    intercept[Exception](Relational.buildGraphLoop(bad))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "failed buildGraphLoop left persisted tables behind")
+  }
 }
