@@ -492,6 +492,47 @@ object Pipeline {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Fixed-size overlapping passage chunks — the retrieval/long-doc
+    * training shape (context-window packing's upstream step): each
+    * document's whitespace token stream (t01's tokenization) splits
+    * into `chunkSize`-token chunks starting every `chunkSize−overlap`
+    * tokens, the trailing chunk keeping whatever remains. Provenance
+    * survives: (doc_id, chunk_idx, start_tok) addresses every chunk
+    * back to its source span — what a dedup-then-retrain or citation
+    * pipeline needs.
+    *
+    * Scale: ONE scan, zero joins/shuffles — tokenize, a chunk-count
+    * column, explode a 0..nc−1 sequence, in-row `slice`+`array_join`.
+    * Output size is the explode fan-out (≈ n/stride rows per doc),
+    * each row carrying only its own chunk text. Deterministic, so the
+    * oracle rebuilds every chunk string exactly.
+    */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // 1 chunk when the doc fits; else one start every `stride` tokens
+      // until the tail fits in the last chunk
+      .withColumn("__nc",
+        when(col("__n") <= chunkSize, lit(1)).otherwise(
+          lit(1) + ceil((col("__n") - chunkSize).cast("double") / stride)
+            .cast("int")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(chunkSize), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_tokens"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx") * lit(stride) + lit(1), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pack each language's documents into 512-token training bins.
     "p01_pack_sequences" -> ((s, dir) =>
@@ -596,7 +637,14 @@ object Pipeline {
         .filter(col("split_a") =!= col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
-    })
+    }),
+
+    // 32-token chunks, 8-token overlap (sized so fixture docs — up to
+    // ~100 tokens — genuinely split), full provenance back to the
+    // source span; zero joins, one scan, in-row slicing.
+    "p14_chunk_overlap" -> ((s, dir) =>
+      chunkOverlap(documents(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -829,6 +877,23 @@ object Pipeline {
          JOIN sp sa ON sa.doc_id = doc_a
          JOIN sp sb ON sb.doc_id = doc_b
          WHERE sa.split <> sb.split
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    "p14_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         c AS (SELECT doc_id, toks, n,
+           CASE WHEN n <= 32 THEN 1
+                ELSE 1 + CAST(ceil((n - 32)::DOUBLE / 24) AS INT) END AS nc
+           FROM n)
+         SELECT doc_id,
+           i AS chunk_idx,
+           i * 24 AS start_tok,
+           LEAST(32, n - i * 24) AS chunk_tokens,
+           array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+         FROM c, LATERAL unnest(range(nc)) AS u(i)
+         ORDER BY doc_id, chunk_idx"""
   )
 }

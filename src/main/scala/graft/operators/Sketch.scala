@@ -122,6 +122,14 @@ object Sketch {
   private def kmvHash(c: org.apache.spark.sql.Column) =
     Dedup.sharedHash60(c) % P + 1L
 
+  /** The cross-engine KMV hash as a Column — public so the streaming
+    * twin ([[graft.streaming.StreamOps.dailyDistinctKmvStream]])
+    * sketches with the IDENTICAL hash family: same hashes ⇒ same
+    * bottom-k ⇒ bit-exact stream/batch parity.
+    */
+  def kmvHashColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    kmvHash(c)
+
   // The k smallest distinct `h` per group. Input: grp columns + "h".
   private def bottomKDistinct(pairs: DataFrame, grp: Seq[String],
       k: Int): DataFrame = {

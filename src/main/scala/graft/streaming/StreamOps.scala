@@ -182,6 +182,48 @@ object StreamOps {
       .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk"))
       .select(to_date(col("window.start")).as("day"), col("sk"))
 
+  /** Per-day KMV bottom-k distinct sketches over a stream — the
+    * hash-EXACT streaming twin of [[graft.operators.Sketch.kmvSketch]]
+    * (where [[dailyDistinctSketches]] is the HLL form whose parity is
+    * "estimates identically", the KMV form's parity is bit-for-bit:
+    * bottom-k of a set is order-, batching-, and duplicate-independent,
+    * so the stream's final per-day sketch EQUALS the one-pass batch
+    * sketch exactly — asserted in StreamOpsSpec). State per day is ≤ k
+    * longs (the current bottom-k distinct hash set); a day with a
+    * billion distinct keys costs the same 2 KiB as a day with a
+    * thousand. Downstream trailing windows merge daily sketches by
+    * bottom-k-of-union ([[graft.operators.Sketch.kmvMerge]] /
+    * `slidingDistinctKmv`) without recounting the stream.
+    *
+    * Output (append mode): (day, n_seen, ks) per updated day per
+    * micro-batch; `n_seen` (total hashes observed) grows strictly, so
+    * the current sketch is the row with max n_seen per day.
+    */
+  def dailyDistinctKmvStream(events: DataFrame, k: Int = 256,
+      tsCol: String = "ts", keyCol: String = "user_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events.select(
+        to_date(col(tsCol)).cast("string").as("day"),
+        graft.operators.Sketch.kmvHashColumn(col(keyCol).cast("string")).as("h"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Long]), (String, Long, Seq[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (day, rows, state) =>
+          val (n0, cur) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          var n = n0
+          val incoming = rows.map { r => n += 1; r._2 }
+          val merged = (cur.iterator ++ incoming)
+            .toArray.distinct.sorted.take(k)
+          state.update((n, merged))
+          Iterator.single((day, n, merged.toSeq))
+      }
+      .toDF("day", "n_seen", "ks")
+  }
+
   /** Streaming last-touch attribution — the streaming twin of the
     * batch q62 window: each `targetType` event (purchase) is credited
     * to the user's most recent PRECEDING `touchTypes` event

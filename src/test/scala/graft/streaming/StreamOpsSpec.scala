@@ -454,6 +454,42 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dailyDistinctKmvStream: streamed daily bottom-k == batch kmvSketch BIT-FOR-BIT") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir).select("ts", "user_id")
+    // two chunks → keys arrive split across micro-batches; bottom-k of
+    // a set is order-, batching-, and duplicate-independent, so unlike
+    // the HLL twin (estimate parity) this asserts the sketch ARRAYS
+    val tmp = java.nio.file.Files.createTempDirectory("kmvreplay").toString
+    ev.filter(col("user_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.dailyDistinctKmvStream(streamed, k = 64)
+      .writeStream.format("memory").queryName("so_kmv_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected >=2 non-empty micro-batches")
+      // n_seen grows strictly per day → max_by picks the final sketch
+      val stream = spark.sql(
+          "SELECT day, max_by(ks, n_seen) AS ks FROM so_kmv_stream GROUP BY day")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val pairs = ev.select(to_date(col("ts")).cast("string").as("day"),
+        col("user_id").cast("string").as("u"))
+      val batch = graft.operators.Sketch.kmvSketch(pairs, Seq("day"), "u", k = 64)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(stream.keySet == batch.keySet,
+        s"day sets differ: ${stream.keySet} vs ${batch.keySet}")
+      val bad = stream.keys.filter(d => stream(d) != batch(d))
+      assert(bad.isEmpty,
+        s"sketch arrays differ on days $bad: " +
+          bad.take(1).map(d => s"${stream(d).take(5)}... vs ${batch(d).take(5)}...").mkString)
+    } finally q.stop()
+  }
+
   test("p02/p04 content-hash filters: batch ≡ stream on a file-replay (stateless pipelines)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pipeline
