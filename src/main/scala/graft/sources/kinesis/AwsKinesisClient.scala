@@ -159,7 +159,8 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
         val range = call(sh, "sequenceNumberRange")
         // a closed shard's sequence range has an ending sequence number
         val closed = range != null && call(range, "endingSequenceNumber") != null
-        out += ShardInfo(str(sh, "shardId"), Option(str(sh, "parentShardId")), closed)
+        out += ShardInfo(str(sh, "shardId"), Option(str(sh, "parentShardId")),
+          closed, Option(str(sh, "adjacentParentShardId")))
       }
       token = str(resp, "nextToken")
     }

@@ -7,8 +7,16 @@ import scala.collection.mutable
 
 /** Client-side view of a shard (subset of AWS `types.Shard` the
   * reference uses via ListShards, kinesis.go:121-139).
+  *
+  * `adjacentParentShardId` is set on the child of a MERGE reshard (two
+  * parents → one child, AWS `Shard.AdjacentParentShardId`); split
+  * children carry only `parentShardId`. The planner gates a child until
+  * EVERY parent it lists is drained — the reference's monitor treats
+  * both reshard kinds with the same stop-the-world restart
+  * (kinesis.go:84-93), so per-shard gating must cover both too.
   */
-case class ShardInfo(shardId: String, parentShardId: Option[String], closed: Boolean)
+case class ShardInfo(shardId: String, parentShardId: Option[String],
+    closed: Boolean, adjacentParentShardId: Option[String] = None)
 
 /** One record as returned by the service (AWS `types.Record` fields the
   * reference touches — kinesis.go:34, 199; kinesis_test.go:22).
@@ -92,7 +100,8 @@ object FakeKinesisService {
   // FakeKinesisClient's readers take — so a concurrent push can never
   // mutate a shard's record buffer mid-iteration (the volume spec
   // pushes tens of thousands of records while the query is running).
-  final class ShardState(val shardId: String, val parent: Option[String]) {
+  final class ShardState(val shardId: String, val parent: Option[String],
+      val adjacentParent: Option[String] = None) {
     var closed: Boolean = false
     val records: mutable.ArrayBuffer[ClientRecord] = mutable.ArrayBuffer.empty
   }
@@ -144,6 +153,22 @@ object FakeKinesisService {
     (c1, c2)
   }
 
+  /** MERGE reshard: close BOTH parents, open one child that lists the
+    * first as parent and the second as adjacent parent — AWS
+    * MergeShards semantics (the child may only be read once both
+    * parents are drained).
+    */
+  def mergeShards(name: String, parentId: String, adjacentId: String): String =
+    this.synchronized {
+      val st = streams(name)
+      require(parentId != adjacentId, "merge needs two distinct parents")
+      st.shards(parentId).closed = true
+      st.shards(adjacentId).closed = true
+      val c = f"shardId-${st.shards.size}%012d"
+      st.shards(c) = new ShardState(c, Some(parentId), Some(adjacentId))
+      c
+    }
+
   def setStatus(name: String, status: String): Unit =
     this.synchronized { streams(name).status = status }
 
@@ -164,7 +189,7 @@ class FakeKinesisClient(expireEvery: Int = 0) extends KinesisLikeClient {
   override def listShards(streamName: String): Seq[ShardInfo] =
     FakeKinesisService.synchronized {
       stream(streamName).shards.values.toSeq
-        .map(s => ShardInfo(s.shardId, s.parent, s.closed))
+        .map(s => ShardInfo(s.shardId, s.parent, s.closed, s.adjacentParent))
     }
 
   override def streamStatus(streamName: String): String =

@@ -222,14 +222,17 @@ class KinesisMicroBatchStream(
         client.sequenceAfter(streamName, shardId, after, limit))
   }
 
-  /** True when `sh` is a child whose parent — judged by the `basis`
-    * positions (what has already been consumed) — is not yet fully
+  /** True when `sh` is a child with ANY parent — judged by the `basis`
+    * positions (what has already been consumed) — not yet fully
     * drained, so the child must wait to preserve Kinesis
-    * parent-before-child order.
+    * parent-before-child order. A split child lists one parent; a
+    * MERGE child lists two (parent + adjacent parent) and is gated on
+    * BOTH — reading it after only one parent drained could surface
+    * post-merge records before the other parent's final ones.
     */
   private def blockedByParent(sh: ShardInfo, basis: Map[String, String],
       byId: Map[String, ShardInfo], cache: SeqCache): Boolean =
-    sh.parentShardId.exists { parent =>
+    (sh.parentShardId.toSeq ++ sh.adjacentParentShardId).exists { parent =>
       byId.contains(parent) && {
         val pp = basis.get(parent)
         val (lastOpt, closed) = cache(parent, pp.filter(_.nonEmpty), 1)

@@ -44,12 +44,18 @@ class AwsKinesisClientSpec extends SparkSuite {
     fresh()
     FakeKinesisService.createStream("aws1", 5) // stub pages by 2 → 3 pages
     val (c1, _) = FakeKinesisService.splitShard("aws1", "shardId-000000000000")
+    val merged = FakeKinesisService.mergeShards("aws1",
+      "shardId-000000000001", "shardId-000000000002")
     val got = adapter().listShards("aws1")
     val viaFake = new FakeKinesisClient().listShards("aws1")
     assert(got == viaFake, "adapter listShards must match the fake client's view")
-    assert(got.size == 7)
+    assert(got.size == 8)
     assert(got.find(_.shardId == "shardId-000000000000").get.closed)
     assert(got.find(_.shardId == c1).get.parentShardId.contains("shardId-000000000000"))
+    val mc = got.find(_.shardId == merged).get
+    assert(mc.parentShardId.contains("shardId-000000000001") &&
+      mc.adjacentParentShardId.contains("shardId-000000000002"),
+      s"merge child must map BOTH parents through the SDK shape: $mc")
   }
 
   test("streamStatus, iterator init/resume, getRecords and putRecord round-trip") {

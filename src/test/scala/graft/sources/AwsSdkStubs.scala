@@ -98,7 +98,8 @@ package software.amazon.awssdk.services.kinesis {
         else null
       new ListShardsResponse(page.map { s =>
         new Shard(s.shardId, s.parentShardId.orNull,
-          new SequenceNumberRange(if (s.closed) "999" else null))
+          new SequenceNumberRange(if (s.closed) "999" else null),
+          s.adjacentParentShardId.orNull)
       }, next)
     }
 
@@ -207,10 +208,12 @@ package software.amazon.awssdk.services.kinesis.model {
   final class SequenceNumberRange(ending: String) {
     def endingSequenceNumber(): String = ending
   }
-  final class Shard(id: String, parent: String, range: SequenceNumberRange) {
+  final class Shard(id: String, parent: String, range: SequenceNumberRange,
+      adjacent: String = null) {
     def shardId(): String = id
     def parentShardId(): String = parent
     def sequenceNumberRange(): SequenceNumberRange = range
+    def adjacentParentShardId(): String = adjacent
   }
   final class ListShardsResponse(sh: Seq[Shard], token: String) {
     def shards(): java.util.List[Shard] = {

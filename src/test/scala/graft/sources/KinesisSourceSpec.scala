@@ -167,6 +167,42 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("merge reshard: the child waits for BOTH parents (AWS MergeShards adjacent-parent gating)") {
+    freshStream("s8", 2)
+    val sh0 = "shardId-000000000000"
+    val sh1 = "shardId-000000000001"
+    val aSeqs = (1 to 2).map(i => FakeKinesisService.push("s8", sh0, "pk", s"a$i".getBytes))
+    val bSeqs = (1 to 6).map(i => FakeKinesisService.push("s8", sh1, "pk", s"b$i".getBytes))
+    // merge BEFORE the query starts: child lists sh0 as parent and sh1
+    // as adjacent parent; at 2 records/shard/batch sh0 drains in one
+    // batch, sh1 needs three — the child must wait for the SLOWER one
+    val child = FakeKinesisService.mergeShards("s8", sh0, sh1)
+    FakeKinesisService.push("s8", child, "pk", "m1".getBytes)
+    FakeKinesisService.push("s8", child, "pk", "m2".getBytes)
+    val q = runToMemory(readSource("s8", Map("maxRecordsPerFetch" -> "2")), "t_merge")
+    try {
+      val got = spark.sql("SELECT data FROM t_merge").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0)))
+      assert(got.length == got.toSet.size, "duplicate delivery")
+      assert(got.toSet == Set("a1", "a2", "b1", "b2", "b3", "b4", "b5", "b6", "m1", "m2"))
+      val offsets = q.recentProgress.toSeq
+        .flatMap(p => Option(p.sources.head.endOffset))
+        .distinct.map(KinesisOffset.fromJson)
+      // any offset admitting the child has BOTH parents at their final
+      // sequences (committed in an earlier batch)
+      offsets.filter(_.positions.contains(child)).foreach { o =>
+        assert(o.positions.get(sh0).contains(aSeqs.last) &&
+          o.positions.get(sh1).contains(bSeqs.last),
+          s"merge child admitted before both parents drained: ${o.positions}")
+      }
+      // and the gate actually HELD on the adjacent parent: some batch
+      // has the fast parent drained while the child is still absent
+      assert(offsets.exists(o => o.positions.get(sh0).contains(aSeqs.last) &&
+        !o.positions.contains(child)),
+        "expected a batch with the fast parent drained and the child still gated")
+    } finally q.stop()
+  }
+
   test("iterator expiry is survived without loss or duplication (kinesis.go:184-191, O11)") {
     FakeKinesisService.createStream("s6", 1)
     KinesisRegistry.clients.put("flaky", new FakeKinesisClient(expireEvery = 3))
