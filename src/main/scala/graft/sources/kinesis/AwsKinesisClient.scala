@@ -126,7 +126,10 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
           if (simple == "ExpiredIteratorException")
             throw new ExpiredIteratorException(
               s"$name: ${Option(cause.getMessage).getOrElse(simple)}")
-          else if (simple == "ProvisionedThroughputExceededException" && attempt < retries) {
+          else if ((simple == "ProvisionedThroughputExceededException" ||
+              simple == "LimitExceededException") && attempt < retries) {
+            // LimitExceeded = control-plane throttle (ListShards /
+            // DescribeStreamSummary API rate limits) — same backoff
             Thread.sleep(baseMs.toLong << (2 * attempt)) // 1x, 4x, 16x
             attempt += 1
           } else throw cause
@@ -221,6 +224,34 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
     str(rpc("putRecord", request("PutRecordRequest",
       "streamName" -> streamName, "partitionKey" -> partitionKey,
       "data" -> sdkBytes)), "sequenceNumber")
+  }
+
+  /** ≈ PutRecords — ONE RPC for up to 500 records (the AWS batch
+    * limit). Per-record outcomes come from the response's result
+    * entries (sequenceNumber XOR errorCode); a whole-call throughput
+    * throttle still rides [[rpc]]'s bounded backoff, per-record
+    * throttles surface as failed entries for the CALLER to retry
+    * ([[KinesisBatchSink]] retries only the failed subset — AWS
+    * PutRecords semantics).
+    */
+  override def putRecords(streamName: String,
+      records: Seq[(String, Array[Byte])]): Seq[PutResult] = {
+    require(records.size <= 500, s"PutRecords caps at 500/call, got ${records.size}")
+    if (records.isEmpty) return Seq.empty
+    val entries = new java.util.ArrayList[AnyRef](records.size)
+    records.foreach { case (key, data) =>
+      val sdkBytes = callStatic("software.amazon.awssdk.core.SdkBytes",
+        "fromByteArray", data)
+      entries.add(request("PutRecordsRequestEntry",
+        "partitionKey" -> key, "data" -> sdkBytes))
+    }
+    val resp = rpc("putRecords", request("PutRecordsRequest",
+      "streamName" -> streamName, "records" -> entries))
+    val out = Vector.newBuilder[PutResult]
+    call(resp, "records").asInstanceOf[java.util.List[AnyRef]].forEach { e =>
+      out += PutResult(Option(str(e, "sequenceNumber")), Option(str(e, "errorCode")))
+    }
+    out.result()
   }
 
   /** Metadata-only scan cutting a deterministic admission-controlled

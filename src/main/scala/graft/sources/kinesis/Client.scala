@@ -34,6 +34,15 @@ case class ClientRecord(
   */
 case class GetRecordsResult(records: Seq[ClientRecord], nextIterator: Option[String])
 
+/** One record's outcome from a batch put: the assigned sequence on
+  * success, an error code on failure (AWS PutRecords semantics —
+  * partial failure is data, not an exception, so callers retry ONLY
+  * the failed subset).
+  */
+case class PutResult(sequenceNumber: Option[String], errorCode: Option[String]) {
+  def succeeded: Boolean = sequenceNumber.isDefined
+}
+
 /** Thrown when a shard iterator has gone stale; the reader re-acquires
   * one from its last sequence — the reference's error-path refresh
   * (kinesis.go:184-191), minus the nil-deref bug (SURVEY.md §2.1).
@@ -68,6 +77,19 @@ trait KinesisLikeClient extends Serializable {
     * consume-only reference, but expected of the engine's sink.)
     */
   def putRecord(streamName: String, partitionKey: String, data: Array[Byte]): String
+  /** ≈ PutRecords — the BATCH producer API (up to 500 records per call
+    * on AWS; one RPC per record is the wrong producer shape at scale).
+    * Returns per-record outcomes in input order; failures don't throw.
+    * The default is a per-record [[putRecord]] loop — correct for any
+    * client; adapters with a native batch RPC override it
+    * ([[AwsKinesisClient]] does).
+    */
+  def putRecords(streamName: String,
+      records: Seq[(String, Array[Byte])]): Seq[PutResult] =
+    records.map { case (key, data) =>
+      try PutResult(Some(putRecord(streamName, key, data)), None)
+      catch { case e: Exception => PutResult(None, Some(e.getClass.getSimpleName)) }
+    }
   /** Planning helper: the sequence of the record `maxRecords` after
     * `afterSequence` (or the shard's last sequence if fewer remain),
     * plus whether the shard is closed. Lets the micro-batch planner cut

@@ -122,6 +122,57 @@ class AwsKinesisClientSpec extends SparkSuite {
     StubSdk.expireEvery = 0
   }
 
+  test("putRecords: one RPC per batch, per-record partial failures, subset retry lands everything once") {
+    fresh()
+    FakeKinesisService.createStream("aws7", 2)
+    val a = adapter()
+    val recs = (1 to 10).map(i => (s"pk$i", s"v$i".getBytes))
+    StubSdk.failFirstEntriesNext.set(3)
+    val r1 = a.putRecords("aws7", recs)
+    assert(StubSdk.putRecordsCalls.get() == 1, "10 records must be ONE RPC")
+    assert(r1.take(3).forall(r => !r.succeeded &&
+      r.errorCode.contains("ProvisionedThroughputExceededException")))
+    assert(r1.drop(3).forall(_.succeeded))
+    val failed = recs.zip(r1).collect { case (rec, r) if !r.succeeded => rec }
+    assert(a.putRecords("aws7", failed).forall(_.succeeded))
+    assert(StubSdk.putRecordsCalls.get() == 2)
+    val payloads = a.listShards("aws7").flatMap { sh =>
+      a.getRecords(a.getShardIterator("aws7", sh.shardId, None), 1000)
+        .records.map(r => new String(r.data))
+    }
+    assert(payloads.length == 10 && payloads.toSet == (1 to 10).map(i => s"v$i").toSet,
+      s"retry must land ONLY the failed subset, exactly once: $payloads")
+  }
+
+  test("KinesisBatchSink: buffered batch RPCs with subset retry through the foreach sink path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    fresh()
+    FakeKinesisService.createStream("aws8", 2)
+    val ad = new AwsKinesisClient
+    ad.configure(Map("region" -> "us-east-1", "throughputbackoffms" -> "1"))
+    KinesisRegistry.clients.put("awssink", ad)
+    val mem = MemoryStream[(String, Array[Byte])](spark)
+    mem.addData((1 to 1200).map(i => (s"pk${i % 7}", s"d$i".getBytes)): _*)
+    StubSdk.failFirstEntriesNext.set(4) // one mid-run partial failure
+    val q = mem.toDF.toDF("partitionKey", "data")
+      .writeStream
+      .foreach(new KinesisBatchSink("aws8", "awssink",
+        maxBatch = 100, retryBackoffMs = 1))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val payloads = ad.listShards("aws8").flatMap { sh =>
+      ad.getRecords(ad.getShardIterator("aws8", sh.shardId, None), 5000)
+        .records.map(r => new String(r.data))
+    }
+    assert(payloads.length == 1200 && payloads.toSet ==
+      (1 to 1200).map(i => s"d$i").toSet,
+      s"expected 1200 distinct payloads, got ${payloads.length}")
+    val calls = StubSdk.putRecordsCalls.get()
+    assert(calls > 0 && calls <= 30,
+      s"1200 rows at maxBatch=100 must be ~12-20 RPCs, not per-row: $calls")
+  }
+
   test("full DSv2 path through the reflective adapter: reshard + expiry, exactly-once, one cached SDK client") {
     fresh()
     FakeKinesisService.createStream("aws6", 2)

@@ -49,8 +49,16 @@ package software.amazon.awssdk.services.kinesis {
     @volatile var expireEvery: Int = 0
     /** ListShards page size (exercises nextToken pagination). */
     @volatile var listShardsPageSize: Int = 2
+    /** >0: the next putRecords call fails its first N entries with a
+      * per-record throttle code (partial failure, AWS semantics) —
+      * consumed by that one call.
+      */
+    val failFirstEntriesNext = new AtomicInteger(0)
+    /** RPC counter for batch-shape assertions. */
+    val putRecordsCalls = new AtomicInteger(0)
     def reset(): Unit = {
       builds.set(0); throttleNext.set(0); expireEvery = 0; listShardsPageSize = 2
+      failFirstEntriesNext.set(0); putRecordsCalls.set(0)
     }
   }
 
@@ -136,6 +144,24 @@ package software.amazon.awssdk.services.kinesis {
     def putRecord(req: PutRecordRequest): PutRecordResponse =
       new PutRecordResponse(
         fake.putRecord(req.streamNameV, req.partitionKeyV, req.dataV.asByteArray()))
+
+    def putRecords(req: PutRecordsRequest): PutRecordsResponse = {
+      StubSdk.putRecordsCalls.incrementAndGet()
+      val nFail = StubSdk.failFirstEntriesNext.getAndSet(0)
+      val out = new java.util.ArrayList[PutRecordsResultEntry]()
+      var i = 0
+      req.recordsV.forEach { e =>
+        if (i < nFail)
+          out.add(new PutRecordsResultEntry(null,
+            "ProvisionedThroughputExceededException"))
+        else
+          out.add(new PutRecordsResultEntry(
+            fake.putRecord(req.streamNameV, e.partitionKeyV,
+              e.dataV.asByteArray()), null))
+        i += 1
+      }
+      new PutRecordsResponse(out)
+    }
   }
 }
 
@@ -249,5 +275,36 @@ package software.amazon.awssdk.services.kinesis.model {
 
   final class PutRecordResponse(seq: String) {
     def sequenceNumber(): String = seq
+  }
+
+  final class PutRecordsRequestEntry(val partitionKeyV: String, val dataV: SdkBytes)
+  object PutRecordsRequestEntry { def builder(): B = new B
+    final class B {
+      private var k: String = _; private var d: SdkBytes = _
+      def partitionKey(v: String): B = { k = v; this }
+      def data(v: SdkBytes): B = { d = v; this }
+      def build(): PutRecordsRequestEntry = new PutRecordsRequestEntry(k, d)
+    }
+  }
+  final class PutRecordsRequest(val streamNameV: String,
+      val recordsV: java.util.List[PutRecordsRequestEntry])
+  object PutRecordsRequest { def builder(): B = new B
+    final class B {
+      private var s: String = _
+      private var rs: java.util.List[PutRecordsRequestEntry] = _
+      def streamName(v: String): B = { s = v; this }
+      def records(v: java.util.List[PutRecordsRequestEntry]): B = { rs = v; this }
+      def build(): PutRecordsRequest = new PutRecordsRequest(s, rs)
+    }
+  }
+  final class PutRecordsResultEntry(seq: String, err: String) {
+    def sequenceNumber(): String = seq
+    def errorCode(): String = err
+  }
+  final class PutRecordsResponse(rs: java.util.List[PutRecordsResultEntry]) {
+    def records(): java.util.List[PutRecordsResultEntry] = rs
+    def failedRecordCount(): java.lang.Integer = {
+      var n = 0; rs.forEach(e => if (e.errorCode() != null) n += 1); Integer.valueOf(n)
+    }
   }
 }
