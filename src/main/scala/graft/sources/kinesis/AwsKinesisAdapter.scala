@@ -60,6 +60,8 @@ object AwsKinesisAdapter {
       "KinesisClient.getRecords(GetRecordsRequest.builder().shardIterator(it).limit(n).build()) [kinesis.go:180-183]",
     "putRecord" ->
       "KinesisClient.putRecord(PutRecordRequest.builder().streamName(s).partitionKey(k).data(SdkBytes)...)",
+    "putRecords" ->
+      "KinesisClient.putRecords(PutRecordsRequest: <=500 PutRecordsRequestEntry) — per-record sequenceNumber XOR errorCode; partial failure is data, callers retry the failed subset",
     "sequenceAfter" ->
       "getShardIterator + getRecords(limit) metadata-only scan (see scaladoc)")
 }
