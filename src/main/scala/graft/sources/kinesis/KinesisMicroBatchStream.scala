@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.streaming.SequenceSaver
@@ -84,7 +84,21 @@ class KinesisMicroBatchStream(
     saver: Option[SequenceSaver],
     maxRecordsPerFetch: Int)
   extends MicroBatchStream with SupportsAdmissionControl
-  with SupportsTriggerAvailableNow with Logging {
+  with SupportsTriggerAvailableNow with ReportsSourceMetrics with Logging {
+
+  // O13 observability, DSv2-native: per-batch planner state surfaced
+  // into StreamingQueryProgress.sources[].metrics — the queryable twin
+  // of the reference's 20s shard-registry log lines (kinesis.go:100-108)
+  // and of [[graft.streaming.GraftQueryListener]]'s query-level stats.
+  // Updated by [[latestOffset]] (planning), read by the progress
+  // reporter; Strings per the DSv2 metrics contract.
+  @volatile private var metricsSnapshot: Map[String, String] = Map.empty
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    metricsSnapshot.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRecordsPerFetch.toLong)
 
@@ -147,6 +161,7 @@ class KinesisMicroBatchStream(
     val status = client.streamStatus(streamName)
     if (status != "ACTIVE") {
       logInfo(s"stream $streamName status=$status: holding offsets (no admission)")
+      metricsSnapshot = Map("streamStatus" -> status, "holdingOffsets" -> "true")
       return KinesisOffset(startPos)
     }
     val shards = client.listShards(streamName)
@@ -167,6 +182,15 @@ class KinesisMicroBatchStream(
         math.max(1, (r.maxRows() / math.max(1, producing)).toInt)
       case _ => maxRecordsPerFetch
     }
+    metricsSnapshot = Map(
+      "streamStatus" -> status,
+      "holdingOffsets" -> "false",
+      "numShards" -> shards.size.toString,
+      "numClosedShards" -> shards.count(_.closed).toString,
+      "numGatedChildren" ->
+        shards.count(sh => blockedByParent(sh, startPos, byId, cache)).toString,
+      "numProducingShards" -> producing.toString,
+      "admittedPerShard" -> perShard.toString)
     val known = startPos.keySet ++ byId.keySet
     val positions = known.map { shardId =>
       val pos = startPos.get(shardId)

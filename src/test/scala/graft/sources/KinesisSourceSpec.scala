@@ -203,6 +203,29 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("DSv2 source metrics surface planner state in query progress (O13)") {
+    freshStream("s9", 2)
+    (1 to 6).foreach(i => FakeKinesisService.push("s9",
+      f"shardId-${i % 2}%012d", "pk", s"r$i".getBytes))
+    val q = runToMemory(readSource("s9"), "t_metrics")
+    try {
+      q.processAllAvailable()
+      val m = q.lastProgress.sources.head.metrics
+      assert(m.get("streamStatus") == "ACTIVE", s"metrics: $m")
+      assert(m.get("numShards") == "2" && m.get("numClosedShards") == "0")
+      assert(m.containsKey("numProducingShards") && m.containsKey("admittedPerShard"))
+      // a reshard is visible in the next batch's planner metrics,
+      // including the gated merge/split children
+      FakeKinesisService.splitShard("s9", "shardId-000000000000")
+      q.processAllAvailable()
+      Thread.sleep(150)
+      q.processAllAvailable()
+      val m2 = q.lastProgress.sources.head.metrics
+      assert(m2.get("numShards") == "4" && m2.get("numClosedShards") == "1",
+        s"post-reshard metrics: $m2")
+    } finally q.stop()
+  }
+
   test("iterator expiry is survived without loss or duplication (kinesis.go:184-191, O11)") {
     FakeKinesisService.createStream("s6", 1)
     KinesisRegistry.clients.put("flaky", new FakeKinesisClient(expireEvery = 3))
