@@ -11,6 +11,45 @@ import graft.SparkSuite
   */
 class PipelineSpec extends SparkSuite {
 
+  test("chunkOverlap: chunks tile the token stream — stride starts, full coverage, exact reconstruction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(90) // spans 1-token through multi-chunk
+      (id, (1 to n).map(i => s"w${id}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val size = 16
+    val overlap = 5
+    val stride = size - overlap
+    val out = Pipeline.chunkOverlap(docs, size, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.collect().foreach { row =>
+      val id = row.getLong(0)
+      val toks = row.getString(1).trim.split("\\s+").toSeq
+      val chunks = out(id)
+      // expected chunk count and stride-aligned starts
+      val expNc = if (toks.size <= size) 1
+                  else 1 + math.ceil((toks.size - size).toDouble / stride).toInt
+      assert(chunks.length == expNc, s"doc $id: ${chunks.length} vs $expNc chunks")
+      chunks.zipWithIndex.foreach { case ((_, idx, start, nTok, text), i) =>
+        assert(idx == i && start == i * stride)
+        val exp = toks.slice(start, start + size)
+        assert(nTok == exp.size && text == exp.mkString(" "),
+          s"doc $id chunk $i: wrong slice")
+      }
+      // full coverage: the last chunk reaches the final token, and
+      // dropping each chunk's first `overlap` tokens (except chunk 0)
+      // reconstructs the original stream exactly
+      val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, _, _, text), i) =>
+        val ts = text.split(" ").toSeq
+        if (i == 0) ts else ts.drop(overlap)
+      }
+      assert(rebuilt.toSeq == toks, s"doc $id: reconstruction mismatch")
+    }
+  }
+
   test("packSequences chunks each stratum's token stream at the budget boundary") {
     import spark.implicits._
     // strata A: docs of 6, 5, 4 tokens; budget 10 →
