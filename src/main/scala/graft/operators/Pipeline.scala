@@ -889,9 +889,9 @@ object Pipeline {
                 ELSE 1 + CAST(ceil((n - 32)::DOUBLE / 24) AS INT) END AS nc
            FROM n)
          SELECT doc_id,
-           i AS chunk_idx,
-           i * 24 AS start_tok,
-           LEAST(32, n - i * 24) AS chunk_tokens,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 24 AS INTEGER) AS start_tok,
+           CAST(LEAST(32, n - i * 24) AS INTEGER) AS chunk_tokens,
            array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
          FROM c, LATERAL unnest(range(nc)) AS u(i)
          ORDER BY doc_id, chunk_idx"""
