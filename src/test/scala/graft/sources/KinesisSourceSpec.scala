@@ -203,6 +203,61 @@ class KinesisSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("reshard storm: seeded-random splits AND merges mid-stream deliver exactly-once, in order") {
+    for (seed <- Seq(101, 202)) {
+      val stream = s"storm$seed"
+      val rnd = new scala.util.Random(seed)
+      freshStream(stream, 2)
+      val probe = new FakeKinesisClient()
+      def openShards: Seq[String] =
+        probe.listShards(stream).filterNot(_.closed).map(_.shardId)
+      var n = 0
+      var expected = Set.empty[String]
+      def pushSome(k: Int): Unit = {
+        val open = openShards
+        (1 to k).foreach { _ =>
+          n += 1; val pay = s"r$n"
+          FakeKinesisService.push(stream, open(rnd.nextInt(open.size)),
+            s"pk${rnd.nextInt(5)}", pay.getBytes)
+          expected += pay
+        }
+      }
+      pushSome(8)
+      val q = runToMemory(
+        readSource(stream, Map("maxRecordsPerFetch" -> "3")), s"t_$stream")
+      try {
+        for (_ <- 1 to 6) {
+          q.processAllAvailable()
+          val open = openShards
+          val roll = rnd.nextInt(10)
+          if (roll < 5 && open.nonEmpty)
+            FakeKinesisService.splitShard(stream, open(rnd.nextInt(open.size)))
+          else if (roll < 8 && open.size >= 2) {
+            val Seq(a, b) = rnd.shuffle(open).take(2)
+            FakeKinesisService.mergeShards(stream, a, b)
+          }
+          pushSome(3 + rnd.nextInt(10))
+          q.processAllAvailable()
+        }
+        // drain: gated children admit one planning cycle after their
+        // parents' drain commits, so give the trigger a few cycles
+        assert(eventually(15000) {
+          q.processAllAvailable()
+          spark.sql(s"SELECT count(*) FROM t_$stream").head.getLong(0) == expected.size
+        }, s"seed $seed: not all records delivered " +
+          s"(${spark.sql(s"SELECT count(*) FROM t_$stream").head.getLong(0)} of ${expected.size})")
+        val rows = spark.sql(s"SELECT data, shardId, sequenceNumber FROM t_$stream").collect()
+        val payloads = rows.map(r => new String(r.getAs[Array[Byte]]("data")))
+        assert(payloads.length == payloads.toSet.size, s"seed $seed: duplicate delivery")
+        assert(payloads.toSet == expected, s"seed $seed: payload set mismatch")
+        rows.groupBy(_.getAs[String]("shardId")).values.foreach { rs =>
+          val seqs = rs.map(_.getAs[String]("sequenceNumber")).toSeq
+          assert(seqs == seqs.sorted, s"seed $seed: per-shard order broken")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("DSv2 source metrics surface planner state in query progress (O13)") {
     freshStream("s9", 2)
     (1 to 6).foreach(i => FakeKinesisService.push("s9",
