@@ -173,6 +173,27 @@ class AwsKinesisClientSpec extends SparkSuite {
       s"1200 rows at maxBatch=100 must be ~12-20 RPCs, not per-row: $calls")
   }
 
+  test("Trigger.AvailableNow backfill through the adapter: metadata scan captures the tail, drains, terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    fresh()
+    FakeKinesisService.createStream("aws9", 2)
+    (1 to 40).foreach(i => FakeKinesisService.push("aws9",
+      f"shardId-${i % 2}%012d", "pk", s"b$i".getBytes))
+    // metadatascanhops=1 with the planner's 10k-record limit per hop
+    // still captures the full 20-record tails in one hop each; the cap
+    // is exercised (not bypassed) because sequenceAfter loops hops
+    val q = readSource("aws9", Map("metadataScanHops" -> "1"))
+      .writeStream.format("memory").queryName("t_aws_an")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(30000), "AvailableNow did not self-terminate")
+    // records pushed AFTER the capture are not part of the backfill
+    FakeKinesisService.push("aws9", "shardId-000000000000", "pk", "late".getBytes)
+    val got = spark.sql("SELECT data FROM t_aws_an").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(got.length == 40 && got.toSet == (1 to 40).map(i => s"b$i").toSet,
+      s"backfill must drain exactly the captured tail, got ${got.length}")
+  }
+
   test("full DSv2 path through the reflective adapter: reshard + expiry, exactly-once, one cached SDK client") {
     fresh()
     FakeKinesisService.createStream("aws6", 2)
