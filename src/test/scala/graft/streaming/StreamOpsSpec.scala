@@ -543,6 +543,39 @@ class StreamOpsSpec extends SparkSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("chunkOverlap: batch ≡ stream on a file-replay (stateless per-row explode)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    // Chunking is a pure per-row fan-out (tokenize, explode, slice) —
+    // no state, no watermark — so streaming a corpus through it must
+    // emit exactly the batch chunk set, however the files are batched.
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chunkreplay").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = Pipeline.chunkOverlap(streamed, chunkSize = 32, overlap = 8)
+      .writeStream.format("memory").queryName("so_p14_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "p14 replay should run >1 non-empty micro-batch")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      val stream = spark.sql(
+          "SELECT doc_id, chunk_idx, start_tok, chunk_tokens, chunk_text FROM so_p14_stream")
+        .collect().map(key).sortBy(k => (k._1, k._2))
+      val batch = Pipeline.chunkOverlap(docs, chunkSize = 32, overlap = 8)
+        .collect().map(key).sortBy(k => (k._1, k._2))
+      assert(batch.length > docs.count(), "parity test is vacuous: no doc multi-chunked")
+      assert(stream.toSeq == batch.toSeq,
+        s"p14 stream chunks differ from batch (${stream.length} vs ${batch.length})")
+    } finally q.stop()
+  }
+
   test("redactPii: batch ≡ stream on a file-replay (stateless per-row scrub)") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
