@@ -44,25 +44,42 @@ object Sketch {
   private def h31(c: org.apache.spark.sql.Column) =
     Dedup.sharedHash60(c) % P
 
-  private def bucketExpr(row: Int) = {
+  // ONE definition of the cell formula, parameterized on the hash
+  // column so batch build/estimate and the streaming twin can't desync
+  private def bucketExpr(h: org.apache.spark.sql.Column, row: Int) = {
     val (a, b) = cmsSeeds(row)
-    ((col("__h") * a + b) % P) % CmsWidth
+    ((h * a + b) % P) % CmsWidth
   }
+
+  /** The cross-engine CMS key hash as a Column — public for the
+    * streaming twin ([[graft.streaming.StreamOps.dailyFreqCmsStream]]).
+    */
+  def cmsHashColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h31(c)
+
+  /** The d (row, bucket) cells for a PRE-COMPUTED hash column (compute
+    * the hash once per row via [[cmsHashColumn]], then explode this).
+    */
+  def cmsCellsOnHash(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsRows).map { i =>
+      struct(lit(i).as("row"), bucketExpr(h, i).as("bucket"))
+    }: _*)
+
+  /** (depth d, width w) — public so the streaming twin sizes its
+    * counter state identically.
+    */
+  val cmsDims: (Int, Int) = (CmsRows, CmsWidth)
 
   /** Build a count-min sketch over `items(keyCol)`: one row per
     * non-empty (row, bucket) with its counter. ONE hash aggregate with
     * map-side combine; ≤ d×w output rows total. Merge two sketches by
     * unioning and summing `cnt` on (row, bucket) — see [[cmsMerge]].
     */
-  def cmsBuild(items: DataFrame, keyCol: String): DataFrame = {
-    val rows = (0 until CmsRows).map { i =>
-      struct(lit(i).as("row"), bucketExpr(i).as("bucket"))
-    }
+  def cmsBuild(items: DataFrame, keyCol: String): DataFrame =
     items.select(h31(col(keyCol)).as("__h"))
-      .select(explode(array(rows: _*)).as("rb"))
+      .select(explode(cmsCellsOnHash(col("__h"))).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Merge partial sketches (counters add — the mergeable-rollup path:
     * per-shard/per-day partials combine without touching raw data).
@@ -80,12 +97,9 @@ object Sketch {
     * before the shuffle). CMS guarantee: estimate ≥ true count, always.
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
-    val rows = (0 until CmsRows).map { i =>
-      struct(lit(i).as("row"), bucketExpr(i).as("bucket"))
-    }
     keys.select(col(keyCol).as("key"))
       .withColumn("__h", h31(col("key")))
-      .select(col("key"), explode(array(rows: _*)).as("rb"))
+      .select(col("key"), explode(cmsCellsOnHash(col("__h"))).as("rb"))
       .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy("key")

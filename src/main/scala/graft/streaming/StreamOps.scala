@@ -224,6 +224,55 @@ object StreamOps {
       .toDF("day", "n_seen", "ks")
   }
 
+  /** Per-day count-min frequency sketches over a stream — the
+    * streaming third of the mergeable-sketch trio (HLL distincts:
+    * [[dailyDistinctSketches]], estimate parity; KMV distincts:
+    * [[dailyDistinctKmvStream]], bit-exact; CMS frequencies: this,
+    * also bit-exact, because counter ADDITION is order-, batching-
+    * and replay-partition-independent). State per day is one dense
+    * d×w long array (32 KiB at the family's 4×1024) whatever the key
+    * cardinality; cells hash with the same affine family as the batch
+    * [[graft.operators.Sketch.cmsBuild]] — via the SHARED
+    * `cmsHashColumn`/`cmsCellsOnHash` — so the streamed counters equal
+    * the batch sketch exactly (asserted in StreamOpsSpec), and any
+    * trailing window merges daily sketches by counter addition
+    * ([[graft.operators.Sketch.cmsMerge]]) without recounting.
+    *
+    * Output (append mode): one row per NON-EMPTY cell per updated day
+    * per micro-batch — (day, n_seen, row, bucket, cnt); `n_seen`
+    * grows strictly, so a day's current sketch is its max-n_seen
+    * emission set.
+    */
+  def dailyFreqCmsStream(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Sketch
+    val (d, w) = Sketch.cmsDims
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events
+      .select(to_date(col(tsCol)).cast("string").as("day"),
+        Sketch.cmsHashColumn(col(keyCol).cast("string")).as("__h"))
+      .select(col("day"), explode(Sketch.cmsCellsOnHash(col("__h"))).as("rb"))
+      .select(col("day"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .as[(String, Int, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Long]), (String, Long, Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (day, rows, state) =>
+          val (n0, counters) = state.getOption
+            .getOrElse((0L, new Array[Long](d * w)))
+          var n = n0
+          rows.foreach { r => counters(r._2 * w + r._3.toInt) += 1; n += 1 }
+          state.update((n, counters))
+          counters.iterator.zipWithIndex.collect {
+            case (cnt, i) if cnt > 0 =>
+              (day, n, i / w, (i % w).toLong, cnt)
+          }
+      }
+      .toDF("day", "n_seen", "row", "bucket", "cnt")
+  }
+
   /** Streaming last-touch attribution — the streaming twin of the
     * batch q62 window: each `targetType` event (purchase) is credited
     * to the user's most recent PRECEDING `touchTypes` event

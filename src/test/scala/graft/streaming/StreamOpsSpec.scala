@@ -543,6 +543,43 @@ class StreamOpsSpec extends SparkSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("dailyFreqCmsStream: streamed daily CMS counters == per-day batch sketch BIT-FOR-BIT") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketch
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir).select("ts", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("cmsreplay").toString
+    ev.limit(250).write.mode("overwrite").parquet(tmp)
+    ev.exceptAll(ev.limit(250)).write.mode("append").parquet(tmp)
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamOps.dailyFreqCmsStream(streamed)
+      .writeStream.format("memory").queryName("so_cms_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected >=2 non-empty micro-batches")
+      // final sketch per day = the emission set at that day's max n_seen
+      val stream = spark.sql(
+          """SELECT day, row, bucket, cnt FROM so_cms_stream s
+             WHERE n_seen = (SELECT max(n_seen) FROM so_cms_stream m
+                             WHERE m.day = s.day)""")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin through the SAME shared cell helpers
+      val batch = ev
+        .select(to_date(col("ts")).cast("string").as("day"),
+          Sketch.cmsHashColumn(col("event_type").cast("string")).as("__h"))
+        .select(col("day"), explode(Sketch.cmsCellsOnHash(col("__h"))).as("rb"))
+        .groupBy(col("day"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty && stream == batch,
+        s"stream/batch CMS counters differ: ${stream.size} vs ${batch.size} cells; " +
+          s"diff=${(stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    } finally q.stop()
+  }
+
   test("chunkOverlap: batch ≡ stream on a file-replay (stateless per-row explode)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pipeline
