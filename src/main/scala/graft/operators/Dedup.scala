@@ -61,8 +61,8 @@ object Dedup {
       family: String = "xxhash64"): DataFrame =
     shingleCache.computeIfAbsent((s, dir, family), _ => {
       val ex = ngramHashesOf(documents(s, dir), 3, Nil, family).persist()
-      ex.count() // materialize: ingest-time work
-      ex
+      try { ex.count(); ex } // materialize: ingest-time work
+      catch { case e: Throwable => ex.unpersist(); throw e }
     })
 
   // MinHash signature tables, one per (session, dataset) — the second
@@ -79,8 +79,8 @@ object Dedup {
       family: String = "xxhash64"): DataFrame =
     sigCache.computeIfAbsent((s, dir, family), _ => {
       val sig = minhashSignaturesOf(shingleHashes(s, dir, family), family).persist()
-      sig.count() // materialize: ingest-time work
-      sig
+      try { sig.count(); sig } // materialize: ingest-time work
+      catch { case e: Throwable => sig.unpersist(); throw e }
     })
 
   // SimHash signature tables (r10) — same ingest-artifact story as the
@@ -95,8 +95,8 @@ object Dedup {
       family: String = "xxhash64"): DataFrame =
     simhashCache.computeIfAbsent((s, dir, family), _ => {
       val sig = simhashSigs(documents(s, dir), family).persist()
-      sig.count() // materialize: ingest-time work
-      sig
+      try { sig.count(); sig } // materialize: ingest-time work
+      catch { case e: Throwable => sig.unpersist(); throw e }
     })
 
   /** 64-permutation MinHash signatures over a (doc_id, h) shingle-hash
@@ -265,8 +265,8 @@ object Dedup {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => {
       val p = jaccardPairsOf(shingleHashes(s, dir), ShingleDfCap).persist()
-      p.count() // materialize: ingest-time work
-      p
+      try { p.count(); p } // materialize: ingest-time work
+      catch { case e: Throwable => p.unpersist(); throw e }
     })
 
   /** Public accessor for the verified near-dup pair artifact

@@ -44,8 +44,8 @@ object Relational {
       val hot = Joins.hotKeys(
         lineitem(s, dir).select("l_orderkey"), Seq("l_orderkey"), HotKeyThreshold)
         .persist()
-      hot.count() // materialize: ingest-time work
-      hot
+      try { hot.count(); hot } // materialize: ingest-time work
+      catch { case e: Throwable => hot.unpersist(); throw e }
     })
 
   // Oriented co-occurrence graph — the relational family's second

@@ -96,8 +96,10 @@ object Similarity {
       planes: Seq[Seq[Double]], bits: Int): DataFrame =
     lshBucketCache.computeIfAbsent((s, dir, family, planes.hashCode, bits), _ => {
       val bk = lshBuckets(vecs(s, dir), planes, bits).persist()
-      bk.count() // materialize: ingest-time work
-      bk
+      // a failed materialization must not leak the persisted handle
+      // (each computeIfAbsent retry would persist another copy)
+      try { bk.count(); bk } // materialize: ingest-time work
+      catch { case e: Throwable => bk.unpersist(); throw e }
     })
   private def annBuckets(s: SparkSession, dir: String): DataFrame =
     cachedBuckets(s, dir, "ann", annPlanes, BitsPerTable)
@@ -429,8 +431,10 @@ object Similarity {
     ivfIndexCache.computeIfAbsent((s, dir), _ => {
       val idx = buildIvfIndex(embeddings(s, dir), cells = IvfCells)
       val assigned = idx.assigned.persist()
-      assigned.count() // materialize: the index is built at ingest, not per query
-      idx.copy(assigned = assigned)
+      // materialize: the index is built at ingest, not per query;
+      // unpersist-on-throw so a retried build can't leak a copy
+      try { assigned.count(); idx.copy(assigned = assigned) }
+      catch { case e: Throwable => assigned.unpersist(); throw e }
     })
 
   // Built PQ indexes, one per (session, dataset) — the ingest-artifact
@@ -442,8 +446,8 @@ object Similarity {
     pqIndexCache.computeIfAbsent((s, dir), _ => {
       val idx = buildPqIndex(embeddings(s, dir))
       val codes = idx.codes.persist()
-      codes.count() // materialize at ingest, not per query
-      idx.copy(codes = codes)
+      try { codes.count(); idx.copy(codes = codes) } // materialize at ingest
+      catch { case e: Throwable => codes.unpersist(); throw e }
     })
 
   // The verified semantic near-dup PAIR LIST, cached per (session,
@@ -457,8 +461,8 @@ object Similarity {
     semPairCache.computeIfAbsent((s, dir), _ => {
       val p = semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .persist()
-      p.count() // materialize: ingest-time work
-      p
+      try { p.count(); p } // materialize: ingest-time work
+      catch { case e: Throwable => p.unpersist(); throw e }
     })
 
   /** Build the IVF index for a dataset ahead of queries (ingest-time

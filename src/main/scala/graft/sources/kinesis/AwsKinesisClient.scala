@@ -41,7 +41,9 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `throughputretries` / `throughputbackoffms` → bounded retry of
   *    `ProvisionedThroughputExceededException` (the 5 reads/s/shard
   *    service limit; steady-state stays under it via the planner's
-  *    admission cap, the retry only rides out transient spikes)
+  *    admission cap, the retry only rides out transient spikes) and of
+  *    the control-plane `LimitExceededException` (ListShards /
+  *    DescribeStreamSummary API rate limits)
   *  - `metadatascanhops` → cap on GetRecords hops inside
   *    [[sequenceAfter]]'s metadata scan (empty iterator regions)
   *
@@ -318,9 +320,17 @@ object AwsKinesisClient {
   private val clientCache = new ConcurrentHashMap[String, AnyRef]()
 
   /** Test/ops hook: drop cached clients (e.g. after rotating
-    * credentials or re-pointing `endpoint`).
+    * credentials or re-pointing `endpoint`). SDK clients own HTTP
+    * connection pools, so each is close()d (reflectively, best-effort)
+    * before the reference is dropped — clearing alone would leak the
+    * pools until GC finalization.
     */
-  def resetClientCache(): Unit = clientCache.clear()
+  def resetClientCache(): Unit = {
+    clientCache.values().forEach { c =>
+      try call(c, "close") catch { case _: Throwable => () }
+    }
+    clientCache.clear()
+  }
 
   private def rootCause(e: Throwable): Throwable = e match {
     case ite: InvocationTargetException if ite.getCause != null => rootCause(ite.getCause)
