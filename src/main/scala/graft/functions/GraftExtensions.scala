@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorCosine].getCanonicalName, "vector_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getCanonicalName, "byte_histogram"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ByteHistogram(exprs.head)))
   }
 }

@@ -217,24 +217,33 @@ object Multimodal {
     * are dropped (entropy of nothing is undefined).
     */
   def byteEntropy(df: DataFrame, idCol: String = "doc_id",
-      contentCol: String = "content"): DataFrame =
+      contentCol: String = "content"): DataFrame = {
+    // Native byte_histogram (graft.functions.ByteHistogram): one in-row
+    // codegen pass per asset instead of the r<11 shape that EXPLODED a
+    // row per byte (content-length× fan-out + two shuffled aggregates —
+    // measured 1.0-1.2 s vs 0.53-0.58 s at sf0.1, same hashes; the
+    // remainder is the binary scan itself). Folding the
+    // 256-element histogram with HOFs is fine — the repo's HOF pitfall
+    // is exploding OVER a lambda array, not folding a small one.
+    graft.functions.ByteHistogram.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
       .filter(octet_length(col("content")) > 0)
-      // plain-sequence explode, substring after the generator (the
-      // repo's measured HOF re-evaluation pitfall, see frameSample)
-      .withColumn("pos", explode(expr("sequence(1, octet_length(content))")))
+      .withColumn("__hist", expr("byte_histogram(content)"))
       .select(col("doc_id"),
-        expr("CAST(conv(hex(substring(content, pos, 1)), 16, 10) AS INT)").as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_bytes"),
-        count(lit(1)).cast("int").as("n_distinct"),
-        sum(col("c") * expr("CAST(round(ln(c) * 1e6) AS BIGINT)")).as("__t"))
+        // == sum of histogram counts, by definition of the histogram
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        expr("CAST(size(filter(__hist, c -> c > 0)) AS INT)").as("n_distinct"),
+        // the same integer micro-nat grid as the exploded form: the
+        // per-value counts c are identical, so the sum is bit-equal
+        expr("""aggregate(__hist, 0L, (acc, c) ->
+                 acc + IF(c > 0, c * CAST(round(ln(c) * 1e6) AS BIGINT), 0L))""")
+          .as("__t"))
       .withColumn("entropy_nats",
         (expr("CAST(CAST(round(ln(n_bytes) * 1e6) AS BIGINT) AS DOUBLE)") -
           col("__t").cast("double") / col("n_bytes").cast("double")) / lit(1e6))
       .select(col("doc_id"), col("n_bytes"), col("n_distinct"),
         col("entropy_nats"))
+  }
 
   /** Shot-boundary (scene-change) detection over a binary "video"
     * column: the payload is sliced into fixed-size frames (like

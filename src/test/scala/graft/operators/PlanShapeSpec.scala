@@ -712,6 +712,15 @@ class PlanShapeSpec extends SparkSuite {
       "day-window merge must be contribution-explode, never a day×day join")
   }
 
+  test("m07: byte entropy is one in-row histogram pass — no per-byte explode, only the output sort exchanges") {
+    val p = plan("m07_byte_entropy")
+    assert(!p.contains("Generate"),
+      s"per-byte explode fan-out is back in the plan:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size / 2 <= 1,
+      s"m07 should shuffle only for the final orderBy:\n$p")
+    assert(!p.contains("Join"), s"byte entropy must be join-free:\n$p")
+  }
+
   test("q78: supply components run entirely from the prepared loop tables — zero parquet scans") {
     val p = plan("q78_supply_components")
     assert("Scan parquet".r.findAllIn(p).isEmpty,
