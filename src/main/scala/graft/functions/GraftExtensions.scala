@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ByteHistogram].getCanonicalName, "byte_histogram"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ByteHistogram(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("quiet_runs"),
+      new ExpressionInfo(classOf[QuietRuns].getCanonicalName, "quiet_runs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuietRuns(exprs(0), exprs(1), exprs(2))))
   }
 }

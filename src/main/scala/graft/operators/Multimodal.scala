@@ -309,24 +309,14 @@ object Multimodal {
     require(threshold >= 1 && threshold <= 255,
       s"threshold must be in [1, 255], got $threshold")
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    // byte < threshold as a BINARY comparison (unsigned, lexicographic
-    // on the 1-byte slice) — no hex/conv string round-trip per byte
-    // (measured ~4× on the fold's hot loop)
-    val thrHex = f"$threshold%02X"
+    // Native quiet_runs (graft.functions.QuietRuns): one codegen loop
+    // per asset instead of the r<11 per-byte aggregate HOF (a lambda
+    // call + struct accumulator + 1-byte substring slice PER BYTE —
+    // measured 1.4-1.7 s vs 0.20-0.24 s at sf0.1, same run arithmetic
+    // and hashes).
+    graft.functions.QuietRuns.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), col(contentCol).as("content"))
-      .withColumn("__st", expr(
-        s"""aggregate(sequence(1, octet_length(content)),
-              struct(0L AS cur, 0L AS maxr, 0L AS nruns),
-              (acc, j) -> CASE WHEN substring(content, j, 1) < X'$thrHex'
-                THEN struct(acc.cur + 1L AS cur,
-                       GREATEST(acc.maxr, acc.cur + 1L) AS maxr,
-                       acc.nruns AS nruns)
-                ELSE struct(0L AS cur, acc.maxr AS maxr,
-                       acc.nruns + CASE WHEN acc.cur >= $minRun
-                                   THEN 1L ELSE 0L END AS nruns) END,
-              acc -> struct(acc.maxr AS maxr,
-                acc.nruns + CASE WHEN acc.cur >= $minRun
-                            THEN 1L ELSE 0L END AS nruns))"""))
+      .withColumn("__st", expr(s"quiet_runs(content, $threshold, $minRun)"))
       .select(col("doc_id"),
         octet_length(col("content")).cast("long").as("n_bytes"),
         col("__st.maxr").as("max_quiet_run"),

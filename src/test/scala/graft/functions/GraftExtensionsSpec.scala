@@ -32,6 +32,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val hi = spark.sql("SELECT byte_histogram(unhex('FF00FF')) AS h")
         .collect().head.getSeq[Long](0)
       assert(hi(255) == 2 && hi(0) == 1 && hi.sum == 3)
+      // quiet_runs: run of 3 below-threshold bytes, split by a loud one;
+      // minRun 2 counts only the first run, maxr sees it; trailing-run
+      // close-out and the empty-content edge both covered
+      val qr = spark.sql(
+        "SELECT quiet_runs(unhex('010101FF0102'), 32, 2) AS r")
+        .collect().head.getStruct(0)
+      assert(qr.getLong(0) == 3 && qr.getLong(1) == 2) // maxr=3; runs: 3 and trailing 2
+      val qr1 = spark.sql("SELECT quiet_runs(unhex('0101'), 32, 3) AS r")
+        .collect().head.getStruct(0)
+      assert(qr1.getLong(0) == 2 && qr1.getLong(1) == 0)
+      val qr0 = spark.sql("SELECT quiet_runs(unhex(''), 32, 1) AS r")
+        .collect().head.getStruct(0)
+      assert(qr0.getLong(0) == 0 && qr0.getLong(1) == 0,
+        "empty content must report zero runs (the old HOF fold's descending-sequence edge)")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
