@@ -721,6 +721,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), s"byte entropy must be join-free:\n$p")
   }
 
+  test("m09: silence runs are one native fold per asset — no explode, no aggregation, only the output sort") {
+    val p = plan("m09_silence_runs")
+    assert(!p.contains("Generate"),
+      s"per-byte fan-out is back in the plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"quiet_runs should fold in-row, not aggregate:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size / 2 <= 1,
+      s"m09 should shuffle only for the final orderBy:\n$p")
+  }
+
   test("q78: supply components run entirely from the prepared loop tables — zero parquet scans") {
     val p = plan("q78_supply_components")
     assert("Scan parquet".r.findAllIn(p).isEmpty,
