@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuietRuns].getCanonicalName, "quiet_runs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QuietRuns(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("resize_grid"),
+      new ExpressionInfo(classOf[ResizeGrid].getCanonicalName, "resize_grid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ResizeGrid(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

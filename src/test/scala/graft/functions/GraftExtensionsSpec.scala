@@ -46,6 +46,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head.getStruct(0)
       assert(qr0.getLong(0) == 0 && qr0.getLong(1) == 0,
         "empty content must report zero runs (the old HOF fold's descending-sequence edge)")
+      // resize_grid: 2x2 source grid FF 00 / 01 80 identity-resampled
+      // (unsigned values), and downsampled 2x2 -> 1x1 picks byte (0,0)
+      val rg = spark.sql(
+        "SELECT resize_grid(unhex('FF000180'), 2, 2, 2) AS g")
+        .collect().head.getSeq[Long](0)
+      assert(rg == Seq(255L, 0L, 1L, 128L), s"identity resample: $rg")
+      val rg1 = spark.sql("SELECT resize_grid(unhex('FF000180'), 2, 1, 1) AS g")
+        .collect().head.getSeq[Long](0)
+      assert(rg1 == Seq(255L))
+      // content shorter than one source row -> null, not out-of-range
+      assert(spark.sql("SELECT resize_grid(unhex('FF'), 2, 1, 1) AS g")
+        .collect().head.isNullAt(0))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
