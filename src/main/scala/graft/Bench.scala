@@ -10,6 +10,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Committed previous-round snapshot (BENCH_BASELINE.json —
+    // refreshed at round OPEN from the previous round's driver capture,
+    // so a round's bench always compares against the PRIOR round).
+    // Parsed up front because it doubles as the matched-subset
+    // selector below. sf-mismatched (or sf-less) baselines are
+    // unusable — treated as absent (r10 ADVICE).
+    val baseline: Option[(Long, Map[String, Double])] = try {
+      val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        if (!root.hasNonNull("sf") || root.get("sf").asText() != sfDir) None
+        else {
+          val best = root.get("best")
+          val it = best.fieldNames()
+          val prev = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) {
+            val k = it.next(); prev(k) = best.get(k).asDouble()
+          }
+          Some((root.get("round").asLong(), prev.toMap))
+        }
+      }
+    } catch { case _: Throwable => None }
+    // Isolation mode (r11 VERDICT item 1): SPARK_GRAFT_BENCH_ONLY_MATCHED=1
+    // runs ONLY the baseline-matched subset — a fresh JVM with no JIT/
+    // code-cache/artifact pressure from the other ~90 queries — so a
+    // matched-total drift can be attributed: persists in isolation ⇒
+    // box drift; vanishes ⇒ suite-growth pressure.
+    val onlyMatched = sys.env.get("SPARK_GRAFT_BENCH_ONLY_MATCHED").contains("1")
+    val suite = if (onlyMatched)
+      SparkEntry.queries.filter { case (k, _) => baseline.exists(_._2.contains(k)) }
+    else SparkEntry.queries
     // Untimed warm-up: JIT/codegen/classloading otherwise lands on
     // whichever query happens to run first (incl. MLlib's one-time
     // BLAS/class init, which the IVF query would otherwise absorb).
@@ -40,13 +73,13 @@ object Bench {
     // otherwise lands inside run 1, making the median track run-1 JIT
     // noise instead of plan cost (r4: median 60.5 s vs best-of 38.6 s,
     // dominated by one slow first run).
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
+    suite.foreach { case (name, fn) => runOnce(name, fn) }
     // Best-of-N per query: single-run times on this class of box vary
     // ±30% (JIT, GC, page cache), which would swamp round-over-round
     // plan-cost deltas.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val runs = (1 to nRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) => name -> runOnce(name, fn) }
+      suite.map { case (name, fn) => name -> runOnce(name, fn) }
     }
     // Report best-of-N (the plan-cost signal) AND the trimmed median:
     // with N ≥ 3 the single worst run is dropped before taking the
@@ -86,50 +119,25 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // Matched-query guardrail (r10): compare this run's best-of-N to
-    // the committed previous-round snapshot (BENCH_BASELINE.json —
-    // convention: refreshed at round OPEN from the previous round's
-    // driver capture, so a round's driver bench always compares
-    // against the PRIOR round, never against itself) over the
-    // queries present in BOTH.
+    // the baseline parsed above over the queries present in BOTH.
     // Uniform box drift (the r7-r9 ±13% pattern that kept costing
     // analysis time) moves matched_cur_total/matched_prev_total
     // together across the whole matched set; a real plan regression
-    // is localized to its query. Failure to read the baseline
-    // degrades to omitting the fields, never to failing the bench.
-    val matchedExtra: String = (try {
-      val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
-        // baseline times are sf-specific: a different-sf run against
-        // them would report a meaningless delta — omit the fields. A
-        // baseline WITHOUT an sf field is equally unverifiable, so it
-        // is treated as a mismatch too (r10 ADVICE).
-        if (!root.hasNonNull("sf") || root.get("sf").asText() != sfDir) None
-        else {
-          val best = root.get("best")
-          val it = best.fieldNames()
-          val prev = scala.collection.mutable.Map.empty[String, Double]
-          while (it.hasNext) {
-            val k = it.next(); prev(k) = best.get(k).asDouble()
-          }
-          // results.toSeq first: collect on the MAP would key the pairs
-          // by previous-round time and silently collapse queries whose
-          // 2-decimal baselines coincide (observed 64 -> 45)
-          val matched = results.toSeq.collect {
-            case (k, (b, _)) if b >= 0 && prev.get(k).exists(_ >= 0) =>
-              (prev(k), b)
-          }
-          Some((root.get("round").asLong(), matched.size,
-            matched.map(_._1).sum, matched.map(_._2).sum))
+    // is localized to its query. An unreadable baseline degrades to
+    // omitting the fields, never to failing the bench.
+    val matchedExtra: String = baseline match {
+      case Some((rnd, prev)) =>
+        // results.toSeq first: collect on the MAP would key the pairs
+        // by previous-round time and silently collapse queries whose
+        // 2-decimal baselines coincide (observed 64 -> 45)
+        val matched = results.toSeq.collect {
+          case (k, (b, _)) if b >= 0 && prev.get(k).exists(_ >= 0) =>
+            (prev(k), b)
         }
-      }
-    } catch { case _: Throwable => None }) match {
-      case Some((rnd, n, prevTot, curTot)) =>
-        s""","baseline_round":$rnd,"matched_n":$n,""" +
-          s""""matched_prev_total":${fmt(2)(prevTot)},""" +
-          s""""matched_cur_total":${fmt(2)(curTot)}"""
+        s""","baseline_round":$rnd,"matched_n":${matched.size},""" +
+          s""""matched_prev_total":${fmt(2)(matched.map(_._1).sum)},""" +
+          s""""matched_cur_total":${fmt(2)(matched.map(_._2).sum)}""" +
+          (if (onlyMatched) s""","isolated_matched_subset":true""" else "")
       case None => ""
     }
     val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":$nRuns}"""
@@ -171,7 +179,8 @@ object Bench {
     }.mkString("[", ",", "]")
     val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"sf":"$sfDir","runs":$nRuns}"""
     try {
-      val p = java.nio.file.Paths.get("target/bench_full.json")
+      val p = java.nio.file.Paths.get(
+        if (onlyMatched) "target/bench_full_matched.json" else "target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

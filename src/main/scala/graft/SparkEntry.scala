@@ -65,15 +65,10 @@ object SparkEntry {
     * merely rows-counted without a named green test backing it.
     */
   def rowsOnlyInvariants: Map[String, (String, String)] = Map(
-    "q27_sketches" -> (("SketchAndFormatSpec: approx_count_distinct within " +
-      "10% of exact; percentiles bracket the true median",
-      "q27b_kmv_distinct")),
-    "q37_hll_union" -> (("SketchAndFormatSpec: q37 HLL sketches: estimates " +
-      "within 5% and union-of-sketches == sketch-of-union",
-      "q37b_kmv_union")),
-    "q65_sliding_distinct_hll" -> (("SketchAndFormatSpec: q65 sketch-form " +
-      "sliding distinct within 2% of exact q64, same day set",
-      "q65b_sliding_distinct_kmv")),
+    // (q27/q37/q65 HLL forms graduated to oracled in r12: their
+    // registered outputs carry exact references + deterministic
+    // accuracy/algebra flags the DuckDB oracle bound-checks, so the
+    // driver file itself shows hash-green for them now.)
     "s04_sim_ivf" -> (("DedupSimilaritySpec: ivf finds mostly the same " +
       "neighbors as brute force (recall sanity)", "s04b_ivf_route")),
     "s06_semantic_neardup" -> (("DedupSimilaritySpec: s06 cluster-blocked " +

@@ -20,7 +20,16 @@ object Verify {
     // never be mistaken for success (round-8 lesson: 16 queries silently
     // vanished from the correctness file).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset (comma-separated names) for targeted scale runs
+    // (e.g. the sf1 capture) — the driver's gate never sets this, so
+    // the full suite remains the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

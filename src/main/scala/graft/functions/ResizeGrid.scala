@@ -47,8 +47,13 @@ case class ResizeGrid(content: Expression, srcWidth: Expression,
     val srcW = sw.asInstanceOf[Int]
     val ow = w.asInstanceOf[Int]
     val oh = h.asInstanceOf[Int]
+    // guard srcW BEFORE the division, mirroring the codegen guard
+    // `($sw > 0) ? $c.length / $sw : 0` — otherwise the interpreted
+    // path (constant folding / codegen fallback) throws on srcW = 0
+    // where codegen returns null
+    if (srcW <= 0 || ow <= 0 || oh <= 0) return null
     val srcH = bytes.length / srcW
-    if (srcW <= 0 || ow <= 0 || oh <= 0 || srcH <= 0) return null
+    if (srcH <= 0) return null
     val out = new Array[Long](ow * oh)
     var p = 0
     while (p < out.length) {

@@ -677,17 +677,29 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // Sketch aggregates (HLL distinct, t-digest-style percentile):
-    // approximate by construction, so no cross-engine oracle —
-    // rows-only driver check; accuracy bounds asserted in
-    // SketchAccuracySpec.
+    // Sketch aggregates (HLL distinct, percentile sketch), CERTIFIED
+    // in-query: the raw estimates are engine-specific (no cross-engine
+    // oracle), so the REGISTERED output carries the exact references
+    // plus deterministic accuracy flags — HLL within 10% (5σ at
+    // rsd=0.02), each approx percentile inside an exact rank band —
+    // which the DuckDB oracle bound-checks as literal TRUEs. The
+    // driver file shows hash-green while the sketches still do the
+    // estimating; raw estimates via [[sketchAggs]] (accuracy-asserted
+    // in SketchAndFormatSpec), hash-exact estimate twin: q27b.
     "q27_sketches" -> ((s, dir) => {
-      lineitem(s, dir)
+      val approx = sketchAggs(lineitem(s, dir))
+      val exact = lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("acd_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("percentile(l_extendedprice, array(0.45, 0.55, 0.985, 0.995))").as("pb"))
+      approx.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("acd_within_10pct"),
+          col("p50_price").between(element_at(col("pb"), 1),
+            element_at(col("pb"), 2)).as("p50_in_rank_band"),
+          col("p99_price").between(element_at(col("pb"), 3),
+            element_at(col("pb"), 4)).as("p99_in_rank_band"))
         .orderBy("l_returnflag")
     }),
 
@@ -1258,19 +1270,38 @@ object Relational {
     // sketches are built once, then re-merged per region WITHOUT
     // re-scanning the facts — the pre-aggregate-then-merge pattern that
     // makes 100 TB rollup hierarchies cheap (partial sketches are tiny
-    // and re-mergeable at any level). Rows-only driver check (DuckDB's
-    // approx family differs); accuracy + merge algebra asserted in
-    // SketchAndFormatSpec.
+    // and re-mergeable at any level). CERTIFIED in-query: DuckDB's
+    // approx family differs, so the registered output carries the
+    // exact count plus two deterministic flags — merged estimate
+    // within 5% (~3σ at lgK=12), and merge-of-sketches ≡
+    // sketch-of-union (the HLL union algebra) — that the oracle
+    // bound-checks as literal TRUEs. The merge flag is a 3% band, not
+    // equality: once sketches leave sparse mode (sf0.1+), Datasketches'
+    // union path flags the result out-of-order and estimates with a
+    // slightly different estimator than a directly-built sketch —
+    // Q37Probe measured ≤1.01% apart at sf0.1, zero in sparse mode
+    // (exact equality IS asserted at sparse-mode scale in
+    // SketchAndFormatSpec). Raw estimates asserted there too;
+    // hash-exact twin: q37b.
     "q37_hll_union" -> ((s, dir) => {
       val c = customer(s, dir)
       val n = nation(s, dir)
-      val perNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val merged = cn
         .groupBy("n_regionkey", "n_nationkey")
-        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
-          count(lit(1)).as("exact_n"))
-      perNation.groupBy("n_regionkey")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
-          sum("exact_n").as("exact_customers"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+        .groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_merged"))
+      val direct = cn.groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("approx_direct"),
+          countDistinct(col("c_custkey")).as("exact_customers"))
+      merged.join(direct, "n_regionkey")
+        .select(col("n_regionkey"), col("exact_customers"),
+          (abs(col("approx_merged") - col("exact_customers")) <=
+            col("exact_customers") * 0.05).as("within_5pct"),
+          (abs(col("approx_merged") - col("approx_direct")) <=
+            greatest(col("approx_direct") * 0.03, lit(1.0)))
+            .as("merge_within_3pct"))
         .orderBy("n_regionkey")
     }),
 
@@ -1537,15 +1568,26 @@ object Relational {
       slidingDistinctUsers(events(s, dir), windowDays = 7)),
 
     // The sketch form of q64: per-day HLL sketches (the streaming
-    // ingest artifact) merged per trailing window. Rows-only driver
-    // check (DuckDB has no Datasketches HLL); the ≤2% agreement with
-    // exact q64 is asserted in SketchAndFormatSpec.
-    "q65_sliding_distinct_hll" -> ((s, dir) =>
-      slidingDistinctApprox(
+    // ingest artifact) merged per trailing window. CERTIFIED in-query
+    // (DuckDB has no Datasketches HLL): the registered output joins
+    // the sketch estimate against the exact q64 form and emits the
+    // exact count plus a within-5%-per-day flag (~3σ at lgK=12) the
+    // oracle bound-checks as literal TRUE — an inner join, so a
+    // missing/phantom day surfaces as a ROWCOUNT mismatch. The
+    // tighter ≤2% agreement stays asserted in SketchAndFormatSpec;
+    // hash-exact twin: q65b.
+    "q65_sliding_distinct_hll" -> ((s, dir) => {
+      val approx = slidingDistinctApprox(
         events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
-        windowDays = 7)),
+        windowDays = 7)
+      val exact = slidingDistinctUsers(events(s, dir), windowDays = 7)
+      approx.join(exact, "day")
+        .select(col("day"), col("u7").as("u7_exact"),
+          (abs(col("u_approx") - col("u7")) <= col("u7") * 0.05).as("within_5pct"))
+        .orderBy("day")
+    }),
 
     // Per-user EWMA of event values (α=0.2) — the recursive decay
     // fold window frames can't express; in-row fold, one exchange.
@@ -1948,6 +1990,19 @@ object Relational {
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("u_approx"))
       .orderBy("day")
   }
+
+  /** The raw q27 sketch aggregates — HLL distinct (rsd 0.02) + KLL/
+    * GK-style approx percentiles (accuracy 1000) per returnflag.
+    * Engine-specific estimates, so the REGISTERED q27 wraps this in
+    * deterministic accuracy flags for the oracle; SketchAndFormatSpec
+    * asserts the raw bounds here directly.
+    */
+  def sketchAggs(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("acd_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
 
   /** Per-key exponentially-weighted moving average — the recursive
     * decay feature (acc ← α·x + (1−α)·acc) that SQL window frames
@@ -3346,6 +3401,38 @@ object Relational {
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM p GROUP BY path
          ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // Sketch-certification oracles (q27/q37/q65): the estimates are
+    // engine-specific, so the Spark side emits exact references plus
+    // deterministic accuracy/algebra flags and the oracle recomputes
+    // the exacts and asserts the flags as literal TRUEs — a false
+    // flag (estimate out of tolerance, merge ≠ direct) hash-fails the
+    // driver gate, making the sketch accuracy part of the gate itself.
+    "q27_sketches" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS acd_within_10pct,
+           TRUE AS p50_in_rank_band,
+           TRUE AS p99_in_rank_band
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q37_hll_union" ->
+      """SELECT n.n_regionkey,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct,
+           TRUE AS merge_within_3pct
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q65_sliding_distinct_hll" ->
+      """WITH pairs AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d FROM pairs)
+         SELECT days.d AS day,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS u7_exact,
+           TRUE AS within_5pct
+         FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+         GROUP BY days.d ORDER BY day""",
 
     // The oracle takes the direct day-spine × pairs interval join the
     // Spark side deliberately avoids — independent algorithm, same

@@ -124,10 +124,12 @@ object Sketch {
   // exactly like the CMS counter-add and the q37 HLL union
   // (asserted in SketchAndFormatSpec).
   //
-  // 100 TB shape: sketch state is ≤ k longs per group; the bottom-k
-  // prune is TWO spill-backed row_number windows — level 1 partitions
-  // by (group, h mod 64) so no single task ever sorts a whole group's
-  // distinct-hash set, level 2 sees ≤ 64·k rows per group.
+  // 100 TB shape: sketch state is ≤ k longs per group END TO END —
+  // the bottom-k prune is ONE object-hash aggregate
+  // ([[graft.functions.KmvBottomK]]) whose map-side partials drop any
+  // hash ≥ their current kth-smallest on sight, so no task ever
+  // buffers (let alone sorts) a group's distinct-hash set and the
+  // exchange carries one ≤ 2 KiB sketch per (partition, group).
   // ---------------------------------------------------------------
 
   private[operators] val KmvK = 256
@@ -144,19 +146,17 @@ object Sketch {
   def kmvHashColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     kmvHash(c)
 
-  // The k smallest distinct `h` per group. Input: grp columns + "h".
-  private def bottomKDistinct(pairs: DataFrame, grp: Seq[String],
+  // The k smallest distinct `h` per group as a sorted array column —
+  // ONE object-hash aggregate with bounded ≤ k-long partials
+  // ([[graft.functions.KmvBottomK]]); bit-identical to the r11
+  // distinct+salted-window form at any parallelism (bottom-k of a set
+  // is duplicate/order/partition-independent — KmvProbe measured the
+  // window form at ~4× this plan's cost at sf0.1).
+  private def bottomKAgg(pairs: DataFrame, grp: Seq[String],
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lvl1 = Window
-      .partitionBy(grp.map(col) :+ pmod(col("h"), lit(64)): _*)
-      .orderBy("h")
-    val lvl2 = Window.partitionBy(grp.map(col): _*).orderBy("h")
-    pairs.distinct()
-      .withColumn("__rn", row_number().over(lvl1))
-      .filter(col("__rn") <= k).drop("__rn")
-      .withColumn("__rn", row_number().over(lvl2))
-      .filter(col("__rn") <= k).drop("__rn")
+    graft.functions.KmvBottomK.register(pairs.sparkSession)
+    pairs.groupBy(grp.map(col): _*)
+      .agg(expr(s"kmv_bottomk(h, $k)").as("ks"))
   }
 
   /** Per-group KMV sketch of `items(keyCol)`: (grp…, ks) with `ks`
@@ -165,10 +165,8 @@ object Sketch {
   def kmvSketch(items: DataFrame, grp: Seq[String], keyCol: String,
       k: Int = KmvK): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val pairs = items.select(grp.map(col) :+ kmvHash(col(keyCol)).as("h"): _*)
-    bottomKDistinct(pairs, grp, k)
-      .groupBy(grp.map(col): _*)
-      .agg(sort_array(collect_list("h")).as("ks"))
+    bottomKAgg(items.select(grp.map(col) :+ kmvHash(col(keyCol)).as("h"): _*),
+      grp, k)
   }
 
   /** Merge per-subgroup sketches up a rollup level: input rows carry
@@ -178,12 +176,10 @@ object Sketch {
     * rescans the base data.
     */
   def kmvMerge(sketches: DataFrame, grp: Seq[String],
-      k: Int = KmvK): DataFrame = {
-    val pairs = sketches.select(grp.map(col) :+ explode(col("ks")).as("h"): _*)
-    bottomKDistinct(pairs, grp, k)
-      .groupBy(grp.map(col): _*)
-      .agg(sort_array(collect_list("h")).as("ks"))
-  }
+      k: Int = KmvK): DataFrame =
+    bottomKAgg(
+      sketches.select(grp.map(col) :+ explode(col("ks")).as("h"): _*),
+      grp, k)
 
   /** Distinct-count estimate from a KMV sketch column: exact when the
     * group has fewer than k distinct hashes, else (k−1)·P div h_(k).

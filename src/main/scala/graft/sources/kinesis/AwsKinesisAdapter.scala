@@ -64,4 +64,59 @@ object AwsKinesisAdapter {
       "KinesisClient.putRecords(PutRecordsRequest: <=500 PutRecordsRequestEntry) — per-record sequenceNumber XOR errorCode; partial failure is data, callers retry the failed subset",
     "sequenceAfter" ->
       "getShardIterator + getRecords(limit) metadata-only scan (see scaladoc)")
+
+  // ---- machine-readable reflective surface (version-skew armor) ----
+  //
+  // [[AwsKinesisClient]] binds the SDK by method NAME at runtime, so an
+  // SDK minor-version rename would otherwise surface as a
+  // NoSuchMethodException at FIRST USE in production — possibly days
+  // after deploy, in whichever code path reaches the renamed member
+  // first. These three tables enumerate every name the adapter
+  // resolves; `AwsKinesisClient.validate()` checks ALL of them against
+  // the loaded classes at configure-time and reports every
+  // missing/mismatched signature at once. AwsKinesisClientSpec asserts
+  // the test stub satisfies the surface 1:1 and that [[clientRpcs]]
+  // agrees with [[methodMapping]].
+
+  /** Client RPCs the adapter invokes (each takes exactly the matching
+    * `<Name>Request`) — [[methodMapping]] minus the composite
+    * `sequenceAfter`.
+    */
+  val clientRpcs: Seq[String] = Seq("listShards", "describeStreamSummary",
+    "getShardIterator", "getRecords", "putRecord", "putRecords")
+
+  /** Request model class (under `<pkg>.model`) → the 1-arg builder
+    * setters the adapter chains. Every class additionally needs a
+    * static `builder()` and the builder an instance `build()`.
+    */
+  val requestSetters: Map[String, Seq[String]] = Map(
+    "ListShardsRequest" -> Seq("streamName", "nextToken"),
+    "DescribeStreamSummaryRequest" -> Seq("streamName"),
+    "GetShardIteratorRequest" -> Seq("streamName", "shardId",
+      "shardIteratorType", "startingSequenceNumber"),
+    "GetRecordsRequest" -> Seq("shardIterator", "limit"),
+    "PutRecordRequest" -> Seq("streamName", "partitionKey", "data"),
+    "PutRecordsRequestEntry" -> Seq("partitionKey", "data"),
+    "PutRecordsRequest" -> Seq("streamName", "records"))
+
+  /** Response/model class → the 0-arg accessors the adapter reads.
+    * Names containing a dot are absolute (core classes outside the
+    * kinesis package); the rest live under `<pkg>.model`.
+    */
+  val responseAccessors: Map[String, Seq[String]] = Map(
+    "ListShardsResponse" -> Seq("shards", "nextToken"),
+    "Shard" -> Seq("shardId", "parentShardId", "sequenceNumberRange",
+      "adjacentParentShardId"),
+    "SequenceNumberRange" -> Seq("endingSequenceNumber"),
+    "DescribeStreamSummaryResponse" -> Seq("streamDescriptionSummary"),
+    "StreamDescriptionSummary" -> Seq("streamStatusAsString"),
+    "GetShardIteratorResponse" -> Seq("shardIterator"),
+    "GetRecordsResponse" -> Seq("records", "nextShardIterator",
+      "millisBehindLatest"),
+    "Record" -> Seq("data", "partitionKey", "sequenceNumber",
+      "approximateArrivalTimestamp"),
+    "PutRecordResponse" -> Seq("sequenceNumber"),
+    "PutRecordsResponse" -> Seq("records"),
+    "PutRecordsResultEntry" -> Seq("sequenceNumber", "errorCode"),
+    "software.amazon.awssdk.core.SdkBytes" -> Seq("asByteArray"))
 }

@@ -59,8 +59,83 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
 
   @volatile private var opts: Map[String, String] = Map.empty
 
-  override def configure(options: Map[String, String]): Unit =
+  /** Fails FAST on version skew: after storing the options, resolve the
+    * ENTIRE reflective surface ([[AwsKinesisAdapter.requestSetters]] /
+    * `responseAccessors` / `clientRpcs`) against the loaded classes and
+    * throw with the complete problem list — one renamed SDK member
+    * would otherwise be a NoSuchMethodException at first use in
+    * production, in whichever code path reaches it first. Opt out with
+    * `validate=false` (e.g. a deliberately partial classpath that only
+    * consumes, never produces).
+    */
+  override def configure(options: Map[String, String]): Unit = {
     opts = options
+    if (!opt("validate").contains("false")) {
+      val problems = validate()
+      if (problems.nonEmpty)
+        throw new IllegalStateException(
+          s"AwsKinesisClient: ${problems.size} reflective binding problem(s) " +
+            s"against '$pkg' (SDK version skew?):\n  " +
+            problems.mkString("\n  "))
+    }
+  }
+
+  /** Resolve every reflectively-bound class/method the adapter will use
+    * and return ALL problems (empty = the loaded classpath satisfies
+    * the full [[AwsKinesisAdapter]] surface). Never throws.
+    */
+  def validate(): Seq[String] = {
+    val problems = Seq.newBuilder[String]
+    def requireMethod(cls: Class[_], name: String, argc: Int, label: String): Unit =
+      if (!cls.getMethods.exists(m => m.getName == name && m.getParameterCount == argc))
+        problems += s"$label: no public method $name/$argc on ${cls.getName}"
+    def withClass(fqcn: String, label: String)(f: Class[_] => Unit): Unit =
+      try f(Class.forName(fqcn))
+      catch {
+        case _: ClassNotFoundException => problems += s"$label: class not found: $fqcn"
+        case e: Throwable => problems += s"$label: $fqcn: $e"
+      }
+    // request builders: static builder(), each chained setter, build()
+    AwsKinesisAdapter.requestSetters.toSeq.sortBy(_._1).foreach { case (cname, setters) =>
+      withClass(s"$pkg.model.$cname", cname) { _ =>
+        try {
+          val b = AwsKinesisClient.callStatic(s"$pkg.model.$cname", "builder")
+          setters.foreach(s => requireMethod(b.getClass, s, 1, s"$cname.builder()"))
+          requireMethod(b.getClass, "build", 0, s"$cname.builder()")
+        } catch { case e: Throwable => problems += s"$cname: static builder(): $e" }
+      }
+    }
+    // response accessors (absolute names = core classes outside pkg)
+    AwsKinesisAdapter.responseAccessors.toSeq.sortBy(_._1).foreach { case (cname, accs) =>
+      val fqcn = if (cname.contains('.')) cname else s"$pkg.model.$cname"
+      withClass(fqcn, cname)(cls => accs.foreach(a => requireMethod(cls, a, 0, cname)))
+    }
+    // static factories the adapter calls (credential/region ones only
+    // when the options actually route through them)
+    withClass("software.amazon.awssdk.core.SdkBytes", "SdkBytes")(
+      requireMethod(_, "fromByteArray", 1, "SdkBytes"))
+    if (opt("region").nonEmpty)
+      withClass("software.amazon.awssdk.regions.Region", "Region")(
+        requireMethod(_, "of", 1, "Region"))
+    if (opt("sts").contains("true"))
+      withClass("software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider",
+        "ProfileCredentialsProvider")(
+        requireMethod(_, "create", 1, "ProfileCredentialsProvider"))
+    // the client itself: builder().…build() succeeds and every RPC
+    // resolves on the BUILT client's class (the SDK client is an
+    // interface over a package-private impl; the built instance is
+    // what [[rpc]] dispatches against)
+    try {
+      val c = sdk
+      AwsKinesisAdapter.clientRpcs.foreach(r =>
+        requireMethod(c.getClass, r, 1, "KinesisClient"))
+    } catch {
+      case e: Throwable =>
+        problems += "KinesisClient: builder().build() failed: " +
+          AwsKinesisClient.rootCause(e)
+    }
+    problems.result()
+  }
 
   private def opt(key: String): Option[String] = opts.get(key).filter(_.nonEmpty)
   private def intOpt(key: String, dflt: Int): Int =
@@ -131,8 +206,12 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
           else if ((simple == "ProvisionedThroughputExceededException" ||
               simple == "LimitExceededException") && attempt < retries) {
             // LimitExceeded = control-plane throttle (ListShards /
-            // DescribeStreamSummary API rate limits) — same backoff
-            Thread.sleep(baseMs.toLong << (2 * attempt)) // 1x, 4x, 16x
+            // DescribeStreamSummary API rate limits) — same backoff.
+            // Shift clamped to 20 (≤ ~10⁶×base): Java long shifts are
+            // mod 64, so a user-configured throughputretries ≥ 32
+            // would otherwise wrap into nonsense sleep durations.
+            Thread.sleep(baseMs.toLong << math.min(2 * attempt, 20)) // 1x, 4x, 16x, …
+
             attempt += 1
           } else throw cause
       }

@@ -65,9 +65,17 @@ class KinesisBatchSink(streamName: String, clientName: String,
   override def process(row: Row): Unit = {
     val key = row.getAs[String]("partitionKey")
     val data = row.getAs[Array[Byte]]("data")
+    // AWS sizes the envelope in UTF-8 bytes (key chars ≠ bytes), and a
+    // flush AFTER appending could exceed maxBytes by a full record
+    // (4 MiB default + an up-to-1 MiB record brushes the 5 MB
+    // PutRecords request cap) — so flush BEFORE the record that would
+    // cross the line
+    val recBytes = data.length.toLong +
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    if (buf.nonEmpty && bufBytes + recBytes > maxBytes) flush()
     buf += ((key, data))
-    bufBytes += data.length + key.length
-    if (buf.size >= maxBatch || bufBytes >= maxBytes) flush()
+    bufBytes += recBytes
+    if (buf.size >= maxBatch) flush()
   }
 
   private def flush(): Unit = {

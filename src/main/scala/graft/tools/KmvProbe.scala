@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Component breakdown of q27b (bottom-k distinct sketch over
-  * lineitem): is the cost the sketch pipeline (distinct + two
-  * windows), the exact-count witness, or the join? Also measures a
-  * candidate cheaper sketch shape (single-level window, no salt) to
-  * quantify what the salt level costs at THIS scale vs what it buys at
-  * 100 TB (bounded per-task sorts).
+  * lineitem) across the candidate sketch-build shapes:
+  *
+  *  - `aggShape` — the SHIPPED r12 form: one ObjectHashAggregate over
+  *    [[graft.functions.KmvBottomK]] (bounded ≤ k-long partials).
+  *  - `windowShape` — the r11 form it replaced: global distinct + two
+  *    salted row_number windows (three exchanges, sorts every
+  *    distinct hash).
+  *  - `singleLevel` — one unsalted window (rejected r11: a single
+  *    task sorts a whole group's distinct-hash set at scale).
+  *
+  * Plus the est/exact/join components of the full q27b. Prints TIMER
+  * lines and an EQUAL line proving agg ≡ window bit-for-bit.
   */
 object KmvProbe {
   def main(args: Array[String]): Unit = {
@@ -30,15 +37,30 @@ object KmvProbe {
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
 
-    def sketchOnly() = Sketch.kmvSketch(li, Seq("l_returnflag"), "pk")
-    def estOnly() = Sketch.kmvEstimate(sketchOnly())
+    def aggShape() = Sketch.kmvSketch(li, Seq("l_returnflag"), "pk")
+    def estOnly() = Sketch.kmvEstimate(aggShape())
       .select(col("l_returnflag"), col("est").as("approx_parts"))
     def exactOnly() = li.groupBy("l_returnflag")
       .agg(countDistinct("pk").as("exact_parts"))
     def full() = graft.SparkEntry.queries("q27b_kmv_distinct")(spark, dir)
-    // candidate: single-level bottom-k (no salt window) — the shape we
-    // deliberately did NOT ship (one task sorts a whole group's
-    // distinct-hash set at scale)
+
+    // the r11 shipped shape: distinct + salted two-level windows
+    def windowShape() = {
+      import org.apache.spark.sql.expressions.Window
+      val lvl1 = Window
+        .partitionBy(col("l_returnflag"), pmod(col("h"), lit(64)))
+        .orderBy("h")
+      val lvl2 = Window.partitionBy("l_returnflag").orderBy("h")
+      li.select(col("l_returnflag"), Sketch.kmvHashColumn(col("pk")).as("h"))
+        .distinct()
+        .withColumn("__rn", row_number().over(lvl1))
+        .filter(col("__rn") <= 256).drop("__rn")
+        .withColumn("__rn", row_number().over(lvl2))
+        .filter(col("__rn") <= 256).drop("__rn")
+        .groupBy("l_returnflag").agg(sort_array(collect_list("h")).as("ks"))
+    }
+
+    // rejected r11: single unsalted window
     def singleLevel() = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_returnflag").orderBy("h")
@@ -49,43 +71,22 @@ object KmvProbe {
         .groupBy("l_returnflag").agg(sort_array(collect_list("h")).as("ks"))
     }
 
-    // candidate: fold the distinct INTO the salt-level window — equal
-    // h always lands in the same salt bucket (salt = h mod 64), so a
-    // lag-dedup + dense_rank<=k in ONE window pass selects the k
-    // smallest distinct h per bucket with one exchange instead of two
-    def fusedSketch() = {
-      import org.apache.spark.sql.expressions.Window
-      val w1 = Window
-        .partitionBy(col("l_returnflag"), pmod(col("h"), lit(64)))
-        .orderBy("h")
-      val w2 = Window.partitionBy("l_returnflag").orderBy("h")
-      li.select(col("l_returnflag"), Sketch.kmvHashColumn(col("pk")).as("h"))
-        .withColumn("__prev", lag("h", 1).over(w1))
-        .withColumn("__dr", dense_rank().over(w1))
-        .filter(col("__dr") <= 256 &&
-          (col("__prev").isNull || col("__prev") =!= col("h")))
-        .drop("__prev", "__dr")
-        .withColumn("__rn", row_number().over(w2))
-        .filter(col("__rn") <= 256).drop("__rn")
-        .groupBy("l_returnflag").agg(sort_array(collect_list("h")).as("ks"))
-    }
-
-    Seq(("sketchOnly", () => noop(sketchOnly())),
+    Seq(("aggShape", () => noop(aggShape())),
+        ("windowShape", () => noop(windowShape())),
+        ("singleLevel", () => noop(singleLevel())),
         ("estOnly", () => noop(estOnly())),
         ("exactOnly", () => noop(exactOnly())),
-        ("singleLevel", () => noop(singleLevel())),
-        ("fusedSketch", () => noop(fusedSketch())),
         ("full q27b", () => noop(full()))).foreach { case (label, f) =>
       f() // warm
       (1 to 3).foreach(i => time(s"$label run$i")(f()))
     }
 
-    // equality of the fused shape against the shipped sketch
-    val a = sketchOnly().selectExpr("l_returnflag", "cast(ks as string) s")
-      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val b = fusedSketch().selectExpr("l_returnflag", "cast(ks as string) s")
-      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    println(s"EQUAL ${a == b}")
+    // bit-for-bit equality of the shipped aggregate vs the window form
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("l_returnflag", "cast(ks as string) s")
+        .orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    println(s"EQUAL ${canon(aggShape()) == canon(windowShape())}")
     spark.stop()
   }
 }

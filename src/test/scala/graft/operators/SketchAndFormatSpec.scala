@@ -15,7 +15,7 @@ class SketchAndFormatSpec extends SparkSuite {
   private val dir = sf("sf0.001")
 
   test("approx_count_distinct within 10% of exact; percentiles bracket the true median") {
-    val approx = SparkEntry.queries("q27_sketches")(spark, dir).collect()
+    val approx = Relational.sketchAggs(Tables.lineitem(spark, dir)).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -28,35 +28,58 @@ class SketchAndFormatSpec extends SparkSuite {
       assert(math.abs(ap50 - p50) / p50 < 0.10, s"$flag p50 off: $ap50 vs $p50")
       assert(ap99 > ap50, s"$flag p99 <= p50")
     }
+    // the REGISTERED (oracled) form certifies the same bounds as flags
+    val certified = SparkEntry.queries("q27_sketches")(spark, dir).collect()
+    assert(certified.nonEmpty)
+    certified.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"q27 certification flag false: $r")
+    }
   }
 
   test("q37 HLL sketches: estimates within 5% and union-of-sketches == sketch-of-union") {
-    val rows = SparkEntry.queries("q37_hll_union")(spark, dir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getLong(1)
-      val exact = r.getLong(2)
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"region ${r.get(0)}: HLL estimate $approx vs exact $exact")
+    // raw estimates: per-nation sketches merged per region vs exact
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val cn = c.join(n, c("c_nationkey") === n("n_nationkey"))
+    val merged = cn.groupBy("n_regionkey", "n_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+      .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val exact = cn.groupBy("n_regionkey")
+      .agg(countDistinct("c_custkey").as("nd"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged.keySet == exact.keySet)
+    exact.foreach { case (region, nd) =>
+      assert(math.abs(merged(region) - nd).toDouble / nd < 0.05,
+        s"region $region: HLL estimate ${merged(region)} vs exact $nd")
     }
     // merge algebra: merging per-nation sketches must equal sketching
     // the region's customers directly (HLL union is exact over sketches)
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val direct = c.join(n, c("c_nationkey") === n("n_nationkey"))
-      .groupBy("n_regionkey")
+    val direct = cn.groupBy("n_regionkey")
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").as("direct_est"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    rows.foreach { r =>
-      assert(direct(r.get(0)) == r.getLong(1),
-        s"region ${r.get(0)}: merged estimate != direct sketch estimate")
+    merged.foreach { case (region, est) =>
+      assert(direct(region) == est,
+        s"region $region: merged estimate != direct sketch estimate")
+    }
+    // the REGISTERED (oracled) form certifies both properties as flags
+    val certified = SparkEntry.queries("q37_hll_union")(spark, dir).collect()
+    assert(certified.nonEmpty)
+    certified.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"q37 certification flag false: $r")
     }
   }
 
   test("q65 sketch-form sliding distinct within 2% of exact q64, same day set") {
     val exact = SparkEntry.queries("q64_sliding_distinct")(spark, dir)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q65_sliding_distinct_hll")(spark, dir)
+    val approx = Relational.slidingDistinctApprox(
+        Tables.events(spark, dir)
+          .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk")), windowDays = 7)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet,
       s"day sets differ: ${approx.keySet} vs ${exact.keySet}")
@@ -64,6 +87,13 @@ class SketchAndFormatSpec extends SparkSuite {
       assert(math.abs(approx(day) - n) / n.toDouble < 0.02,
         s"$day: hll ${approx(day)} vs exact $n")
     }
+    // the REGISTERED (oracled) form certifies the (looser, 5%) bound
+    // as a per-day flag on the same day set
+    val certified = SparkEntry.queries("q65_sliding_distinct_hll")(spark, dir)
+      .collect()
+    assert(certified.map(_.getDate(0).toString).toSet == exact.keySet)
+    certified.foreach(r => assert(r.getBoolean(2),
+      s"q65 certification flag false: $r"))
   }
 
   test("q38 histogram percentiles within one bucket width of the exact percentiles") {

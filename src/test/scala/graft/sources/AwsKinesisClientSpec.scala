@@ -40,6 +40,44 @@ class AwsKinesisClientSpec extends SparkSuite {
     r.load()
   }
 
+  test("validate(): the stub satisfies the declared reflective surface 1:1, and the surface agrees with methodMapping") {
+    fresh()
+    val c = new AwsKinesisClient
+    c.configure(Map("region" -> "us-east-1", "sts" -> "true")) // throws if validate() finds problems
+    assert(c.validate().isEmpty,
+      s"stub must satisfy the full surface: ${c.validate().mkString("; ")}")
+    // the machine-readable surface and the human-readable contract name
+    // the same RPC set: methodMapping keys are KinesisLikeClient
+    // methods (streamStatus wraps describeStreamSummary; sequenceAfter
+    // is the one composite with no 1:1 RPC)
+    assert(AwsKinesisAdapter.clientRpcs.toSet ==
+      (AwsKinesisAdapter.methodMapping.keySet - "sequenceAfter" -
+        "streamStatus") + "describeStreamSummary")
+    // every request class the RPC table implies is in the setter table
+    assert(AwsKinesisAdapter.requestSetters.keySet ==
+      Set("ListShardsRequest", "DescribeStreamSummaryRequest",
+        "GetShardIteratorRequest", "GetRecordsRequest", "PutRecordRequest",
+        "PutRecordsRequestEntry", "PutRecordsRequest"))
+  }
+
+  test("configure fails FAST with the complete problem list on version skew (missing classes reported all at once)") {
+    fresh()
+    val c = new AwsKinesisClient
+    val e = intercept[IllegalStateException](
+      c.configure(Map("sdkpackage" -> "graft.nosuch.sdk", "region" -> "us-east-1")))
+    val msg = e.getMessage
+    // ALL seven request classes + all response classes + the client are
+    // reported in the single failure, not just the first miss
+    Seq("ListShardsRequest", "GetShardIteratorRequest", "PutRecordsRequest",
+      "GetRecordsResponse", "Record", "KinesisClient").foreach(n =>
+      assert(msg.contains(n), s"expected '$n' in the aggregated report:\n$msg"))
+    assert(msg.linesIterator.size > 10,
+      s"skew report must aggregate every miss, got:\n$msg")
+    // the escape hatch: a deliberately partial classpath can opt out
+    val c2 = new AwsKinesisClient
+    c2.configure(Map("sdkpackage" -> "graft.nosuch.sdk", "validate" -> "false"))
+  }
+
   test("listShards paginates nextToken pages and maps closed/parent fields") {
     fresh()
     FakeKinesisService.createStream("aws1", 5) // stub pages by 2 → 3 pages

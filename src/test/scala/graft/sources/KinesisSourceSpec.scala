@@ -16,6 +16,16 @@ object WalRestartSink {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** Static state for the crash-mid-batch test: delivered (seq, payload)
+  * pairs plus a one-shot crash trigger the injected failure consumes.
+  */
+object CrashRestartSink {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  @volatile var crashNext: Boolean = false
+  val crashes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { seen.clear(); crashNext = false; crashes.set(0) }
+}
+
 class KinesisSourceSpec extends SparkSuite {
 
   private def freshStream(name: String, nShards: Int): Unit = {
@@ -306,6 +316,88 @@ class KinesisSourceSpec extends SparkSuite {
     val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
     assert(batches.forall(_ <= 3), s"backfill batch exceeded cap: ${batches.mkString(",")}")
     assert(batches.length >= 4) // 10 rows at <=3/batch: cap respected across batches
+  }
+
+  test("crash mid-batch (offset WAL written, commit not): restart replays the SAME batch — at-least-once, no sequence gap, saver tracks only committed batches") {
+    // The §2.1 replay contract under an UNCLEAN stop: the sink dies
+    // after the batch's end offset reaches the offset WAL but before
+    // commit. Restart must re-run that exact batch (duplicates allowed
+    // — at-least-once, like the reference's restart-from-saved-sequence
+    // replay), never skip it, and the user-visible saver must only ever
+    // hold WAL-COMMITTED positions — the crashed batch must not leak
+    // into it.
+    freshStream("s13", 1)
+    val shard = "shardId-000000000000"
+    val saver = new InMemorySequenceSaver
+    KinesisRegistry.savers.put("sv13", saver)
+    val ckpt = java.nio.file.Files.createTempDirectory("kinesis-crash").toString
+    CrashRestartSink.reset()
+    def startQuery() =
+      readSource("s13", Map("saverName" -> "sv13")).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.select("sequenceNumber", "data").collect()
+            .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1))))
+          if (CrashRestartSink.crashNext && rows.nonEmpty) {
+            // partial delivery, then die between plan and commit
+            CrashRestartSink.seen.add(rows.head)
+            CrashRestartSink.crashNext = false
+            CrashRestartSink.crashes.incrementAndGet()
+            throw new RuntimeException("injected sink crash before commit")
+          }
+          rows.foreach(CrashRestartSink.seen.add)
+        }
+        .trigger(Trigger.ProcessingTime(50)).start()
+
+    // phase 1: two records land cleanly (committed batch)
+    val seqs12 = (1 to 2).map(i =>
+      FakeKinesisService.push("s13", shard, "pk", s"c$i".getBytes))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(eventually()(saver.get("s13", shard).contains(seqs12.last)))
+
+    // phase 2: two more records; the sink crashes mid-batch
+    val seqs34 = (3 to 4).map(i =>
+      FakeKinesisService.push("s13", shard, "pk", s"c$i".getBytes))
+    CrashRestartSink.crashNext = true
+    val q2 = startQuery()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(10000); ()
+    }
+    assert(died.getMessage.contains("injected sink crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected sink crash")))
+    assert(CrashRestartSink.crashes.get() == 1)
+    // the crashed (planned-but-uncommitted) batch must NOT have advanced
+    // the user-visible saver: it still holds the last COMMITTED position
+    assert(saver.get("s13", shard).contains(seqs12.last),
+      s"saver leaked an uncommitted batch: ${saver.get("s13", shard)}")
+
+    // phase 3: restart from the same checkpoint + saver — Spark finds
+    // the uncommitted batch in the offset log and re-executes it with
+    // the SAME end offsets, then the saver catches up
+    val q3 = startQuery()
+    try {
+      q3.processAllAvailable()
+      assert(eventually()(saver.get("s13", shard).contains(seqs34.last)))
+    } finally q3.stop()
+
+    import scala.jdk.CollectionConverters._
+    val delivered = CrashRestartSink.seen.asScala.toSeq
+    val bySeq = delivered.groupBy(_._1)
+    // no gap: every pushed sequence delivered at least once, in-order
+    assert(bySeq.keySet == (seqs12 ++ seqs34).toSet,
+      s"sequence gap or phantom: ${bySeq.keySet}")
+    // at-least-once, not exactly-once: the partial pre-crash delivery
+    // plus the replay means ≥ one sequence delivered twice…
+    assert(delivered.size > 4, s"replay did not re-deliver: $delivered")
+    // …but ONLY sequences of the crashed batch — the committed phase-1
+    // batch is never replayed
+    seqs12.foreach(s => assert(bySeq(s).size == 1,
+      s"committed batch was replayed: $s delivered ${bySeq(s).size}x"))
+    // payloads consistent per sequence across replays
+    bySeq.foreach { case (s, rs) =>
+      assert(rs.map(_._2).distinct.size == 1, s"inconsistent replay for $s")
+    }
   }
 
   test("WAL restart: query resumes from checkpointed offsets via deserializeOffset") {

@@ -442,12 +442,14 @@ class StreamOpsSpec extends SparkSuite {
       assert(streamEst == batchEst,
         s"stream/batch sketch estimates differ:\n$streamEst\nvs\n$batchEst")
       // and the trailing-window composition over the streamed sketches
-      // equals the registered batch query
+      // equals the same composition over batch-built daily sketches
+      // (the estimate branch the registered q65 certifies via flags)
       val slid = graft.operators.Relational
         .slidingDistinctApprox(finalSketches, windowDays = 7)
         .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
-      val batchSlid = graft.SparkEntry
-        .queries("q65_sliding_distinct_hll")(spark, dir)
+      val batchSlid = graft.operators.Relational.slidingDistinctApprox(
+          ev.groupBy(to_date(col("ts")).as("day"))
+            .agg(expr("hll_sketch_agg(user_id, 12)").as("sk")), windowDays = 7)
         .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
       assert(slid == batchSlid,
         s"sliding composition differs:\n$slid\nvs\n$batchSlid")
