@@ -40,9 +40,16 @@ object Bench {
     // matched-total drift can be attributed: persists in isolation ⇒
     // box drift; vanishes ⇒ suite-growth pressure.
     val onlyMatched = sys.env.get("SPARK_GRAFT_BENCH_ONLY_MATCHED").contains("1")
-    val suite = if (onlyMatched)
-      SparkEntry.queries.filter { case (k, _) => baseline.exists(_._2.contains(k)) }
-    else SparkEntry.queries
+    // Arbitrary subset (comma-separated names) for targeted scale runs
+    // (e.g. the sf1 top-20 capture); composes with nothing — it wins.
+    val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val suite =
+      if (onlyNames.isDefined)
+        SparkEntry.queries.filter { case (k, _) => onlyNames.get(k) }
+      else if (onlyMatched)
+        SparkEntry.queries.filter { case (k, _) => baseline.exists(_._2.contains(k)) }
+      else SparkEntry.queries
     // Untimed warm-up: JIT/codegen/classloading otherwise lands on
     // whichever query happens to run first (incl. MLlib's one-time
     // BLAS/class init, which the IVF query would otherwise absorb).

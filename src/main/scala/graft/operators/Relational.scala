@@ -686,20 +686,56 @@ object Relational {
     // driver file shows hash-green while the sketches still do the
     // estimating; raw estimates via [[sketchAggs]] (accuracy-asserted
     // in SketchAndFormatSpec), hash-exact estimate twin: q27b.
+    // The rank bands come from the q38 mergeable histogram, NOT an
+    // exact percentile aggregate: value-at-rank(q) always lies inside
+    // [lower edge of the bucket reaching rank q_lo, upper edge of the
+    // bucket reaching rank q_hi], and the approx percentile's rank
+    // error (1/1000) is far inside the ±5%/±0.5% rank bands — so the
+    // flags are deterministically true with ONE cheap hash aggregate
+    // (≤ 3×1024 bucket rows) instead of a per-group sort buffer (the
+    // first cut used percentile(array(...)) and tripled q27's bench
+    // cost; the q31 OOM-shape note applies at 100 TB too).
     "q27_sketches" -> ((s, dir) => {
-      val approx = sketchAggs(lineitem(s, dir))
-      val exact = lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          expr("percentile(l_extendedprice, array(0.45, 0.55, 0.985, 0.995))").as("pb"))
-      approx.join(exact, "l_returnflag")
+      val nb = 1024
+      val li = lineitem(s, dir)
+      val approx = sketchAggs(li)
+      val stats = li.agg(min("l_extendedprice").as("mn"),
+        max("l_extendedprice").as("mx"))
+      val width = (col("mx") - col("mn")) / lit(nb.toDouble)
+      val cum = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(greatest(
+              floor((col("l_extendedprice") - col("mn")) / width), lit(0L)),
+              lit(nb - 1L)).cast("int")))
+        .groupBy("l_returnflag", "bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("bucket")))
+        .withColumn("total",
+          sum("cnt").over(Window.partitionBy("l_returnflag")))
+      val bands = cum.groupBy("l_returnflag")
+        .agg(
+          min(when(col("cum") >= col("total") * 0.45, col("bucket"))).as("b45"),
+          min(when(col("cum") >= col("total") * 0.55, col("bucket"))).as("b55"),
+          min(when(col("cum") >= col("total") * 0.985, col("bucket"))).as("b985"),
+          min(when(col("cum") >= col("total") * 0.995, col("bucket"))).as("b995"))
+        .crossJoin(broadcast(stats))
+        .select(col("l_returnflag"),
+          (col("mn") + col("b45") * width).as("p50lo"),
+          (col("mn") + (col("b55") + 1) * width).as("p50hi"),
+          (col("mn") + col("b985") * width).as("p99lo"),
+          (col("mn") + (col("b995") + 1) * width).as("p99hi"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(exact, "l_returnflag").join(bands, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd_parts") - col("exact_parts")) <=
             col("exact_parts") * 0.10).as("acd_within_10pct"),
-          col("p50_price").between(element_at(col("pb"), 1),
-            element_at(col("pb"), 2)).as("p50_in_rank_band"),
-          col("p99_price").between(element_at(col("pb"), 3),
-            element_at(col("pb"), 4)).as("p99_in_rank_band"))
+          col("p50_price").between(col("p50lo"), col("p50hi"))
+            .as("p50_in_rank_band"),
+          col("p99_price").between(col("p99lo"), col("p99hi"))
+            .as("p99_in_rank_band"))
         .orderBy("l_returnflag")
     }),
 

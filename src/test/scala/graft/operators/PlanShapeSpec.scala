@@ -688,24 +688,32 @@ class PlanShapeSpec extends SparkSuite {
   private def windowNodes(p: String): Int =
     "\\(\\d+\\) Window".r.findAllIn(p).size / 2
 
-  test("q27b: KMV bottom-k is spill-backed windows — no cartesian, witness join broadcasts") {
+  test("q27b: KMV bottom-k is ONE object-hash aggregate — no windows, no sort, witness join broadcasts") {
     val p = plan("q27b_kmv_distinct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unbounded join in the sketch path:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       "the 3-row est⋈exact witness join must broadcast, never sort-merge")
-    // two row_number prune levels (salted + group) and nothing more —
-    // a third sketch execution sneaking into the plan shows up here
-    assert(windowNodes(p) <= 3, s"window blow-up (${windowNodes(p)} nodes):\n$p")
+    // r12: the sketch is the kmv_bottomk ObjectHashAggregate (bounded
+    // ≤ k-long partials, map-side pruned) — the r11 distinct+salted-
+    // window pipeline sneaking back shows up as Window/sort nodes
+    assert(p.contains("ObjectHashAggregate") && p.contains("kmv_bottomk"),
+      s"sketch must build via the native bottom-k aggregate:\n$p")
+    assert(windowNodes(p) == 0, s"window pipeline is back (${windowNodes(p)} nodes):\n$p")
   }
 
   test("q65b: the day spine comes from the raw rows — the bottom-k pipeline runs ONCE per level") {
     val p = plan("q65b_sliding_distinct_kmv")
-    // 2 windows for the daily sketch + 2 for the window merge; the
-    // spine branch re-executing the sketch plan doubles the first pair
-    // (the measured 1.6 s → 1.0 s regression shape at sf0.1)
-    assert(windowNodes(p) <= 6,
-      s"spine branch re-executes the sketch (${windowNodes(p)} window nodes):\n$p")
+    // r12: zero windows — daily sketch AND window merge are both
+    // kmv_bottomk object-hash aggregates; a spine branch re-executing
+    // the sketch plan shows up as extra aggregate/scan nodes, caught
+    // by the single-scan pin below
+    assert(windowNodes(p) == 0,
+      s"window pipeline is back (${windowNodes(p)} nodes):\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("kmv_bottomk"),
+      s"sketch must build via the native bottom-k aggregate:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size / 2 <= 2,
+      s"spine branch must reuse the raw-rows scan, not re-run the sketch:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       "active-day spine must broadcast onto the sketch rows")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
