@@ -101,6 +101,19 @@ object StreamBench {
           col("partitionKey").as("event_type"))),
       sinkToMemory = true)
 
+    // 4. KMV twin with a synthetic 32-day spread: every record lands
+    // on one of 32 event-time days, so the flatMapGroupsWithState
+    // state updates fan out over 32 keys instead of serializing
+    // through one — the state-key-cardinality scaling axis the
+    // single-day capture deliberately pins at its worst case.
+    timeDrain("kmv_32day")(name =>
+      graft.streaming.StreamOps.dailyDistinctKmvStream(
+        source(name).select(
+          expr("timestampadd(DAY, CAST(pmod(xxhash64(partitionKey), 32) AS INT), " +
+            "approximateArrivalTimestamp)").as("ts"),
+          col("partitionKey").as("user_id"))),
+      sinkToMemory = true)
+
     spark.stop()
   }
 }
