@@ -39,7 +39,7 @@ object Similarity {
   // takes cells/nProbe/nAssign as arguments (cells must grow ~√n for
   // within-cell self-joins to stay subquadratic — see SCALE.md).
   private val IvfCells = 16
-  private val IvfNProbe = 4
+  private[operators] val IvfNProbe = 4
 
   // Sign-LSH plane families. Each ±1 hyperplane is defined by one
   // 64-bit long (bit d → sign of dim d), so the SAME longs can be
@@ -106,6 +106,48 @@ object Similarity {
   private def nearDupBuckets(s: SparkSession, dir: String): DataFrame =
     cachedBuckets(s, dir, "neardup", nearDupPlanes, NearDupBitsPerTable)
 
+  /** Certification wrapper for the ANN top-k family (s04/s08/s09) —
+    * the r12 pattern that graduated the HLL sketches: the ANN result
+    * set is engine-specific (KMeans quantizers aren't SQL-expressible
+    * in DuckDB), so the REGISTERED output carries per-probe structural
+    * flags plus an aggregate recall-floor flag vs the in-query EXACT
+    * top-k (the s01 relation), and the oracle bound-checks them as
+    * literal TRUEs over the deterministic probe set — an ANN path
+    * whose recall collapses, answers short, or self-matches now
+    * hash-fails the driver gate. The raw top-k rows remain available
+    * through the public operators ([[ivfTopK]]/[[pqRerankTopK]]/
+    * [[ivfPqTopK]]) and each query keeps its hash-exact seed-quantizer
+    * twin (s04b/s08b/s09b) plus its named DedupSimilaritySpec
+    * invariants (which also assert the tighter measured recalls).
+    * The floor is the rational `num/den` (hits·den ≥ answered·num —
+    * integer compare, no IEEE in the gate).
+    */
+  private def certifyAnnTopK(s: SparkSession, dir: String, ann: DataFrame,
+      k: Int, num: Int, den: Int): DataFrame = {
+    val e = embeddings(s, dir)
+    val exact = cosineTopK(e, e.filter(col("vec_id") < 10), k = k)
+      .select(col("qid"), col("cid")).withColumn("__x", lit(1))
+    val per = ann.select("qid", "cid")
+      .join(exact, Seq("qid", "cid"), "left")
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("qid") === col("cid"), 1).otherwise(0)).as("n_self"),
+        sum(coalesce(col("__x"), lit(0))).as("hits"))
+    val tot = per.agg(sum("hits").as("th"), sum("n_results").as("tn"))
+    per.crossJoin(broadcast(tot))
+      .select(col("qid"),
+        (col("n_results") === k).as("has_k_results"),
+        (col("n_self") === 0).as("no_self_match"),
+        (col("th") * den >= col("tn") * num).as("recall_floor_ok"))
+      .orderBy("qid")
+  }
+
+  /** The shared oracle for [[certifyAnnTopK]] outputs. */
+  private val annCertOracle: String =
+    """SELECT vec_id AS qid, TRUE AS has_k_results, TRUE AS no_self_match,
+         TRUE AS recall_floor_ok
+       FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k: 10 probe vectors × all candidates.
     // The probe side is tiny → broadcast; no shuffle of the corpus.
@@ -132,17 +174,19 @@ object Similarity {
     // search only their nprobe closest cells. The clustered-partition
     // scale path complementing s02's hash-bucket path: at 100 TB the
     // cell assignment is a write-time partition key, so a probe reads
-    // nprobe partitions instead of the corpus. Rows-only driver check;
-    // recall vs s01 asserted in DedupSimilaritySpec.
+    // nprobe partitions instead of the corpus. CERTIFIED in-query via
+    // [[certifyAnnTopK]] (recall floor 1/4 vs exact top-k — the
+    // DedupSimilaritySpec floor; measured well above it at every
+    // fixture sf); raw top-k via [[ivfTopK]]; hash-exact twin s04b.
     "s04_sim_ivf" -> ((s, dir) => {
-      // Thin adapter over the public [[ivfTopK]]: the coarse quantizer
-      // + cell assignment come from the cached per-dataset index
-      // (ivfIndex below) — index construction is ingest-time work (at
-      // 100 TB the cell id is a write-time partition key), so the
-      // query path is probe cost only.
+      // The coarse quantizer + cell assignment come from the cached
+      // per-dataset index (ivfIndex below) — index construction is
+      // ingest-time work (at 100 TB the cell id is a write-time
+      // partition key), so the query path is probe cost only.
       val probes = embeddings(s, dir).filter(col("vec_id") < 10).select("vec_id")
-      ivfTopK(ivfIndex(s, dir), probes, k = 5, nProbe = IvfNProbe)
-        .orderBy("qid", "rnk")
+      certifyAnnTopK(s, dir,
+        ivfTopK(ivfIndex(s, dir), probes, k = 5, nProbe = IvfNProbe),
+        k = 5, num = 1, den = 4)
     }),
 
     // Per-label centroid via the typed VectorAvg Aggregator (UDAF
@@ -157,11 +201,34 @@ object Similarity {
     // exact cosine. The clustered complement of s03's hash-bucket
     // blocking: at 100 TB the cell id is the write-time partition key,
     // so the within-cell self-join runs partition-local — never
-    // all-pairs. KMeans isn't SQL-expressible → rows-only driver check;
-    // recall vs the all-pairs ground truth + exactness asserted in
-    // DedupSimilaritySpec.
-    "s06_semantic_neardup" -> ((s, dir) =>
-      semPairs(s, dir).orderBy("id_a", "id_b")),
+    // all-pairs. KMeans isn't SQL-expressible, so the REGISTERED
+    // output is the r12 certification row: the exact ground-truth
+    // pair count (the all-pairs threshold join BOTH engines compute —
+    // DuckDB from the same parquet, so it hash-checks as real
+    // content) plus three flags the oracle bound-checks as TRUEs —
+    // every blocked pair is a true pair (precision 1.0), its cosine
+    // is bit-exact, and recall ≥ 85% of ground truth (the
+    // DedupSimilaritySpec floor; 4-way multi-assignment measures
+    // ~96%). A blocked path that drops boundary pairs or emits a
+    // false positive now hash-fails the gate. The pair RELATION stays
+    // available via [[semanticNearDup]] and hash-exact via the s06b
+    // twin. (The in-query ground truth is gate-scale work; at 100 TB
+    // certification runs on a sampled slice — the blocked path alone
+    // is the production query.)
+    "s06_semantic_neardup" -> ((s, dir) => {
+      val blocked = semPairs(s, dir)
+      val truth = embedNearDupExact(s, dir)
+        .select(col("id_a"), col("id_b"), col("cosine").as("true_cos"))
+      val agg = blocked.join(truth, Seq("id_a", "id_b"), "left").agg(
+        count(lit(1)).as("n_blocked"),
+        sum(when(col("true_cos").isNull, 1).otherwise(0)).as("n_false_pos"),
+        sum(when(col("true_cos") === col("cosine"), 0).otherwise(1)).as("n_cos_drift"))
+      truth.agg(count(lit(1)).as("n_truth_pairs")).crossJoin(agg)
+        .select(col("n_truth_pairs"),
+          (col("n_false_pos") === 0).as("all_pairs_in_truth"),
+          (col("n_cos_drift") === 0).as("cosines_exact"),
+          (col("n_blocked") * 100 >= col("n_truth_pairs") * 85).as("recall_ge_85pct"))
+    }),
 
     // Product-quantization ANN with exact rerank: the corpus compressed
     // to 8 codes per vector (32–64× smaller than raw doubles) is ADC-
@@ -169,28 +236,39 @@ object Similarity {
     // raw vectors are fetched for exact top-5 scoring — the memory half
     // of the modern large-scale ANN recipe (IVF routes, PQ scores,
     // rerank exact — s09/[[ivfPqTopK]] runs the full composition).
-    // KMeans codebooks aren't SQL-expressible → rows-only
-    // driver check; recall vs s01 and exact-score identity asserted in
-    // DedupSimilaritySpec.
+    // CERTIFIED in-query via [[certifyAnnTopK]]. Floor 2/5: the gate
+    // floor must hold at EVERY fixture scale, and AnnRecallProbe
+    // measures 70% (sf0.001) / 80% (sf0.01) / 56% (sf0.1) — the fixed
+    // 50-candidate shortlist covers a shrinking corpus fraction as n
+    // grows, so sf0.1 dips under the spec's small-sf 3/5 (the
+    // documented shortlist/n trade; production tunes shortlist ∝ the
+    // target recall). Raw top-k via [[pqRerankTopK]]; exact-score
+    // identity + codebook determinism asserted in DedupSimilaritySpec
+    // (which keeps the tighter 3/5 at its small fixture); hash-exact
+    // twin s08b.
     "s08_pq_ann" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      pqRerankTopK(pqIndex(s, dir), e, e.filter(col("vec_id") < 10),
-          k = 5, shortlist = 50)
-        .orderBy("qid", "rnk")
+      certifyAnnTopK(s, dir,
+        pqRerankTopK(pqIndex(s, dir), e, e.filter(col("vec_id") < 10),
+          k = 5, shortlist = 50),
+        k = 5, num = 2, den = 5)
     }),
 
     // The composed IVF→PQ→rerank serving plan: IVF routes each probe
     // to its 4 nearest cells, PQ ADC-scores only those cells' codes
     // for a 50-candidate shortlist, exact rerank returns the top-5 —
-    // the full production ANN recipe as one registered query. KMeans
-    // (both quantizers) isn't SQL-expressible → rows-only driver
-    // check; recall vs s01 and the routed-candidate scan-volume
-    // reduction asserted in DedupSimilaritySpec.
+    // the full production ANN recipe as one registered query.
+    // CERTIFIED in-query via [[certifyAnnTopK]] (recall floor 1/4 —
+    // routing dominates at these parameters, floor matches s04's);
+    // raw top-k via [[ivfPqTopK]]; exact-score identity and the
+    // routed-candidate scan-volume reduction asserted in
+    // DedupSimilaritySpec; hash-exact twin s09b.
     "s09_ivf_pq_ann" -> ((s, dir) => {
       val probes = embeddings(s, dir).filter(col("vec_id") < 10)
-      ivfPqTopK(ivfIndex(s, dir), pqIndex(s, dir), probes,
-          k = 5, nProbe = IvfNProbe, shortlist = 50)
-        .orderBy("qid", "rnk")
+      certifyAnnTopK(s, dir,
+        ivfPqTopK(ivfIndex(s, dir), pqIndex(s, dir), probes,
+          k = 5, nProbe = IvfNProbe, shortlist = 50),
+        k = 5, num = 1, den = 4)
     }),
 
     // SemDeDup end-to-end: the embedding corpus AFTER semantic dedup —
@@ -198,13 +276,43 @@ object Similarity {
     // Dedup.keepRepresentatives (connected components → keep each
     // cluster's minimum vec_id + every unpaired vector). The full
     // SemDeDup recipe as one composition of the two public APIs.
-    // KMeans isn't SQL-expressible → rows-only driver check;
-    // survivor-set invariants asserted in DedupSimilaritySpec.
+    // KMeans isn't SQL-expressible, so the REGISTERED output is the
+    // r12 certification row: the corpus size (exact reference) plus
+    // three structural flags the oracle bound-checks as TRUEs — no
+    // near-dup pair survives whole, every unpaired vector is kept,
+    // and the survivor set is a subset of the corpus. The survivor
+    // RELATION stays available via [[Dedup.keepRepresentatives]] and
+    // hash-exact via the s07b twin; the per-cluster minimum-
+    // representative invariant is union-find-verified in
+    // DedupSimilaritySpec.
     "s07_semantic_survivors" -> ((s, dir) => {
       val pairs = semPairs(s, dir).select(col("id_a"), col("id_b"))
-      Dedup.keepRepresentatives(
+      val surv = Dedup.keepRepresentatives(
           embeddings(s, dir).select("vec_id", "label"), pairs, idCol = "vec_id")
-        .orderBy("vec_id")
+        .select(col("vec_id")).withColumn("__s", lit(1))
+      val all = embeddings(s, dir).select("vec_id")
+      val paired = pairs.select(col("id_a").as("vec_id"))
+        .unionByName(pairs.select(col("id_b").as("vec_id"))).distinct()
+        .withColumn("__p", lit(1))
+      // one pass over the corpus annotated with paired/survivor bits
+      val annotated = all
+        .join(paired, Seq("vec_id"), "left")
+        .join(surv, Seq("vec_id"), "left")
+      val pairBothKept = pairs
+        .join(surv.withColumnRenamed("vec_id", "id_a"), Seq("id_a"))
+        .join(surv.toDF("id_b", "__s2"), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs_fully_kept"))
+      val phantom = surv.join(all.withColumn("__a", lit(1)), Seq("vec_id"), "left")
+        .agg(sum(when(col("__a").isNull, 1).otherwise(0)).as("n_phantom"))
+      annotated.agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when(col("__p").isNull && col("__s").isNull, 1).otherwise(0))
+            .as("n_unpaired_dropped"))
+        .crossJoin(pairBothKept).crossJoin(phantom)
+        .select(col("n_vectors"),
+          (col("n_pairs_fully_kept") === 0).as("no_pair_fully_kept"),
+          (col("n_unpaired_dropped") === 0).as("unpaired_all_kept"),
+          (col("n_phantom") === 0).as("survivors_subset_of_corpus"))
     }),
 
     // Embedding-cosine near-duplicate pairs: sign-LSH band blocking +
@@ -457,7 +565,7 @@ object Similarity {
   private val semPairCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private def semPairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def semPairs(s: SparkSession, dir: String): DataFrame =
     semPairCache.computeIfAbsent((s, dir), _ => {
       val p = semanticNearDup(ivfIndex(s, dir), NearDupThreshold, nAssign = 4)
         .persist()
@@ -1129,6 +1237,34 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // ANN certification oracles (r12): the ANN result sets are
+    // engine-specific, so the registered queries emit structural +
+    // recall flags over the deterministic probe set / corpus, and the
+    // oracle asserts them as literal TRUEs (plus the ground-truth
+    // references it CAN compute — the s06 all-pairs count is real
+    // cross-engine content). See certifyAnnTopK / the s06/s07
+    // registrations.
+    "s04_sim_ivf" -> annCertOracle,
+    "s08_pq_ann" -> annCertOracle,
+    "s09_ivf_pq_ann" -> annCertOracle,
+
+    "s06_semantic_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT list_dot_product(a.v, b.v) AS c
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+           TRUE AS all_pairs_in_truth,
+           TRUE AS cosines_exact,
+           TRUE AS recall_ge_85pct
+         FROM p WHERE c >= $NearDupThreshold""",
+
+    "s07_semantic_survivors" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS no_pair_fully_kept,
+           TRUE AS unpaired_all_kept,
+           TRUE AS survivors_subset_of_corpus
+         FROM embeddings""",
+
     "s01_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

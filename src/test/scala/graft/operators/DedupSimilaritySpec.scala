@@ -140,7 +140,10 @@ class DedupSimilaritySpec extends SparkSuite {
   test("ivf finds mostly the same neighbors as brute force (recall sanity)") {
     val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("s04_sim_ivf")(spark, dir)
+    val probes = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).select("vec_id")
+    val ivf = Similarity.ivfTopK(Similarity.ivfIndex(spark, dir), probes,
+        k = 5, nProbe = Similarity.IvfNProbe)
       .select("qid", "cid", "rnk").collect()
     assert(ivf.nonEmpty)
     // every query produced results, none self-matches
@@ -149,16 +152,28 @@ class DedupSimilaritySpec extends SparkSuite {
     // nprobe=4/16 cells should still recover a fair share of true top-5
     val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
     assert(hits >= ivf.length / 4, s"IVF recall collapsed: $hits/${ivf.length}")
+    // the REGISTERED (oracled) form certifies the same floor as flags
+    val certified = SparkEntry.queries("s04_sim_ivf")(spark, dir).collect()
+    assert(certified.length == 10)
+    certified.foreach(r => assert(
+      r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+      s"s04 certification flag false: $r"))
   }
 
   test("s08 PQ+rerank: exact scores, decent recall, deterministic codebooks") {
     val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
       .select("qid", "cid", "score").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val pq = SparkEntry.queries("s08_pq_ann")(spark, dir)
+    val e0 = graft.Tables.embeddings(spark, dir)
+    val pq = Similarity.pqRerankTopK(Similarity.pqIndex(spark, dir), e0,
+        e0.filter(col("vec_id") < 10), k = 5, shortlist = 50)
       .select("qid", "cid", "score").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(pq.map(_._1._1).distinct.length == 10) // every probe answered
+    // the REGISTERED (oracled) form certifies the floor as flags
+    SparkEntry.queries("s08_pq_ann")(spark, dir).collect().foreach(r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"s08 certification flag false: $r"))
     // rerank scores are EXACT: any pair brute force also ranked must
     // carry the identical dot product
     pq.foreach { case (k, s) =>
@@ -196,11 +211,18 @@ class DedupSimilaritySpec extends SparkSuite {
     val brute = SparkEntry.queries("s01_sim_bruteforce_topk")(spark, dir)
       .select("qid", "cid", "score").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val out = SparkEntry.queries("s09_ivf_pq_ann")(spark, dir)
+    val e9 = graft.Tables.embeddings(spark, dir)
+    val out = Similarity.ivfPqTopK(Similarity.ivfIndex(spark, dir),
+        Similarity.pqIndex(spark, dir), e9.filter(col("vec_id") < 10),
+        k = 5, nProbe = Similarity.IvfNProbe, shortlist = 50)
       .select("qid", "cid", "score").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(out.map(_._1._1).distinct.length == 10) // every probe answered
     assert(out.forall(p => p._1._1 != p._1._2))    // no self-matches
+    // the REGISTERED (oracled) form certifies the floor as flags
+    SparkEntry.queries("s09_ivf_pq_ann")(spark, dir).collect().foreach(r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"s09 certification flag false: $r"))
     // rerank scores are EXACT: any pair brute force also ranked must
     // carry the identical dot product
     out.foreach { case (k, s) =>
@@ -268,9 +290,15 @@ class DedupSimilaritySpec extends SparkSuite {
     val d01 = sf("sf0.01")
     val exact = Similarity.embedNearDupExact(spark, d01).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val blocked = SparkEntry.queries("s06_semantic_neardup")(spark, d01).collect()
+    val blocked = Similarity.semPairs(spark, d01).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(blocked.nonEmpty && exact.nonEmpty)
+    // the REGISTERED (oracled) form certifies the same properties as
+    // flags alongside the cross-engine ground-truth pair count
+    val cert = SparkEntry.queries("s06_semantic_neardup")(spark, d01).collect()
+    assert(cert.length == 1 && cert.head.getLong(0) == exact.size &&
+      cert.head.getBoolean(1) && cert.head.getBoolean(2) && cert.head.getBoolean(3),
+      s"s06 certification row wrong: ${cert.toSeq}")
     // precision 1.0 by construction: survivors carry their exact cosine
     blocked.foreach { case (k, c) =>
       assert(exact.contains(k), s"false positive pair $k")
@@ -304,10 +332,17 @@ class DedupSimilaritySpec extends SparkSuite {
     val d01 = sf("sf0.01")
     val all = graft.Tables.embeddings(spark, d01).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val pairs = SparkEntry.queries("s06_semantic_neardup")(spark, d01)
+    val pairs = Similarity.semPairs(spark, d01)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val surv = SparkEntry.queries("s07_semantic_survivors")(spark, d01)
+    val surv = Dedup.keepRepresentatives(
+        graft.Tables.embeddings(spark, d01).select("vec_id", "label"),
+        Similarity.semPairs(spark, d01).select("id_a", "id_b"), idCol = "vec_id")
       .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the REGISTERED (oracled) form certifies the structure as flags
+    val cert = SparkEntry.queries("s07_semantic_survivors")(spark, d01).collect()
+    assert(cert.length == 1 && cert.head.getLong(0) == all.size &&
+      cert.head.getBoolean(1) && cert.head.getBoolean(2) && cert.head.getBoolean(3),
+      s"s07 certification row wrong: ${cert.toSeq}")
     assert(pairs.nonEmpty, "test is vacuous: no semantic near-dup pairs")
     // no near-dup pair survives whole: at most one endpoint remains
     pairs.foreach { case (a, b) =>
