@@ -51,10 +51,15 @@ object StreamBench {
       name
     }
 
+    // Admission cap per trigger — the batch-size lever: the sketch
+    // twins' cost is per-micro-batch fixed overhead (measured — the
+    // 32-day state spread recovered only ~12%), so throughput should
+    // scale with records-per-batch until state work dominates.
+    val fetch = sys.env.getOrElse("SPARK_GRAFT_STREAM_FETCH", "10000")
     def source(name: String) = spark.readStream.format("kinesis-graft")
       .option("streamName", name)
       .option("clientName", "bench")
-      .option("maxRecordsPerFetch", "10000")
+      .option("maxRecordsPerFetch", fetch)
       .load()
 
     def timeDrain(label: String)(mk: String => org.apache.spark.sql.DataFrame,
