@@ -39,8 +39,15 @@ object MakeSf1 {
       "o_custkey" -> 1000000L, "c_custkey" -> 1000000L,
       "l_partkey" -> 1000000L, "p_partkey" -> 1000000L,
       "l_suppkey" -> 100000L, "s_suppkey" -> 100000L,
+      // doc/vec strides are 10M, NOT 1M: several queries inject
+      // derived ids in-query (m06 copies at doc_id+999999, d09
+      // passages at doc_id+1000000), and a 1M stride made those
+      // collide with replica-1's id space — duplicate doc_ids with
+      // DIFFERENT content, whose pair identity is ambiguous (the
+      // m06 rowcount divergence that exposed this). 10M keeps every
+      // in-query injection inside its replica's id space.
       "event_id" -> 10000000L, "user_id" -> 10000000L,
-      "doc_id" -> 1000000L, "vec_id" -> 1000000L)
+      "doc_id" -> 10000000L, "vec_id" -> 10000000L)
 
     def replicate(name: String, files: Int): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
