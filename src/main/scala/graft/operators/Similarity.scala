@@ -248,10 +248,14 @@ object Similarity {
     "s06_semantic_neardup" -> ((s, dir) => {
       val blocked = semPairs(s, dir)
       val truth = truthPairs(s, dir)
+      // coalesce: sum() over an EMPTY pair relation is NULL, which
+      // would make the flags null (≠ TRUE) instead of vacuously true
       val agg = blocked.join(truth, Seq("id_a", "id_b"), "left").agg(
         count(lit(1)).as("n_blocked"),
-        sum(when(col("true_cos").isNull, 1).otherwise(0)).as("n_false_pos"),
-        sum(when(col("true_cos") === col("cosine"), 0).otherwise(1)).as("n_cos_drift"))
+        coalesce(sum(when(col("true_cos").isNull, 1).otherwise(0)), lit(0L))
+          .as("n_false_pos"),
+        coalesce(sum(when(col("true_cos") === col("cosine"), 0).otherwise(1)),
+          lit(0L)).as("n_cos_drift"))
       truth.agg(count(lit(1)).as("n_truth_pairs")).crossJoin(agg)
         .select(col("n_truth_pairs"),
           (col("n_false_pos") === 0).as("all_pairs_in_truth"),
@@ -331,12 +335,14 @@ object Similarity {
         .join(surv.withColumnRenamed("vec_id", "id_a"), Seq("id_a"))
         .join(surv.toDF("id_b", "__s2"), Seq("id_b"))
         .agg(count(lit(1)).as("n_pairs_fully_kept"))
+      // coalesce: empty-relation sums are NULL, not 0 (see s06)
       val phantom = surv.join(all.withColumn("__a", lit(1)), Seq("vec_id"), "left")
-        .agg(sum(when(col("__a").isNull, 1).otherwise(0)).as("n_phantom"))
+        .agg(coalesce(sum(when(col("__a").isNull, 1).otherwise(0)), lit(0L))
+          .as("n_phantom"))
       annotated.agg(
           count(lit(1)).as("n_vectors"),
-          sum(when(col("__p").isNull && col("__s").isNull, 1).otherwise(0))
-            .as("n_unpaired_dropped"))
+          coalesce(sum(when(col("__p").isNull && col("__s").isNull, 1)
+            .otherwise(0)), lit(0L)).as("n_unpaired_dropped"))
         .crossJoin(pairBothKept).crossJoin(phantom)
         .select(col("n_vectors"),
           (col("n_pairs_fully_kept") === 0).as("no_pair_fully_kept"),
