@@ -29,6 +29,26 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // A subset run into a dir holding stale per-query dirs from a prior
+    // full run would let local_verify.py report stale greens for the
+    // unselected queries (the round-8 silent-staleness class). Make a
+    // partial capture IMPOSSIBLE to mistake for a full one: drop a loud
+    // SUBSET marker file that local_verify.py prints per run, and warn
+    // on stdout when the target dir already has non-selected results.
+    val markerPath = Paths.get(s"$outDir/SUBSET_MARKER")
+    only match {
+      case Some(names) =>
+        val stale = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && !names(f.getName)).map(_.getName).sorted
+        if (stale.nonEmpty) System.err.println(
+          s"[verify] WARNING: SUBSET run into a dir with ${stale.length} " +
+            s"non-selected result dirs (stale greens possible): " +
+            stale.take(10).mkString(", ") + (if (stale.length > 10) ", …" else ""))
+        Files.writeString(markerPath,
+          s"SUBSET RUN (${names.size} of ${SparkEntry.queries.size} queries): " +
+            names.toSeq.sorted.mkString(",") + "\n")
+      case None => Files.deleteIfExists(markerPath)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

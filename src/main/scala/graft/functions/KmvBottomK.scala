@@ -27,6 +27,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * bit-identical to the window form at any parallelism — the DuckDB
   * oracles (Sketch.oracles) are unchanged.
   *
+  * Null keys: this aggregate SKIPS null inputs (SQL aggregate
+  * convention), which is the intended sketch semantics — a null key
+  * has no hash and must not occupy a bottom-k slot. The replaced
+  * window form was subtly different for null keys (kmvHash's md5
+  * yields NULL, nulls-first ordering let the NULL occupy a slot that
+  * collect_list then dropped, yielding k-1 hashes and a biased
+  * estimate); the "bit-identical to the window form" equivalence
+  * above therefore assumes non-null keys, and the aggregate's
+  * null-skip is the corrected behavior, not a regression. No
+  * registered query uses nullable keys (kmvSketch is public API, so
+  * this is documented here rather than assumed).
+  *
   * 100 TB: state is O(k) per group whatever the cardinality; the
   * shuffle moves #groups × #partitions sketches, not distinct hashes.
   */
@@ -110,12 +122,18 @@ object KmvBottomK {
     if (!s.sessionState.functionRegistry.functionExists(id)) {
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         "kmv_bottomk",
-        exprs => KmvBottomK(exprs(0), exprs(1) match {
-          case Literal(i: Int, _) => i
-          case Literal(l: Long, _) => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"kmv_bottomk: k must be an integer literal, got $other")
-        }), "built-in")
+        exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"kmv_bottomk(hash, k) takes exactly 2 arguments, got ${exprs.length}")
+          KmvBottomK(exprs(0), exprs(1) match {
+            case Literal(i: Int, _) => i
+            case Literal(l: Long, _) => l.toInt
+            case Literal(s: Short, _) => s.toInt
+            case Literal(b: Byte, _) => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"kmv_bottomk: k must be an integer literal, got $other")
+          })
+        }, "built-in")
     }
   }
 }

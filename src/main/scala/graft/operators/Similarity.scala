@@ -121,6 +121,18 @@ object Similarity {
     * invariants (which also assert the tighter measured recalls).
     * The floor is the rational `num/den` (hits·den ≥ answered·num —
     * integer compare, no IEEE in the gate).
+    *
+    * Independence caveat (r12 ADVICE, recorded honestly): the exact
+    * witness ([[exactTopKWitness]]) is computed by the SAME
+    * [[cosineTopK]] Spark path the oracled s01 runs, so the
+    * certification's cross-engine independence is ANCHORED by s01's
+    * hash check — DuckDB recomputes s01's brute-force top-k from the
+    * raw parquet and hash-compares it, so a bug in cosineTopK (or in
+    * vector_dot beneath it) fails s01 before it could silently
+    * certify the ANN family green. A shared-bug scenario therefore
+    * requires s01 to hash-match DuckDB *while* cosineTopK misbehaves
+    * here — same session, same relation, same plan. The hash-exact
+    * s04b/s08b/s09b twins close the remaining routing/encode surface.
     */
   // The exact top-k witness is the SAME relation for s04/s08/s09 (and
   // the bench runs each query 4×): build it once per (session, dir,

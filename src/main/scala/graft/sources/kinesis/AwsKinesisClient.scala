@@ -11,8 +11,16 @@ import java.util.concurrent.ConcurrentHashMap
   * provides the public SDK v2 API surface on the classpath:
   *
   *  - in production, the real `software.amazon.awssdk:kinesis` jar —
-  *    drop it on the executor classpath and set
-  *    `option("clientClass", "graft.sources.kinesis.AwsKinesisClient")`;
+  *    drop it on the classpath of EVERY node where [[configure]] runs
+  *    (the driver builds and validates a client at planning time, the
+  *    executors at read time — so in practice both) and set
+  *    `option("clientClass", "graft.sources.kinesis.AwsKinesisClient")`.
+  *    [[configure]] eagerly resolves the full reflective surface and
+  *    builds the SDK client, so a node WITHOUT the SDK jar fails at
+  *    configure, not at first use; a deployment that genuinely wants
+  *    deferred binding (e.g. driver-side option validation with no SDK
+  *    on the driver) sets `option("validate", "false")` to restore the
+  *    lazy fail-at-first-use behavior;
   *  - in this repo's tests, an API-shaped stub backed by
   *    [[FakeKinesisService]] (AwsKinesisClientSpec), which proves the
   *    reflective plumbing — request building, pagination, response

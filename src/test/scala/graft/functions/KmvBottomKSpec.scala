@@ -67,6 +67,30 @@ class KmvBottomKSpec extends SparkSuite {
     assert(agg(2).checkInputDataTypes().isSuccess)
   }
 
+  test("registered builder: wrong arity and non-literal k fail with clear messages") {
+    KmvBottomK.register(spark)
+    val one = intercept[Exception](
+      spark.sql("SELECT kmv_bottomk(CAST(1 AS BIGINT)) AS x").collect())
+    assert(one.getMessage.contains("2 arguments"),
+      s"one-arg call must name the arity, got: ${one.getMessage}")
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT kmv_bottomk(CAST(1 AS BIGINT), CAST(1 AS BIGINT) + 1) AS x")
+        .collect())
+    assert(nonLit.getMessage.contains("integer literal"),
+      s"non-literal k must name the constraint, got: ${nonLit.getMessage}")
+    // smallint (2S) / tinyint (2Y) literals are valid k encodings
+    // (a CAST is an expression, not a literal — still rejected, by design)
+    import spark.implicits._
+    val r = Seq(5L, 3L, 9L).toDF("h")
+      .selectExpr("kmv_bottomk(h, 2S) AS ks")
+      .collect()(0).getSeq[Long](0)
+    assert(r == Seq(3L, 5L), s"smallint k must work, got $r")
+    val ry = Seq(5L, 3L, 9L).toDF("h")
+      .selectExpr("kmv_bottomk(h, 2Y) AS ks")
+      .collect()(0).getSeq[Long](0)
+    assert(ry == Seq(3L, 5L), s"tinyint k must work, got $ry")
+  }
+
   test("DataFrame-level: result is partition-count independent and equals brute force") {
     import spark.implicits._
     KmvBottomK.register(spark)

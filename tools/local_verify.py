@@ -24,6 +24,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# A Verify run with SPARK_GRAFT_ONLY drops a SUBSET_MARKER: surface it
+# LOUDLY so a partial capture into a dir with stale full-run results
+# can never be read as a full green (round-8 staleness class).
+if os.path.exists(f"{out}/SUBSET_MARKER"):
+    print("!! " + open(f"{out}/SUBSET_MARKER").read().strip()[:300])
+    print("!! results below may include STALE dirs from earlier runs\n")
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 n_pass = n_fail = n_rowsonly = 0
 for name in names:
