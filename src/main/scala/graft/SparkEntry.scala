@@ -55,6 +55,17 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.Sketch.oracles
 
+  /** Scale-robust oracle alternates (see
+    * [[operators.Similarity.oracleExtensions]]): for queries whose
+    * pure-SQL oracle is resource-unbounded on large instances, a
+    * non-iterative plan the verifier executes (DuckDB SQL for the
+    * heavy relation + a bounded algorithmic step). Emitted by
+    * [[Verify]] as `oracle_ext.json`; the primary [[oracleSql]] entry
+    * stays the default at gate scales.
+    */
+  def oracleExt: Map[String, Map[String, String]] =
+    operators.Similarity.oracleExtensions
+
   /** The rows-only policy, machine-readable: every registered query
     * WITHOUT an [[oracleSql]] entry maps to (a) the named ScalaTest
     * invariant that stands in for the hash gate and (b) its

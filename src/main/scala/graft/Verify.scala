@@ -74,6 +74,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Scale-robust oracle alternates (SparkEntry.oracleExt): the verify
+    // harness swaps these in (GRAFT_VERIFY_EXT=1) where the pure-SQL
+    // oracle is resource-unbounded at big SF (currently s07b's
+    // recursive transitive closure).
+    val extJson = SparkEntry.oracleExt.toSeq.sortBy(_._1).map { case (k, fields) =>
+      s"${q(k)}: ${fields.toSeq.sortBy(_._1)
+        .map { case (f, v) => s"${q(f)}: ${q(v)}" }.mkString("{", ",", "}")}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_ext.json"), extJson)
     // Machine-readable rows-only policy: every non-oracled query's named
     // stand-in invariant (+ hash-checked twin), so the gate can confirm
     // no query is merely rows-counted. Drift between the declared map

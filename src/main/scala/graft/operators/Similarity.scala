@@ -1289,6 +1289,54 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** The s06b pair-relation oracle — shared verbatim by the s07b
+    * oracle EXTENSION below (the ext verifier unions-finds over the
+    * same pairs DuckDB derives), so the two can never drift.
+    */
+  private val s06bOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
+       m AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rk
+               FROM e CROSS JOIN c) z WHERE rk <= 4),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM m a JOIN m b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       SELECT cd.id_a, cd.id_b, list_dot_product(ea.v, eb.v) AS cosine
+       FROM cand cd JOIN e ea ON ea.vec_id = cd.id_a
+            JOIN e eb ON eb.vec_id = cd.id_b
+       WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
+       ORDER BY id_a, id_b"""
+
+  /** Oracle EXTENSIONS — scale-robust alternates for oracles whose
+    * pure-SQL form is correct but resource-unbounded on big instances.
+    *
+    * s07b's primary oracle (below, unchanged — the driver's gate runs
+    * it at sf0.01) computes connected components via a recursive-CTE
+    * transitive closure; at the sf1 fixture's 475k-pair clique density
+    * the closure's intermediate join (|tc| × degree rows per
+    * iteration, Σc³ over cliques) exceeded DuckDB's temp disk (79 GB,
+    * SCALE.md r12). The extension re-shapes the SAME check without SQL
+    * iteration: DuckDB derives the exact near-dup PAIR relation (the
+    * s06b oracle verbatim — non-recursive, verified hash-exact at sf1)
+    * and the verifier computes the survivor set from those pairs with
+    * a bounded union-find (O(E α(V)) time, O(V) memory — 475k edges is
+    * milliseconds), then compares the full (vec_id, label) relation
+    * exactly. Still a cross-engine check of the Spark output's VALUES:
+    * the pair relation and the keep-min-of-component rule are both
+    * recomputed outside Spark. Selected by the verify harness via
+    * GRAFT_VERIFY_EXT=1 (the sf1 capture); sf0.001–0.1 keep the
+    * recursive SQL oracle, and the two paths are cross-validated at
+    * sf0.1 (both must PASS the same Spark output).
+    */
+  def oracleExtensions: Map[String, Map[String, String]] = Map(
+    "s07b_semantic_survivors" -> Map(
+      "algo" -> "keep_min_component",
+      "pairs_sql" -> s06bOracle,
+      "corpus_sql" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id"))
+
   def oracles: Map[String, String] = Map(
     // ANN certification oracles (r12): the ANN result sets are
     // engine-specific, so the registered queries emit structural +
@@ -1500,22 +1548,7 @@ object Similarity {
          SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 
-    "s06b_semantic_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $DetCells),
-         m AS (SELECT vec_id, cell FROM (
-                 SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rk
-                 FROM e CROSS JOIN c) z WHERE rk <= 4),
-         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                  FROM m a JOIN m b
-                    ON a.cell = b.cell AND a.vec_id < b.vec_id)
-         SELECT cd.id_a, cd.id_b, list_dot_product(ea.v, eb.v) AS cosine
-         FROM cand cd JOIN e ea ON ea.vec_id = cd.id_a
-              JOIN e eb ON eb.vec_id = cd.id_b
-         WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
-         ORDER BY id_a, id_b""",
+    "s06b_semantic_neardup" -> s06bOracle,
 
     "s07b_semantic_survivors" ->
       s"""WITH RECURSIVE e AS (

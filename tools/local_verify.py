@@ -8,6 +8,16 @@ matching oracle SQL from oracle_sql.json in DuckDB against the sfDir
 tables, and compares: schema (column names), row count, and values
 (columns sorted by name, rows sorted, exact match; floats compared to
 1e-9 rel tolerance as a fallback diagnostic).
+
+GRAFT_VERIFY_EXT=1 swaps in the scale-robust oracle EXTENSIONS from
+oracle_ext.json (SparkEntry.oracleExt) for the queries that have one:
+DuckDB still computes the heavy relation (pure SQL), and the bounded
+algorithmic step the SQL form could only express as an unbounded
+recursive CTE runs here (e.g. union-find connected components for
+s07b's keep-min-of-component survivor rule). The result is compared
+with the SAME exact column/row compare as the SQL path — a hash-exact
+cross-engine check, selected for big-SF captures where the recursive
+oracle exceeds DuckDB's temp disk.
 """
 import json, sys, glob, os
 import duckdb
@@ -24,39 +34,64 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+ext = {}
+if os.path.exists(f"{out}/oracle_ext.json"):
+    ext = json.load(open(f"{out}/oracle_ext.json"))
+use_ext = os.environ.get("GRAFT_VERIFY_EXT") == "1"
 # A Verify run with SPARK_GRAFT_ONLY drops a SUBSET_MARKER: surface it
 # LOUDLY so a partial capture into a dir with stale full-run results
 # can never be read as a full green (round-8 staleness class).
 if os.path.exists(f"{out}/SUBSET_MARKER"):
     print("!! " + open(f"{out}/SUBSET_MARKER").read().strip()[:300])
     print("!! results below may include STALE dirs from earlier runs\n")
-names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
-n_pass = n_fail = n_rowsonly = 0
-for name in names:
-    files = glob.glob(f"{out}/{name}/*.parquet")
-    got = con.sql(f"SELECT * FROM read_parquet({files})").df()
-    if name not in oracle:
-        status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
-        n_rowsonly += 1
-        print(f"{status:18s} {name:28s} rows={len(got)}")
-        continue
-    try:
-        exp = con.sql(oracle[name]).df()
-    except Exception as e:
-        print(f"{'ORACLE-ERR':18s} {name:28s} {e}")
-        n_fail += 1
-        continue
+
+
+def run_extension(spec):
+    """Execute an oracle extension: heavy relations via DuckDB SQL, the
+    bounded algorithmic step here. Returns the expected DataFrame."""
+    algo = spec["algo"]
+    if algo == "keep_min_component":
+        # Exact connected components over the DuckDB-derived pair
+        # relation (union-find, O(E α(V)) time / O(V) memory), then the
+        # keep-rule: drop every paired vertex that is not its
+        # component's minimum id. Replaces the recursive-CTE transitive
+        # closure whose intermediate is Σc³ over cliques.
+        pairs = con.sql(spec["pairs_sql"]).df()
+        corpus = con.sql(spec["corpus_sql"]).df()
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps find() roots == component minima
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        dropped = {v for v in parent if find(v) != v}
+        id_col = corpus.columns[0]
+        return corpus[~corpus[id_col].isin(dropped)].reset_index(drop=True)
+    raise ValueError(f"unknown oracle extension algo: {algo}")
+
+
+def compare(name, got, exp, tag="PASS"):
+    """Exact compare (columns sorted by name, rows sorted, values as
+    objects) — the driver's hash check, reproduced. Returns True=pass."""
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"{'SCHEMA-MISMATCH':18s} {name:28s} spark={gcols} duck={ecols}")
-        n_fail += 1
-        continue
+        return False
     g = got[gcols].sort_values(gcols).reset_index(drop=True)
     e = exp[ecols].sort_values(ecols).reset_index(drop=True)
     if len(g) != len(e):
         print(f"{'ROWCOUNT':18s} {name:28s} spark={len(g)} duck={len(e)}")
-        n_fail += 1
-        continue
+        return False
     mismatches = []
     for c in gcols:
         gv, ev = g[c], e[c]
@@ -68,15 +103,47 @@ for name in names:
         if not same:
             mismatches.append(c)
     if not mismatches:
-        print(f"{'PASS':18s} {name:28s} rows={len(g)}")
+        print(f"{tag:18s} {name:28s} rows={len(g)}")
+        return True
+    print(f"{'VALUE-MISMATCH':18s} {name:28s} cols={mismatches}")
+    for c in mismatches[:3]:
+        diff = g[c].compare(e[c]) if hasattr(g[c], "compare") else None
+        if diff is not None and len(diff):
+            print(f"    {c}: first diffs\n{diff.head(3)}")
+    return False
+
+
+names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+n_pass = n_fail = n_rowsonly = 0
+for name in names:
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    got = con.sql(f"SELECT * FROM read_parquet({files})").df()
+    if use_ext and name in ext:
+        try:
+            exp = run_extension(ext[name])
+        except Exception as e:
+            print(f"{'EXT-ERR':18s} {name:28s} {e}")
+            n_fail += 1
+            continue
+        if compare(name, got, exp, tag="PASS-EXT"):
+            n_pass += 1
+        else:
+            n_fail += 1
+        continue
+    if name not in oracle:
+        status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+        n_rowsonly += 1
+        print(f"{status:18s} {name:28s} rows={len(got)}")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{'ORACLE-ERR':18s} {name:28s} {e}")
+        n_fail += 1
+        continue
+    if compare(name, got, exp):
         n_pass += 1
     else:
-        print(f"{'VALUE-MISMATCH':18s} {name:28s} cols={mismatches}")
-        for c in mismatches[:3]:
-            import pandas as pd
-            diff = g[c].compare(e[c]) if hasattr(g[c], "compare") else None
-            if diff is not None and len(diff):
-                print(f"    {c}: first diffs\n{diff.head(3)}")
         n_fail += 1
 print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
 sys.exit(1 if n_fail else 0)
