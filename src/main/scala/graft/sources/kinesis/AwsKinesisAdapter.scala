@@ -119,4 +119,41 @@ object AwsKinesisAdapter {
     "PutRecordsResponse" -> Seq("records"),
     "PutRecordsResultEntry" -> Seq("sequenceNumber", "errorCode"),
     "software.amazon.awssdk.core.SdkBytes" -> Seq("asByteArray"))
+
+  /** Expected RETURN type per response accessor — the piece of the
+    * surface a name/arity check cannot see: an SDK minor version that
+    * keeps a member's name but changes its type (e.g.
+    * `millisBehindLatest(): Long` → `String`) would pass resolution
+    * and then fail as a ClassCastException at first use.
+    * `AwsKinesisClient.validate()` matches each accessor's declared
+    * return type against these (by fully-qualified OR simple name, so
+    * the offline stub and the real SDK both satisfy them; overloads
+    * pass if ANY candidate matches). Types are the SDK v2 javadoc's.
+    */
+  val responseAccessorTypes: Map[String, Map[String, String]] = Map(
+    "ListShardsResponse" -> Map(
+      "shards" -> "java.util.List", "nextToken" -> "java.lang.String"),
+    "Shard" -> Map(
+      "shardId" -> "java.lang.String", "parentShardId" -> "java.lang.String",
+      "sequenceNumberRange" -> "SequenceNumberRange",
+      "adjacentParentShardId" -> "java.lang.String"),
+    "SequenceNumberRange" -> Map("endingSequenceNumber" -> "java.lang.String"),
+    "DescribeStreamSummaryResponse" -> Map(
+      "streamDescriptionSummary" -> "StreamDescriptionSummary"),
+    "StreamDescriptionSummary" -> Map(
+      "streamStatusAsString" -> "java.lang.String"),
+    "GetShardIteratorResponse" -> Map("shardIterator" -> "java.lang.String"),
+    "GetRecordsResponse" -> Map(
+      "records" -> "java.util.List",
+      "nextShardIterator" -> "java.lang.String",
+      "millisBehindLatest" -> "java.lang.Long"),
+    "Record" -> Map(
+      "data" -> "SdkBytes", "partitionKey" -> "java.lang.String",
+      "sequenceNumber" -> "java.lang.String",
+      "approximateArrivalTimestamp" -> "java.time.Instant"),
+    "PutRecordResponse" -> Map("sequenceNumber" -> "java.lang.String"),
+    "PutRecordsResponse" -> Map("records" -> "java.util.List"),
+    "PutRecordsResultEntry" -> Map(
+      "sequenceNumber" -> "java.lang.String", "errorCode" -> "java.lang.String"),
+    "software.amazon.awssdk.core.SdkBytes" -> Map("asByteArray" -> "[B"))
 }

@@ -113,10 +113,28 @@ class AwsKinesisClient extends ConfigurableKinesisClient {
         } catch { case e: Throwable => problems += s"$cname: static builder(): $e" }
       }
     }
-    // response accessors (absolute names = core classes outside pkg)
+    // response accessors (absolute names = core classes outside pkg):
+    // existence by name/arity PLUS declared return type — a renamed
+    // member fails resolution, a re-typed member (same name, new
+    // return type) would otherwise only fail as a ClassCastException
+    // at first use. Expected types match by FQCN or simple name
+    // (overloads pass if any candidate matches).
     AwsKinesisAdapter.responseAccessors.toSeq.sortBy(_._1).foreach { case (cname, accs) =>
       val fqcn = if (cname.contains('.')) cname else s"$pkg.model.$cname"
-      withClass(fqcn, cname)(cls => accs.foreach(a => requireMethod(cls, a, 0, cname)))
+      val types = AwsKinesisAdapter.responseAccessorTypes.getOrElse(cname, Map.empty)
+      withClass(fqcn, cname)(cls => accs.foreach { a =>
+        val candidates = cls.getMethods.filter(
+          m => m.getName == a && m.getParameterCount == 0)
+        if (candidates.isEmpty)
+          problems += s"$cname: no public method $a/0 on ${cls.getName}"
+        else types.get(a).foreach { want =>
+          val ok = candidates.exists(m =>
+            m.getReturnType.getName == want || m.getReturnType.getSimpleName == want)
+          if (!ok) problems += s"$cname.$a(): return type " +
+            s"${candidates.map(_.getReturnType.getName).distinct.mkString("|")} " +
+            s"does not match expected $want"
+        }
+      })
     }
     // static factories the adapter calls (credential/region ones only
     // when the options actually route through them)

@@ -78,6 +78,68 @@ class AwsKinesisClientSpec extends SparkSuite {
     c2.configure(Map("sdkpackage" -> "graft.nosuch.sdk", "validate" -> "false"))
   }
 
+  // ---- version-skew mutation matrix (SkewMutationStubs.scala): each
+  // package is a complete SDK surface with ONE mutation; validate()
+  // must report the complete and MINIMAL problem list — exactly the
+  // mutated member, never a cascade, and nothing for benign overloads.
+  private def skewProblems(pkg: String): Seq[String] = {
+    val c = new AwsKinesisClient
+    c.configure(Map("sdkpackage" -> pkg, "region" -> "us-east-1",
+      "validate" -> "false"))
+    c.validate()
+  }
+
+  test("skew matrix: renamed RPC (listShards → listShardsV2) is the one and only problem") {
+    fresh()
+    val ps = skewProblems("graft.skew.renamedrpc")
+    assert(ps.size == 1, s"expected exactly one problem, got: $ps")
+    assert(ps.head.contains("listShards") && ps.head.contains("KinesisClient"),
+      s"diagnosis must name the RPC and the client: ${ps.head}")
+  }
+
+  test("skew matrix: removed accessor (Record.approximateArrivalTimestamp) is the one and only problem") {
+    fresh()
+    val ps = skewProblems("graft.skew.missingacc")
+    assert(ps.size == 1, s"expected exactly one problem, got: $ps")
+    assert(ps.head.contains("Record") &&
+      ps.head.contains("approximateArrivalTimestamp"),
+      s"diagnosis must name class and accessor: ${ps.head}")
+  }
+
+  test("skew matrix: renamed builder setter (GetRecordsRequest limit → recordLimit) is the one and only problem") {
+    fresh()
+    val ps = skewProblems("graft.skew.renamedsetter")
+    assert(ps.size == 1, s"expected exactly one problem, got: $ps")
+    assert(ps.head.contains("GetRecordsRequest") && ps.head.contains("limit"),
+      s"diagnosis must name request class and setter: ${ps.head}")
+  }
+
+  test("skew matrix: changed return type (millisBehindLatest Long → String) is caught at validate, not first use") {
+    fresh()
+    val ps = skewProblems("graft.skew.rettype")
+    assert(ps.size == 1, s"expected exactly one problem, got: $ps")
+    assert(ps.head.contains("millisBehindLatest") &&
+      ps.head.contains("java.lang.String") && ps.head.contains("java.lang.Long"),
+      s"diagnosis must name accessor, found and expected types: ${ps.head}")
+  }
+
+  test("skew matrix: extra overloads (consumer-builder style) validate CLEAN") {
+    fresh()
+    val ps = skewProblems("graft.skew.extraoverload")
+    assert(ps.isEmpty, s"benign overloads must not trip validate: $ps")
+  }
+
+  test("skew matrix: two simultaneous mutations are BOTH reported (complete list, no fail-fast-at-first)") {
+    fresh()
+    val ps = skewProblems("graft.skew.multi")
+    assert(ps.size == 2, s"expected exactly two problems, got: $ps")
+    assert(ps.exists(p => p.contains("listShards") && p.contains("KinesisClient")),
+      s"renamed RPC missing from: $ps")
+    assert(ps.exists(p => p.contains("Record") &&
+      p.contains("approximateArrivalTimestamp")),
+      s"removed accessor missing from: $ps")
+  }
+
   test("listShards paginates nextToken pages and maps closed/parent fields") {
     fresh()
     FakeKinesisService.createStream("aws1", 5) // stub pages by 2 → 3 pages
