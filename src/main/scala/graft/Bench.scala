@@ -106,6 +106,24 @@ object Bench {
       name -> (if (best.isInfinity) -1.0 else best,
                if (med.isInfinity) -1.0 else med)
     }.toMap
+    // Certification-cost ledger (r12 VERDICT item 7): for every
+    // certified query in this suite, time its RAW (uncertified)
+    // production path with the same warm + best-of-N protocol and
+    // report certified/raw/overhead — the per-query price of the
+    // in-query certification, kept auditable in bench_full.json.
+    // Skipped in subset/isolation modes (their totals feed the
+    // guardrail; the ledger is a full-suite artifact).
+    val certLedger: Map[String, (Double, Double)] =
+      if (onlyNames.isDefined || onlyMatched) Map.empty
+      else {
+        val twins = SparkEntry.certRawTwins.filter { case (k, _) => results.contains(k) }
+        twins.foreach { case (name, fn) => runOnce(name, fn) } // warm
+        twins.map { case (name, fn) =>
+          val raw = (1 to nRuns).map(_ => runOnce(name, fn)).min
+          name -> (if (raw.isInfinity) -1.0 else raw,
+            results.get(name).map(_._1).getOrElse(-1.0))
+        }
+      }
     // The driver captures only the LAST ~2000 chars of stdout and
     // json-parses the metric line from it. Full-precision doubles for
     // two 60+-entry maps blow that budget (BENCH_r0{1,2,3}.json all
@@ -184,7 +202,12 @@ object Bench {
         "\"" + k + "\":" + fmt(3)(if (v.isInfinity) -1.0 else v)
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"sf":"$sfDir","runs":$nRuns}"""
+    val certJson = certLedger.toSeq.sortBy(_._1).map { case (k, (raw, cert)) =>
+      val over = if (raw >= 0 && cert >= 0) cert - raw else -1.0
+      "\"" + k + "\":{\"certified\":" + fmt(3)(cert) + ",\"raw\":" + fmt(3)(raw) +
+        ",\"overhead\":" + fmt(3)(over) + "}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"cert_overhead":$certJson,"sf":"$sfDir","runs":$nRuns}"""
     try {
       val p = java.nio.file.Paths.get(
         if (onlyMatched) "target/bench_full_matched.json" else "target/bench_full.json")

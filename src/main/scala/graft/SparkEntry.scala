@@ -66,6 +66,15 @@ object SparkEntry {
   def oracleExt: Map[String, Map[String, String]] =
     operators.Similarity.oracleExtensions
 
+  /** Raw (uncertified) production paths for every CERTIFIED query —
+    * what the operator costs without its in-query certification work.
+    * [[Bench]] times both and writes a `cert_overhead` ledger into
+    * target/bench_full.json so the certification cost stays auditable
+    * as it spreads (r12 VERDICT item 7).
+    */
+  def certRawTwins: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.rawTwins ++ operators.Similarity.rawTwins
+
   /** The rows-only policy, machine-readable: every registered query
     * WITHOUT an [[oracleSql]] entry maps to (a) the named ScalaTest
     * invariant that stands in for the hash gate and (b) its

@@ -1331,6 +1331,38 @@ object Similarity {
     * recursive SQL oracle, and the two paths are cross-validated at
     * sf0.1 (both must PASS the same Spark output).
     */
+  /** Raw (uncertified) production paths for this object's CERTIFIED
+    * ANN queries — the routed/blocked operator work WITHOUT the
+    * in-query certification (exact top-k witness, ground-truth pair
+    * join, flags). [[graft.Bench]] times both and emits the
+    * `cert_overhead` ledger (r12 VERDICT item 7).
+    */
+  def rawTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s04_sim_ivf" -> ((s, dir) => {
+      val probes = embeddings(s, dir).filter(col("vec_id") < 10).select("vec_id")
+      ivfTopK(ivfIndex(s, dir), probes, k = 5, nProbe = IvfNProbe)
+        .orderBy("qid", "rnk")
+    }),
+    "s06_semantic_neardup" -> ((s, dir) =>
+      semPairs(s, dir).orderBy("id_a", "id_b")),
+    "s07_semantic_survivors" -> ((s, dir) =>
+      Dedup.keepRepresentatives(
+          embeddings(s, dir).select("vec_id", "label"),
+          semPairs(s, dir).select(col("id_a"), col("id_b")), idCol = "vec_id")
+        .orderBy("vec_id")),
+    "s08_pq_ann" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      pqRerankTopK(pqIndex(s, dir), e, e.filter(col("vec_id") < 10),
+          k = 5, shortlist = 50)
+        .orderBy("qid", "rnk")
+    }),
+    "s09_ivf_pq_ann" -> ((s, dir) => {
+      val probes = embeddings(s, dir).filter(col("vec_id") < 10)
+      ivfPqTopK(ivfIndex(s, dir), pqIndex(s, dir), probes,
+          k = 5, nProbe = IvfNProbe, shortlist = 50)
+        .orderBy("qid", "rnk")
+    }))
+
   def oracleExtensions: Map[String, Map[String, String]] = Map(
     "s07b_semantic_survivors" -> Map(
       "algo" -> "keep_min_component",
