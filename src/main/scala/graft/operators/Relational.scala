@@ -228,7 +228,31 @@ object Relational {
     */
   case class GraphArtifact(oriented: DataFrame, adj: DataFrame,
       deg: DataFrame, pairs: DataFrame, wdeg: DataFrame, nv: Long,
-      ne: Long, loop: GraphLoop)
+      ne: Long, loop: GraphLoop) {
+    /** The JOIN-SIDE view of `adj`: broadcast-hinted iff the
+      * artifact's own measured (nv, ne) bound the table under
+      * [[AdjBroadcastMaxBytes]]. The r13 sf1 stage audit
+      * (GraphStageProbe) found the static planner sort-merge-joining
+      * the 12M-edge oriented list against this |V|-row table TWICE —
+      * the ~105 MB adjacency estimate clears any real executor's
+      * memory but not the 10 MB `autoBroadcastJoinThreshold` default,
+      * and that strategy flip, not the O(m^1.5) intersection, was
+      * q70/q76's sf1 scaling step (join2 3.9 → 1.3 s, closures
+      * 4.9 → 2.6 s hinted). The artifact sizes the decision from the
+      * exact counts it already materialized — 8·|E| array bytes +
+      * ~48·|V| row overhead — so a billion-vertex graph still takes
+      * the shuffled-join path (the estimate exceeds the bound) with
+      * zero driver risk. */
+    def adjJoin: DataFrame =
+      if (8L * ne + 48L * nv <= AdjBroadcastMaxBytes) broadcast(adj) else adj
+  }
+
+  /** Upper bound for hint-broadcasting a prepared adjacency table:
+    * 256 MB — small against executor memory (the broadcast must also
+    * fit the driver, which at this size it trivially does), far above
+    * the 10 MB planner default that mis-sizes post-aggregate subtrees.
+    */
+  private val AdjBroadcastMaxBytes = 256L << 20
 
   private val graphCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), GraphArtifact]()
@@ -818,46 +842,25 @@ object Relational {
     // percentile trio: q31 is exact but holds every group's values in
     // one in-memory aggregation buffer (OOMs at 100 TB; gate-only by
     // design), q38 is mergeable but approximate (one-bucket error),
-    // and THIS is exact and cannot OOM: a rank window over a
-    // value-sorted partition (Spark's window sort is EXTERNAL — it
-    // spills to disk, an agg buffer cannot), then only the two
-    // boundary rows per requested percentile survive into a tiny
-    // min() aggregate, and the interpolation v_lo + frac·(v_hi − v_lo)
-    // runs on |groups| rows. Honest scale limit: a window partition is
-    // one task, so a LOW-cardinality mega-group (like this 3-flag
-    // gate fixture) still sorts serially per group — spilled, not
-    // crashed, but wall-clock-bound; q38's sketch stays the
-    // recommendation there. For the common keyed case (percentile per
-    // customer/item/day — thousands of groups) this is the exact shape
-    // that scales. The oracle mirrors the SAME rank/interpolation
-    // arithmetic in the same operation order (not quantile_cont, whose
-    // internal lerp order is the engine's own), so the result is
-    // hash-exact; SketchAndFormatSpec asserts q55 ≡ q31 on the shared
-    // percentiles — two independent exact algorithms agreeing.
-    "q55_percentile_rank" -> ((s, dir) => {
-      val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
-      val ranked = lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rn",
-          row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("v")).cast("long") - 1)
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      val aggCols = ps.flatMap { case (nm, p) =>
-        val pos = lit(p) * (col("n") - 1)
-        Seq(min(when(col("rn") === floor(pos), col("v"))).as(s"__lo_$nm"),
-          min(when(col("rn") === ceil(pos), col("v"))).as(s"__hi_$nm"))
-      }
-      val g = ranked.groupBy("l_returnflag")
-        .agg(max("n").as("n"), aggCols: _*)
-      val sel = col("l_returnflag") +: col("n") +: ps.map { case (nm, p) =>
-        val pos = lit(p) * (col("n") - 1)
-        val frac = pos - floor(pos)
-        round(col(s"__lo_$nm") + frac * (col(s"__hi_$nm") - col(s"__lo_$nm")), 4)
-          .as(nm)
-      }
-      g.select(sel: _*).orderBy("l_returnflag")
-    }),
+    // and THIS is exact, cannot OOM, AND never sorts a group: the
+    // two-phase bucketed selection in [[exactPercentileSelect]] (two
+    // O(n) combinable scans + a row_number over only the ~n/65536-row
+    // targeted buckets). Re-planned in r13 from a rank window over a
+    // value-sorted partition — that form was exact and spill-safe but
+    // serialized each group's sort into one task (2M rows/task on
+    // this 3-flag fixture at sf1: the 7.1× scaler VERDICT r12 item 3
+    // flagged); selection computes the identical values with no
+    // per-group sort, so it scales with partitions, not groups. The
+    // oracle (unchanged) mirrors the SAME rank/interpolation
+    // arithmetic in the same operation order (not quantile_cont,
+    // whose internal lerp order is the engine's own), so the result
+    // is hash-exact; SketchAndFormatSpec asserts q55 ≡ q31 on the
+    // shared percentiles — two independent exact algorithms agreeing.
+    "q55_percentile_rank" -> ((s, dir) =>
+      exactPercentileSelect(
+        lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .orderBy("l_returnflag")),
 
     // Mergeable percentile rollup — the scale-safe twin of q31 (whose
     // exact percentile buffers every group's values in one aggregation
@@ -1519,7 +1522,7 @@ object Relational {
     // adjacency intersection is the 100 TB shape.
     "q70_triangles" -> ((s, dir) => {
       val g = orientedCooccurGraph(s, dir)
-      trianglesFromOriented(g.oriented, Some(g.adj))
+      trianglesFromOriented(g.oriented, Some(g.adjJoin))
         .orderBy("part")
     }),
 
@@ -1596,7 +1599,7 @@ object Relational {
     // [[linkJaccard]]. Top-200 strongest ties, deterministic order.
     "q76_link_jaccard" -> ((s, dir) => {
       val g = orientedCooccurGraph(s, dir)
-      linkJaccard(g.oriented, Some(g.adj), Some(g.deg))
+      linkJaccard(g.oriented, Some(g.adjJoin), Some(g.deg))
         .orderBy(desc("jaccard"), col("a"), col("b"))
         .limit(200)
     }),
@@ -2110,6 +2113,113 @@ object Relational {
       .select(col(keyCol), col("n_events"), col("ewma"))
   }
 
+  /** EXACT keyed percentiles by two-phase bucketed SELECTION — the
+    * r13 re-plan of q55's rank window (VERDICT r12 item 3: q55 was
+    * the steepest sf1 scaler at 7.1×, its dominant stage the
+    * per-group window sort — 2M rows per task on the 3-flag gate
+    * fixture). Selection replaces the O(n log n) per-group sort with
+    * two O(n) scans and never sorts a group:
+    *
+    *  1. one stats pass (count/min/max per key — map-side
+    *     combinable);
+    *  2. one histogram pass: each row lands in one of `buckets`
+    *     equi-width buckets (the same codegen'd expression both
+    *     passes), per-(key, bucket) counts shuffle ≤ |keys|·buckets
+    *     tiny long rows, and a cumulative sum over each key's ≤65536
+    *     bucket rows locates, for every requested rank
+    *     floor/ceil(p·(n−1)), the ONE bucket holding it and the rank's
+    *     offset within it;
+    *  3. a second scan keeps only rows of the ≤4 targeted buckets per
+    *     key (two broadcast joins — stats and targets are |keys|-sized)
+    *     and row_numbers WITHIN each ~n/buckets-row bucket to pick the
+    *     exact value at each offset.
+    *
+    * The picked values are bit-identical to the rank-window form's
+    * (the (r+1)-th smallest value of a multiset is algorithm-
+    * independent; ties collapse to the same value), and the final
+    * interpolation `round(lo + frac·(hi − lo), 4)` is the identical
+    * IEEE op sequence — so the output hash-matches the unchanged q55
+    * oracle. Constant-valued keys (max = min) short-circuit to that
+    * value without touching pass 2 (their single bucket would hold the
+    * whole group). Honest limit: a non-constant key whose mass
+    * concentrates in ONE bucket (≫ n/buckets duplicates of a single
+    * value) degrades pass 2 toward the window form's per-group sort —
+    * spilled, not crashed — and q38's mergeable histogram remains the
+    * approximate recommendation at that extreme. NULL values are
+    * excluded (SQL percentile semantics). The |keys|-row broadcasts
+    * make this the shape for few-to-millions of groups; at
+    * mega-cardinality keys the same joins degrade gracefully to
+    * key-partitioned shuffles when AQE retracts the broadcast.
+    *
+    * Output: (keyCol, n, <one column per requested percentile name>),
+    * one row per key.
+    */
+  def exactPercentileSelect(df: DataFrame, keyCol: String, vCol: String,
+      ps: Seq[(String, Double)], buckets: Int = 65536): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(vCol).as("v"))
+      .filter(col("v").isNotNull)
+    val stats = base.groupBy("k").agg(count(lit(1)).as("n"),
+      min("v").as("mn"), max("v").as("mx"))
+    val statsB = broadcast(stats)
+
+    def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    val rankCols = ps.flatMap { case (_, p) =>
+      Seq(floor(posOf(p)).cast("long"), ceil(posOf(p)).cast("long")) }
+    val ranks = stats.select(col("k"),
+      explode(array_distinct(array(rankCols: _*))).as("r"))
+
+    // the same bucket expression in both passes — consistency of the
+    // assignment, not its precision, is what exactness rides on
+    val width = (col("mx").cast("double") - col("mn").cast("double")) /
+      lit(buckets.toDouble)
+    val bExpr = least(
+      floor((col("v").cast("double") - col("mn").cast("double")) / width)
+        .cast("long"),
+      lit(buckets - 1L))
+
+    val varKeys = base.join(statsB, "k").filter(col("mx") > col("mn"))
+    // pass 1: per-(key, bucket) counts + cumulative rank boundaries
+    val cum = varKeys.withColumn("b", bExpr)
+      .groupBy("k", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("k").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = cum.join(broadcast(ranks.withColumnRenamed("k", "rk")),
+        col("k") === col("rk") &&
+          col("r") >= col("cum") - col("c") && col("r") < col("cum"))
+      .select(col("k"), col("b"), col("r"),
+        (col("r") - (col("cum") - col("c"))).as("off"))
+
+    // pass 2: only the targeted buckets' rows survive into the pick
+    val vals = varKeys.withColumn("b", bExpr)
+      .join(broadcast(targets), Seq("k", "b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k", "b", "r").orderBy("v")))
+      .filter(col("rn") === col("off") + 1)
+      .select(col("k"), col("r"), col("v").as("pv"))
+    // constant-valued keys: every rank's value IS the constant
+    val constVals = stats.filter(col("mx") <= col("mn"))
+      .select(col("k"),
+        explode(array_distinct(array(rankCols: _*))).as("r"),
+        col("mn").as("pv"))
+
+    val withN = vals.unionAll(constVals)
+      .join(broadcast(stats.select(col("k"), col("n"))), "k")
+    val aggCols = ps.flatMap { case (nm, p) =>
+      Seq(min(when(col("r") === floor(posOf(p)).cast("long"), col("pv")))
+          .as(s"__lo_$nm"),
+        min(when(col("r") === ceil(posOf(p)).cast("long"), col("pv")))
+          .as(s"__hi_$nm")) }
+    val g = withN.groupBy("k").agg(max("n").as("n"), aggCols: _*)
+    val sel = col("k").as(keyCol) +: col("n") +: ps.map { case (nm, p) =>
+      val pos = posOf(p)
+      val frac = pos - floor(pos)
+      round(col(s"__lo_$nm") + frac * (col(s"__hi_$nm") - col(s"__lo_$nm")), 4)
+        .as(nm)
+    }
+    g.select(sel: _*)
+  }
+
   /** Canonical undirected edge list: endpoints ordered (`a < b`) via
     * least/greatest, self-loops dropped, duplicates in either
     * orientation collapsed by one distinct.
@@ -2172,9 +2282,13 @@ object Relational {
     * and runs in ~1 s. (A Bloom pre-filter on the closing edge was
     * measured and rejected: evaluating a 2 MiB filter literal over
     * 41M wedge rows cost more than the pruned shuffle saved.) At
-    * scale both joins are vertex-keyed equi-joins: AQE broadcasts the
-    * adjacency side while |V| fits, and falls back to a shuffle that
-    * moves |E| + |V| rows — never O(m^1.5).
+    * scale both joins are vertex-keyed equi-joins: the cached-artifact
+    * caller passes [[GraphArtifact.adjJoin]], which broadcast-hints
+    * the adjacency side while its measured size bound fits (the
+    * planner's own estimate mis-sizes the post-aggregate subtree —
+    * the r13 sf1 audit caught it sort-merge-joining a 105 MB table),
+    * and beyond the bound the join falls back to a shuffle that moves
+    * |E| + |V| rows — never O(m^1.5).
     *
     * `adjOpt`: the precomputed out-adjacency table (`src`, sorted
     * `ns` array) — pass the cached artifact (q70 does); derived from

@@ -412,6 +412,19 @@ object TextOps {
     * any engine. Docs with fewer than 2 tokens have no bigrams and
     * drop out.
     *
+    * Scale shape (re-planned in r13 — VERDICT item 3 flagged t13 as
+    * the text family's steepest sf1 scaler at 5.4×): the model join
+    * is HINTED broadcast. The static planner can't size a
+    * twice-aggregated subtree, so un-hinted it sort-merge-joins —
+    * shuffling every bigram OCCURRENCE (corpus-scale, the t13 probe
+    * measured 3.1× end-to-end on that one exchange at sf1) to meet a
+    * model that is bigram-TYPE-scale: Heaps-law sublinear, the same
+    * vocabulary-sized-table bound as the t10/t11 vocab broadcasts.
+    * The hint keeps the per-occurrence stream zero-exchange into its
+    * final partial agg. For a corpus whose bigram-type table outgrows
+    * executor memory, drop the hint and take the shuffle — the
+    * occurrence side is then 100× the type side anyway.
+    *
     * Output: (doc_id, n_bigrams, sum_st, avg_surprisal).
     */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
@@ -431,7 +444,7 @@ object TextOps {
         """CAST(round(ln(cw) * 1000000) AS BIGINT)
            - CAST(round(ln(cp) * 1000000) AS BIGINT)"""))
       .select("pr", "st")
-    pairs.join(model, "pr")
+    pairs.join(broadcast(model), "pr")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("st").as("sum_st"))
       .withColumn("avg_surprisal",

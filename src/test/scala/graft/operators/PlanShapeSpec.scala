@@ -146,16 +146,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"no hash equi-join on the bucket id:\n$p")
   }
 
-  test("q55: exact percentiles via a spillable window sort — no percentile agg buffer") {
+  test("q55: exact percentiles via bucketed selection — no buffer, no per-group fact sort") {
     val p = plan("q55_percentile_rank")
-    // the whole point: exact percentiles WITHOUT an aggregation buffer
-    // holding a group's every value (q31's shape) — the heavy lifting
-    // is a Window over an external (spillable) sort, and the aggregates
-    // that follow are plain min/max over boundary rows
+    // exact percentiles WITHOUT an aggregation buffer holding a
+    // group's every value (q31's shape) AND without the pre-r13 rank
+    // window's per-group sort of the whole fact relation: the heavy
+    // lifting is two combinable HashAggregates (stats + bucket
+    // histogram); the only Windows left run over per-key bucket rows
+    // and the targeted buckets' rows
     assert(!p.toLowerCase.contains("percentile"),
       s"q55 fell back to a percentile aggregate buffer:\n$p")
-    assert(p.contains("Window"), s"expected the rank window:\n$p")
+    assert(p.contains("Window"), s"expected the cum/pick windows:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // the per-key stats/targets attach to the fact scan as broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats/targets should broadcast onto the fact scan:\n$p")
   }
 
   test("q54: interval-overlap join is a bucketed equi-join — no nested loop") {

@@ -140,6 +140,51 @@ class SketchAndFormatSpec extends SparkSuite {
       s"exact algorithms disagree: q31=${q31.toSeq} q55=${q55.toSeq}")
   }
 
+  test("exactPercentileSelect == rank-window form on adversarial groups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // Edge cases the fixture can't produce: a constant-valued key, a
+    // single-row key, a two-row key (pure interpolation), heavy
+    // duplicate concentration (most mass in ONE bucket), and a spread
+    // key — with buckets=8 so multiple ranks land in one bucket and
+    // bucket boundaries actually bite.
+    val rows =
+      Seq.fill(500)(("const", 42.5)) ++
+      Seq(("one", 7.0)) ++
+      Seq(("two", 1.0), ("two", 2.0)) ++
+      (1 to 400).map(i => ("heavy", if (i <= 380) 5.0 else i.toDouble)) ++
+      (1 to 997).map(i => ("spread", (i * 37 % 1009).toDouble))
+    val df = rows.toDF("k", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+    val sel = graft.operators.Relational
+      .exactPercentileSelect(df, "k", "v", ps, buckets = 8)
+      .orderBy("k").collect().map(_.toSeq)
+
+    // the pre-r13 rank-window reference, inline
+    val ranked = df.select(col("k"), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy("v")).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+    val aggCols = ps.flatMap { case (nm, p) =>
+      val pos = lit(p) * (col("n") - 1)
+      Seq(min(when(col("rn") === floor(pos), col("v"))).as(s"__lo_$nm"),
+        min(when(col("rn") === ceil(pos), col("v"))).as(s"__hi_$nm"))
+    }
+    val g = ranked.groupBy("k").agg(max("n").as("n"), aggCols: _*)
+    val selCols = col("k") +: col("n") +: ps.map { case (nm, p) =>
+      val pos = lit(p) * (col("n") - 1)
+      val frac = pos - floor(pos)
+      round(col(s"__lo_$nm") + frac * (col(s"__hi_$nm") - col(s"__lo_$nm")), 4)
+        .as(nm)
+    }
+    val ref = g.select(selCols: _*).orderBy("k").collect().map(_.toSeq)
+
+    assert(ref.nonEmpty && sel.toSeq == ref.toSeq,
+      s"selection != window form:\nsel=${sel.toSeq}\nref=${ref.toSeq}")
+  }
+
   test("q50 CMS: never undercounts, and merge-of-partials == sketch-of-whole") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

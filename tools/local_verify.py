@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [names]
+
+[names] (optional, comma-separated) restricts the compare to those
+query dirs — for re-running individual heavy oracles in a FRESH
+DuckDB process (a 148-oracle single-process sweep accumulates buffer
+pool; e.g. the q74/q77 graph unrolls at sf1 OOM after ~110 prior
+oracles but pass clean in a fresh process).
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the sfDir
@@ -114,6 +120,10 @@ def compare(name, got, exp, tag="PASS"):
 
 
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    names = [n for n in names if n in only]
+    print(f"!! NAME FILTER: comparing only {len(names)} of the result dirs\n")
 n_pass = n_fail = n_rowsonly = 0
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
