@@ -27,6 +27,7 @@ object Similarity {
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDot.register(s)
+    graft.functions.PrefixDistinct.register(s)
     embeddings(s, dir).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
   }
@@ -471,23 +472,34 @@ object Similarity {
 
     "s03_embed_neardup" -> ((s, dir) => {
       // Narrow-first: the bucket self-join moves only (vec_id, tbl,
-      // bucket) rows — carrying the vectors through it would shuffle
-      // each one once per colliding table (~24×). Vectors are fetched
-      // by two equi-joins (auto-broadcast at small SF, shuffled hash
-      // joins at scale), the cosine filter runs per candidate inside
-      // codegen, and only the few survivors are deduped — dots are
-      // cheap, pair-level shuffles are not, so dedup goes last.
+      // bucket, codes) rows — carrying the vectors through it would
+      // shuffle each one once per colliding table (~24×). Cross-table
+      // dedup is the in-row FIRST-COLLISION filter ([[firstCollision]],
+      // re-planned in r13: a near-identical pair collides in nearly
+      // ALL 24 tables, so "dedup last" fetched vectors and ran the
+      // dot per (pair, table) — the full-148 sf1 bench caught s03 as
+      // one of the two superlinear queries at 15.8 s — while
+      // "distinct first" shuffled every pre-dedup candidate
+      // occurrence and measured WORSE, 95 s; the collision check
+      // dedups exactly, in codegen, before anything is fetched or
+      // shuffled). Vectors then attach to the ~|distinct colliding
+      // pairs| survivors, the cosine filter runs per pair, done. The
+      // remaining growth is output-bound: at a 0.35 threshold over a
+      // 10×-replicated corpus the qualifying pair relation ITSELF
+      // grows ~quadratically (495,900 rows at sf1) — no plan beats
+      // its own output size; the operational scale answer is
+      // s06/s07's cluster-blocked SemDeDup.
       val bk = nearDupBuckets(s, dir)
       val e = vecs(s, dir)
-      bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
-        .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
-          Seq("tbl", "bucket"))
-        .filter(col("id_a") < col("id_b"))
+      bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+          col("codes").as("ca"))
+        .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+          col("codes").as("cb")), Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"), dot("va", "vb").as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)
-        .dropDuplicates("id_a", "id_b")
         .orderBy("id_a", "id_b")
     })
   )
@@ -508,20 +520,46 @@ object Similarity {
   private def lshBuckets(e: DataFrame,
       planes: Seq[Seq[Double]], bitsPerTable: Int): DataFrame = {
     graft.functions.VectorDot.register(e.sparkSession)
+    graft.functions.PrefixDistinct.register(e.sparkSession)
     val nTables = planes.size / bitsPerTable
     e
       .withColumn("planes", typedLit(planes))
       .withColumn("bits", expr(
         "transform(planes, p -> CASE WHEN vector_dot(p, v) > 0D THEN 1 ELSE 0 END)"))
+      // every table's bucket assembled ONCE pre-explode; the exploded
+      // rows keep the full `codes` array so pair-generating consumers
+      // can run the FIRST-COLLISION dedup in-row (see s03/knnJoin): a
+      // pair is kept only in the first table where it collides —
+      // exact cross-table dedup with no distinct shuffle
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${nTables - 1}), t ->
+              aggregate(
+                zip_with(slice(bits, t * $bitsPerTable + 1, $bitsPerTable),
+                         sequence(0, ${bitsPerTable - 1}),
+                         (b, s) -> b * shiftleft(1, s)),
+                0, (acc, x) -> acc + x))"""))
       .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
-      .withColumn("bucket", expr(
-        s"""aggregate(
-              zip_with(slice(bits, tbl * $bitsPerTable + 1, $bitsPerTable),
-                       sequence(0, ${bitsPerTable - 1}),
-                       (b, s) -> b * shiftleft(1, s)),
-              0, (acc, x) -> acc + x)"""))
-      .select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
+      .withColumn("bucket", expr("codes[tbl]"))
+      .select(col("vec_id"), col("v"), col("tbl"), col("bucket"), col("codes"))
   }
+
+  /** The first-collision predicate: TRUE iff no table BEFORE `tbl`
+    * also collided this pair — so across the whole bucket join each
+    * colliding pair survives in exactly ONE table's row. Replaces
+    * `dropDuplicates(pair)` (a full shuffle of every pre-dedup
+    * candidate occurrence — same-pair rows live in different
+    * (tbl, bucket) partitions, so map-side partial aggregation never
+    * collapses them; measured at sf1 the distinct cost MORE than the
+    * redundant dot products it saved) with a codegen'd in-row check
+    * on the two code arrays the bucket artifact already carries.
+    */
+  private def firstCollision(codesA: String, codesB: String): Column =
+    // the native [[graft.functions.PrefixDistinct]] primitive loop —
+    // both HOF spellings (slice+zip_with+exists, and exists over an
+    // index sequence) allocate and box per candidate row and measured
+    // SLOWER at sf1 than the redundant dots the dedup avoids; every
+    // call site registers the function via [[lshBuckets]]' session
+    expr(s"prefix_distinct($codesA, $codesB, tbl)")
 
   /** A built IVF (inverted-file) coarse index: `centroids` is
     * (cell, cv: array<double>) — tiny, broadcast at query time — and
@@ -732,12 +770,13 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val bk = bkOpt.getOrElse(lshBuckets(e, annPlanes, BitsPerTable))
     val q = bk.join(broadcast(probeIds.select(col(idCol).as("vec_id"))), Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"),
+        col("bucket"), col("codes").as("ca"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    bk.select(col("vec_id").as("cid"), col("v").as("cv"), col("tbl"), col("bucket"))
+    bk.select(col("vec_id").as("cid"), col("v").as("cv"), col("tbl"),
+        col("bucket"), col("codes").as("cb"))
       .join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")
+      .filter(col("qid") =!= col("cid") && firstCollision("ca", "cb"))
       .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -760,10 +799,11 @@ object Similarity {
     * are exact.
     *
     * Narrow-first, like s03: the bucket self-join moves only
-    * (id, tbl, bucket) — carrying vectors through it would shuffle
-    * each one once per colliding table — and candidate pairs are
-    * deduped across tables BEFORE the two vector-fetch joins, so each
-    * surviving pair is scored once.
+    * (id, tbl, bucket, codes) — carrying vectors through it would
+    * shuffle each one once per colliding table — and candidate pairs
+    * are deduped across tables BEFORE the two vector-fetch joins by
+    * the in-row [[firstCollision]] check (no distinct shuffle), so
+    * each surviving pair is scored once.
     *
     * Output: (qid, cid, rnk, score), rnk 1..≤k per qid.
     *
@@ -777,13 +817,13 @@ object Similarity {
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val bk = bkOpt.getOrElse(lshBuckets(e, annPlanes, BitsPerTable))
-      .select("vec_id", "tbl", "bucket")
-    val cand = bk.select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-      .join(bk.select(col("vec_id").as("cid"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
+      .select("vec_id", "tbl", "bucket", "codes")
+    val cand = bk.select(col("vec_id").as("qid"), col("tbl"), col("bucket"),
+        col("codes").as("ca"))
+      .join(bk.select(col("vec_id").as("cid"), col("tbl"), col("bucket"),
+        col("codes").as("cb")), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid") && firstCollision("ca", "cb"))
       .select("qid", "cid")
-      .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))

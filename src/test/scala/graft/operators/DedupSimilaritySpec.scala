@@ -439,4 +439,52 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("prefix_distinct: semantics, HOF equivalence, and exactly-once pair dedup") {
+    import spark.implicits._
+    graft.functions.PrefixDistinct.register(spark)
+    // direct semantics: n=0 vacuous, agree-inside-prefix false,
+    // agree-only-at-or-after-prefix true
+    val df = Seq((Array(1, 2, 3, 4), Array(9, 2, 3, 9))).toDF("a", "b")
+    def pd(n: Int): Boolean =
+      df.select(expr(s"prefix_distinct(a, b, $n)")).as[Boolean].head()
+    assert(pd(0), "n=0 must be vacuously true")
+    assert(pd(1), "prefix [1] vs [9] disagrees")
+    assert(!pd(2), "index 1 agrees (2=2) inside the prefix")
+    assert(!pd(4))
+    // equivalence with the HOF spelling on seeded pseudo-random codes
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((
+      Array.fill(8)(rnd.nextInt(4)), Array.fill(8)(rnd.nextInt(4)),
+      rnd.nextInt(9)))
+    val rdf = rows.toDF("a", "b", "n")
+    val diff = rdf.select(
+        expr("prefix_distinct(a, b, n)").as("native"),
+        expr("n = 0 OR !exists(sequence(0, n - 1), i -> a[i] = b[i])").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"native and HOF prefix checks disagree on $diff rows")
+    // exactly-once: over a per-(tbl,bucket) self-join, the first-collision
+    // filter keeps each colliding pair in exactly ONE table row — the
+    // same relation as dropDuplicates over ALL colliding occurrences
+    val codes = Seq(
+      (1L, Array(0, 1, 2)), (2L, Array(0, 1, 9)),   // 1-2 collide at tbl 0 AND 1
+      (3L, Array(7, 1, 2)), (4L, Array(8, 5, 2)))   // 1-3 at 1,2; 2-3 at 1; 1-4, 3-4 at 2
+    val bk = codes.toDF("vec_id", "codes")
+      .withColumn("tbl", explode(expr("sequence(0, 2)")))
+      .withColumn("bucket", expr("codes[tbl]"))
+    val joined = bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+        col("codes").as("ca"))
+      .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+        col("codes").as("cb")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val once = joined.filter(expr("prefix_distinct(ca, cb, tbl)"))
+      .select("id_a", "id_b", "tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(once.toSeq == Seq((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 2),
+        (2L, 3L, 1), (3L, 4L, 2)),
+      s"first-collision should keep each pair once, at its first table: ${once.toSeq}")
+    val distinctPairs = joined.select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b").count()
+    assert(once.length == distinctPairs)
+  }
 }
