@@ -98,7 +98,11 @@ object StateRecoveryBench {
 
     def drain(df: DataFrame, ckpt: String, tag: String): Double = {
       val t0 = System.nanoTime()
-      val q = df.writeStream.format("memory").queryName(tag)
+      // foreachBatch sink: the memory sink refuses to RECOVER from an
+      // existing checkpoint, and recovery is the whole measurement
+      val q = df.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => { b.write.format("noop").mode("overwrite").save(); () })
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -112,7 +116,6 @@ object StateRecoveryBench {
       push(name, Records, 0)
       val ckpt = Files.createTempDirectory(s"srb_$label").toString
       val buildSec = drain(mk(name), ckpt, s"srb_b_$streamNo")
-      spark.catalog.dropTempView(s"srb_b_$streamNo")
       val stateBytes = dirSize(java.nio.file.Paths.get(ckpt, "state"))
       // tail: NEW records only; the restart must restore the full
       // store before its first (small) batch commits
