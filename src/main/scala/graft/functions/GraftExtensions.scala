@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ResizeGrid].getCanonicalName, "resize_grid"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ResizeGrid(exprs(0), exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
+      FunctionIdentifier("prefix_distinct"),
+      new ExpressionInfo(classOf[PrefixDistinct].getCanonicalName, "prefix_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PrefixDistinct(exprs(0), exprs(1), exprs(2))))
   }
 }

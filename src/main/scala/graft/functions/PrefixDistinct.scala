@@ -42,6 +42,8 @@ case class PrefixDistinct(first: Expression, second: Expression,
 
   override def dataType: DataType = BooleanType
 
+  override def prettyName: String = "prefix_distinct"
+
   override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -72,6 +72,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"s03 plans a cartesian product:\n$p")
   }
 
+  test("s03/s10: cross-table pair dedup is the in-row first-collision filter, not a shuffle") {
+    // the r13 re-plan: each colliding pair survives in exactly one
+    // bucket table via the native prefix_distinct predicate — there
+    // must be NO pair-keyed distinct (HashAggregate over id pairs
+    // between the bucket join and the vector fetch would be the
+    // 95-second shuffle shape SCALE.md documents and rejects)
+    for (q <- Seq("s03_embed_neardup", "s10_knn_join")) {
+      val p = plan(q)
+      assert(p.contains("prefix_distinct"),
+        s"$q lost the first-collision dedup filter:\n$p")
+    }
+  }
+
   test("hot expression pipelines stay inside whole-stage codegen") {
     // scalar/text pipelines must be codegen'd — a UDF or non-codegen
     // expression sneaking in shows up as a missing span. AQE only
