@@ -2146,7 +2146,11 @@ object Relational {
     * value) degrades pass 2 toward the window form's per-group sort —
     * spilled, not crashed — and q38's mergeable histogram remains the
     * approximate recommendation at that extreme. NULL values are
-    * excluded (SQL percentile semantics). The |keys|-row broadcasts
+    * excluded (SQL percentile semantics); NaN values are NOT
+    * supported (the bucket assignment would cast NaN under ANSI —
+    * filter them upstream; the rank-window form this replaced ordered
+    * them last, which is equally meaningless as a percentile
+    * input). The |keys|-row broadcasts
     * make this the shape for few-to-millions of groups; at
     * mega-cardinality keys the same joins degrade gracefully to
     * key-partitioned shuffles when AQE retracts the broadcast.

@@ -759,8 +759,11 @@ object Similarity {
     * join). Output: (qid, cid, rnk, score); exact scores, approximate
     * candidate set.
     *
-    * `bkOpt`: prebuilt (vec_id, v, tbl, bucket) LSH bucket table (the
-    * cached ingest artifact the s02 registration passes); derived
+    * `bkOpt`: prebuilt (vec_id, v, tbl, bucket, codes) LSH bucket
+    * table as produced by this module's bucketizer — `codes` is the
+    * per-vector array of ALL tables' bucket ints, which the
+    * first-collision dedup reads (a table without it fails analysis);
+    * the cached ingest artifact the s02 registration passes. Derived
     * in-plan from `corpus` when absent.
     */
   def annTopK(corpus: DataFrame, probeIds: DataFrame, k: Int,
@@ -807,8 +810,11 @@ object Similarity {
     *
     * Output: (qid, cid, rnk, score), rnk 1..≤k per qid.
     *
-    * `bkOpt`: prebuilt LSH bucket table (the cached ingest artifact
-    * the s10 registration passes); derived in-plan when absent.
+    * `bkOpt`: prebuilt (vec_id, v, tbl, bucket, codes) LSH bucket
+    * table as produced by this module's bucketizer — `codes` (all
+    * tables' bucket ints per vector) feeds the first-collision dedup;
+    * the cached ingest artifact the s10 registration passes. Derived
+    * in-plan when absent.
     */
   def knnJoin(emb: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
