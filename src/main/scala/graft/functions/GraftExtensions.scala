@@ -48,5 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PrefixDistinct].getCanonicalName, "prefix_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PrefixDistinct(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("char_class_count"),
+      new ExpressionInfo(classOf[CharClassCount].getCanonicalName, "char_class_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharClassCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_list_count"),
+      new ExpressionInfo(classOf[WordListCount].getCanonicalName, "word_list_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordListCount(exprs(0), exprs(1))))
   }
 }

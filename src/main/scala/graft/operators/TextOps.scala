@@ -14,9 +14,13 @@ import graft.Tables._
   */
 object TextOps {
 
-  // Regex patterns shared verbatim between Spark (Java regex) and DuckDB
-  // (RE2) — restricted to the common-behavior subset: literal classes,
-  // \s, \b, alternation.
+  // Regex patterns shared with the DuckDB oracles (RE2) — restricted
+  // to the common-behavior subset: literal classes, \s, \b,
+  // alternation. Since r13 the Spark side of ALPHA/BPE/STOP/PUNCT runs
+  // the native single-pass counters in NativeTextCounts instead of the
+  // regex engine (the oracles keep these regex spellings, so the hash
+  // gate re-proves the equivalence at every scale); these constants
+  // remain as the CONTRACT those counters implement.
   private val WS = "\\s+"
   private val ALPHA = "[A-Za-z]+"
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -36,6 +40,14 @@ object TextOps {
   private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
+  /** Register the native text counters (idempotent) on the input's
+    * session so the expr(...) spellings below resolve.
+    */
+  private def registerTextCounters(docs: DataFrame): Unit = {
+    graft.functions.CharClassCount.register(docs.sparkSession)
+    graft.functions.WordListCount.register(docs.sparkSession)
+  }
+
   // The Gopher quality-filter stopword set (Rae et al. 2021, §A1.1):
   // a document must contain at least two of these to pass.
   private val GopherStops =
@@ -45,28 +57,47 @@ object TextOps {
     * tokens, average token length. Public df-in/df-out operator.
     */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    registerTextCounters(docs)
+    // Native single-pass counters (CharClassCount) instead of
+    // size(regexp_extract_all(...)): the regex engine materialized
+    // every match as a string just to count it — the whole cost of
+    // this corpus-linear scan (r13, measured; NativeTextCounts has
+    // the exact-equivalence argument, and the DuckDB oracle keeps the
+    // regex spelling so the hash gate re-proves it at every scale).
+    // The BPE-ish alternation [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s] is the
+    // sum of its three disjoint classes.
     normalized(docs, idCol, textCol)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), WS)).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(ALPHA), lit(0))).as("alpha_tokens"),
-        size(regexp_extract_all(col("text"), lit(BPE), lit(0))).as("bpe_tokens"),
+        expr("char_class_count(text, 'alpha_runs')").as("alpha_tokens"),
+        (expr("char_class_count(text, 'alpha_runs')") +
+          expr("char_class_count(text, 'digit_runs')") +
+          expr("char_class_count(text, 'punct_chars')")).as("bpe_tokens"),
         length(col("text")).as("n_chars_calc"))
       .withColumn("avg_token_len",
         round(col("n_chars_calc").cast("double") / col("ws_tokens"), 3))
+  }
 
   /** Quality scoring: length / stopword / punctuation heuristics — the
     * standard pre-training corpus filters. Public df-in/df-out operator.
     */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    registerTextCounters(docs)
+    // Native counters for the two regex hot paths (see [[tokenStats]]
+    // and NativeTextCounts): stop_hits' \b(...)\b alternation is a
+    // whole-word count over maximal \w runs (WordListCount), and
+    // punct_hits' negated class is a code-point class count.
     normalized(docs, idCol, textCol)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), WS)).as("n_words"),
-        size(regexp_extract_all(lower(col("text")), lit(STOP), lit(0))).as("stop_hits"),
-        size(regexp_extract_all(col("text"), lit(PUNCT), lit(0))).as("punct_hits"),
+        expr("word_list_count(lower(text), " +
+          "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))")
+          .as("stop_hits"),
+        expr("char_class_count(text, 'punct_chars')").as("punct_hits"),
         length(col("text")).as("n_chars_calc"))
       .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_words"), 4))
       .withColumn("punct_ratio", round(col("punct_hits").cast("double") / col("n_chars_calc"), 4))
@@ -74,6 +105,7 @@ object TextOps {
         col("n_words") >= 5 && col("n_words") <= 1000 && col("punct_ratio") < 0.1)
       .select("doc_id", "n_words", "stop_hits", "punct_hits", "stop_ratio",
         "punct_ratio", "quality_pass")
+  }
 
   /** Language identification via marker-word n-gram counts with a
     * deterministic argmax (ties resolve in en>es>fr>de>zh order).
@@ -82,9 +114,18 @@ object TextOps {
     * callers keep their own id/metadata columns without a re-join.
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    registerTextCounters(docs)
+    // The four alphabetic marker sets are whole-word counts (native
+    // WordListCount ≡ their \b(...)\b regexes — see NativeTextCounts);
+    // zh's single-CJK-char alternation has no \b and keeps the regex.
     val withCounts = langMarkers.foldLeft(docs) { case (df, (lg, pat)) =>
       df.withColumn(s"c_$lg",
-        size(regexp_extract_all(lower(col(textCol)), lit(pat), lit(0))))
+        if (lg == "zh") size(regexp_extract_all(lower(col(textCol)), lit(pat), lit(0)))
+        else {
+          val words = pat.stripPrefix("\\b(").stripSuffix(")\\b")
+            .split('|').map(w => s"'$w'").mkString(", ")
+          expr(s"word_list_count(lower(`$textCol`), array($words))")
+        })
     }
     withCounts
       .withColumn("pred_lang",

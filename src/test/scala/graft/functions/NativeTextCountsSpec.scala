@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The native text counters' contract is exact equivalence with the
+  * regex spellings the DuckDB oracles keep (TextOps documents the
+  * pairing). This spec drives the edges the fixture corpus may not:
+  * multi-byte code points inside/adjacent to runs, `_` as a word
+  * character, boundaries at string edges, and a seeded randomized
+  * equivalence sweep against Java's own regex engine.
+  */
+class NativeTextCountsSpec extends SparkSuite {
+
+  private def ccc(text: String, mode: String): Int = {
+    import spark.implicits._
+    CharClassCount.register(spark)
+    Seq(text).toDF("t")
+      .select(expr(s"char_class_count(t, '$mode')")).as[Int].head()
+  }
+
+  private def wlc(text: String, words: Seq[String]): Int = {
+    import spark.implicits._
+    WordListCount.register(spark)
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    Seq(text).toDF("t")
+      .select(expr(s"word_list_count(t, array($arr))")).as[Int].head()
+  }
+
+  test("char_class_count: runs, code points, and the regex contract's edges") {
+    // alpha runs: unicode (2-byte é) breaks a run exactly like [A-Za-z]+
+    assert(ccc("aéb c", "alpha_runs") == 3)      // "a", "b", "c"
+    assert(ccc("", "alpha_runs") == 0)
+    assert(ccc("abc", "alpha_runs") == 1)
+    assert(ccc("ab1cd", "alpha_runs") == 2)
+    assert(ccc("12 34x5", "digit_runs") == 3)
+    // punct: CODE POINTS, not bytes — é (2 bytes) and 的 (3 bytes)
+    // each count once; \x0B is Java-\s whitespace, not punct
+    assert(ccc("é的!a 1", "punct_chars") == 3)
+    assert(ccc("a.b,c", "punct_chars") == 2)
+    // 4-byte supplementary code point counts once
+    assert(ccc(new String(Character.toChars(0x1F600)), "punct_chars") == 1)
+  }
+
+  test("word_list_count: \\b equivalence edges") {
+    val stops = Seq("the", "a", "of")
+    assert(wlc("the cat", stops) == 1)
+    assert(wlc("the", stops) == 1)                 // string-edge boundaries
+    assert(wlc("the-a.of", stops) == 3)            // punct delimits
+    assert(wlc("the的a", stops) == 2)              // CJK is non-word → boundary
+    assert(wlc("the_ athe _of_", stops) == 0)      // _ is \w: no boundary
+    assert(wlc("THE the The", stops) == 1)         // byte-exact (callers lower())
+    assert(wlc("", stops) == 0)
+    assert(wlc("ofofof of", stops) == 1)
+  }
+
+  test("native counters equal Java regex on seeded random unicode text") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab1 ._-é的\t\n!x9"
+    val texts = Seq.fill(300)(
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val stopsRe = "\\b(the|a|of|and|to|in|is|it)\\b".r
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    for (t <- texts) {
+      assert(ccc(t, "alpha_runs") == "[A-Za-z]+".r.findAllIn(t).size, s"alpha on '$t'")
+      assert(ccc(t, "digit_runs") == "[0-9]+".r.findAllIn(t).size, s"digit on '$t'")
+      assert(ccc(t, "punct_chars") == "[^A-Za-z0-9\\s]".r.findAllIn(t).size,
+        s"punct on '$t'")
+      // \b-divergence (below): restrict the Java-regex stop
+      // comparison to ASCII text, where Java ≡ RE2
+      if (t.forall(_ < 128))
+        assert(wlc(t, stops) == stopsRe.findAllIn(t).size, s"stops on '$t'")
+    }
+  }
+
+  test("word_list_count follows the ORACLE's (RE2) \\b, not Java's unicode \\b") {
+    // Java regex makes \b unicode-aware even in default mode (é is a
+    // word char for boundaries), while \w stays ASCII; DuckDB's RE2
+    // uses the ASCII \w = [0-9A-Za-z_] for \b. The corpus gate
+    // compares Spark to DuckDB, so the native counter implements the
+    // RE2 definition — on 'ééa的 xa', RE2 counts ONE \ba\b match
+    // (verified against DuckDB directly), Java regex counts zero.
+    // The regex-based implementation this replaced carried that
+    // latent cross-engine divergence; the fixture corpus never put a
+    // non-ASCII letter adjacent to a stopword, which is why it never
+    // fired.
+    assert(wlc("ééa的 xa", Seq("a")) == 1)
+    assert("\\ba\\b".r.findAllIn("ééa的 xa").size == 0,
+      "if Java ever aligns \\b with RE2, fold the stop check above back to all texts")
+  }
+
+  test("builder guards: bad mode, non-literal list, non-word word") {
+    import spark.implicits._
+    CharClassCount.register(spark)
+    WordListCount.register(spark)
+    val df = Seq("x").toDF("t")
+    intercept[Exception] {
+      df.select(expr("char_class_count(t, 'bogus')")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("word_list_count(t, array('ok', 'not ok'))")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("word_list_count(t, array())")).collect()
+    }
+  }
+}
