@@ -2454,11 +2454,14 @@ object Relational {
     var r = withNv(deg)
       .select(col("u").as("v"), (lit(1.0) / col("nv")).as("rank"))
     for (_ <- 1 to k) {
-      r = withNv(bi
-        .join(r.select(col("v").as("u"), col("rank")), Seq("u"))
+      // per-vertex contribution at |V| scale, one 2|E|-row join per
+      // round — the same r13 re-plan as [[pagerankStepLoop]]
+      val contrib = r.select(col("v").as("u"), col("rank"))
         .join(deg, Seq("u"))
-        .select(col("v"),
+        .select(col("u"),
           round(col("rank") * lit(1e12) / col("d")).cast("long").as("c"))
+      r = withNv(bi
+        .join(contrib, Seq("u"))
         .groupBy("v").agg(sum("c").as("s")))
         .select(col("v"),
           (lit(0.15) / col("nv") +
@@ -2476,8 +2479,15 @@ object Relational {
     * graph-sized parallelism is all that runs per query.
     */
   def pagerankStepLoop(loop: GraphLoop): DataFrame =
-    loop.bi.join(loop.deg, Seq("u"))
-      .select(col("v"), round(lit(1e12) / col("d")).cast("long").as("c"))
+    // contribution c = round(1e12/d) is a function of the VERTEX, so
+    // it computes on the |V|-row degree table and joins into the
+    // 2|E|-row list once — attaching d to every edge row and dividing
+    // per row (the pre-r13 shape) did the arithmetic 2|E|/|V| times
+    // over and widened the big join by a second build side. Identical
+    // sum: each (u, v) row contributes the same per-u long either way.
+    loop.bi.join(
+        loop.deg.select(col("u"),
+          round(lit(1e12) / col("d")).cast("long").as("c")), Seq("u"))
       .groupBy("v").agg(sum("c").as("s"))
       .select(col("v"), col("s"),
         (lit(0.15) / lit(loop.nv) +
@@ -2499,10 +2509,14 @@ object Relational {
     var r = loop.deg.select(col("u").as("v"),
       (lit(1.0) / lit(loop.nv)).as("rank"))
     for (_ <- 1 to k) {
-      r = loop.bi.join(r.select(col("v").as("u"), col("rank")), Seq("u"))
+      // per-vertex contribution computed at |V| scale, ONE 2|E|-row
+      // join per round (see [[pagerankStepLoop]] — same r13 re-plan,
+      // same bit-identical-sum argument)
+      val contrib = r.select(col("v").as("u"), col("rank"))
         .join(loop.deg, Seq("u"))
-        .select(col("v"),
+        .select(col("u"),
           round(col("rank") * lit(1e12) / col("d")).cast("long").as("c"))
+      r = loop.bi.join(contrib, Seq("u"))
         .groupBy("v").agg(sum("c").as("s"))
         .select(col("v"),
           (lit(0.15) / lit(loop.nv) +
