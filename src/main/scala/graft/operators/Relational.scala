@@ -70,27 +70,45 @@ object Relational {
     *    parallelism instead of scheduling the session's full width of
     *    mostly-empty tasks: q74 3.7 s → 1.6 s, q77 2.8 s → 0.7 s.
     *    At 100 TB edge counts the clamp leaves parallelism unchanged.
-    *  - `bi`: the BIDIRECTIONAL edge list (u, v) — each canonical
-    *    edge in both orientations — repartitioned on `u` to `parts`
-    *    and persisted in the child session. Deriving it lazily per
-    *    round re-reads the oriented artifact through a union per plan
-    *    occurrence; a per-QUERY localCheckpoint (the
-    *    connectedComponents-per-run shape) was measured and REJECTED:
-    *    materializing 2·|E| rows per run costs more than the
-    *    scheduling it saves (q74 3.7 s → 4.5-8.5 s). At 100 TB this
-    *    is the adjacency-direction table every graph engine writes at
-    *    ingest.
+    *  - `biPlus`: the BIDIRECTIONAL edge list (u, v) — each canonical
+    *    edge in both orientations — with the |V| self-loop rows (v, v)
+    *    FOLDED IN, persisted in the child session as ONE table.
+    *    Deriving the list lazily per round re-reads the oriented
+    *    artifact through a union per plan occurrence; a per-QUERY
+    *    localCheckpoint (the connectedComponents-per-run shape) was
+    *    measured and REJECTED: materializing 2·|E| rows per run costs
+    *    more than the scheduling it saves (q74 3.7 s → 4.5-8.5 s). At
+    *    100 TB this is the adjacency-direction table every graph
+    *    engine writes at ingest. Folding the self-loops in (instead
+    *    of a separate squeezed table unioned per min-label round)
+    *    keeps every consumer on ONE cached scan whose partitioning
+    *    survives into the per-round aggregate — a union voids the
+    *    child's output partitioning. PageRank recovers the pure edge
+    *    set with a partitioning-preserving `u =!= v` filter
+    *    ([[GraphLoop.bi]]; canonical edges have a < b, so no real row
+    *    is a self-loop).
     *  - `deg`: the degree table as (u, d), persisted in the child
     *    session — the rank divisor every round joins.
-    *  - `selfLoops`: the |V| self-loop rows (v, v) min-label
-    *    propagation unions in (see [[minLabelPropagateLoop]]),
-    *    squeezed to ONE partition and persisted so no per-run shuffle
-    *    re-derives them.
-    *
-    * NO broadcast hint anywhere: the |V|-row rank/label tables are
-    * broadcast by AQE while they fit and degrade to vertex-keyed
-    * shuffles when they don't — a hard `broadcast()` would pin a
-    * billion-vertex rank table to the driver.
+    *  - `vMode`: the ingest-time LAYOUT + BROADCAST decision, sized
+    *    from the exact |V| the build just counted (the
+    *    [[GraphArtifact.adjJoin]] pattern). When the |V|-row
+    *    rank/label table fits [[LoopVertexBroadcastMaxBytes]],
+    *    `biPlus` is hash-partitioned on the AGGREGATION key `v` and
+    *    consumers broadcast-hint the per-round |V|-row side
+    *    ([[GraphLoop.hintV]]): the broadcast join preserves the
+    *    streamed cached partitioning, so every round's `groupBy("v")`
+    *    is EXCHANGE-FREE — k rounds = k cached scans, zero shuffles
+    *    of the 2·|E| rows (GraphLoopProbe4 at sf1: q74 2.59 → 1.21 s,
+    *    q72 0.76 → 0.32 s, q77 3.10 → 2.62 s, outputs bit-identical).
+    *    The hint is REQUIRED for the layout to pay: AQE's
+    *    broadcast conversion happens at exchange boundaries, so the
+    *    exchange-free plan is exactly the one AQE cannot re-plan —
+    *    unhinted, the static planner sort-merge-joins the 2·|E| rows
+    *    and the v-layout is ~2× WORSE than the u-layout (measured,
+    *    same probe). Above the bound (≳5M vertices) `vMode` is false:
+    *    `biPlus` partitions on the JOIN key `u` (exchange-free rank
+    *    attach), no hint anywhere, and AQE picks the join at runtime
+    *    — a billion-vertex rank table is never pinned to the driver.
     */
   /** `session` is DEDICATED to the loop plans: its shuffle
     * parallelism is permanently clamped, so do not route unrelated
@@ -99,14 +117,38 @@ object Relational {
     * share the SparkContext and must never be close()d (that stops
     * the context).
     */
-  case class GraphLoop(session: SparkSession, bi: DataFrame,
-      deg: DataFrame, selfLoops: DataFrame, nv: Long, parts: Int)
+  case class GraphLoop(session: SparkSession, biPlus: DataFrame,
+      deg: DataFrame, nv: Long, parts: Int, vMode: Boolean) {
+    /** The pure bidirectional edge list — a partitioning-preserving
+      * filter VIEW over the persisted `biPlus` (2·|E| rows).
+      */
+    def bi: DataFrame = biPlus.where(col("u") =!= col("v"))
+    /** The |V| self-loop rows — the complementary view. */
+    def selfLoops: DataFrame = biPlus.where(col("u") === col("v"))
+    /** Broadcast-hint a per-round |V|-row table iff the build sized
+      * it under [[LoopVertexBroadcastMaxBytes]] (`vMode`) — see the
+      * layout discussion above: the hint is what keeps the
+      * exchange-free v-layout on a broadcast join, and omitting it
+      * above the bound is what keeps a billion-vertex table off the
+      * driver.
+      */
+    def hintV(df: DataFrame): DataFrame = if (vMode) broadcast(df) else df
+  }
 
   /** Rows-per-task constant for [[GraphLoop]]'s parallelism clamp —
     * ~16-byte vertex-pair rows, so 1M rows ≈ AQE's 64 MB advisory
     * partition size within a small factor.
     */
   private val LoopRowsPerTask = 1000000L
+
+  /** Upper bound for hint-broadcasting the per-round |V|-row
+    * rank/label table (~48 bytes/row estimate, the
+    * [[GraphArtifact.adjJoin]] sizing style): 256 MB — small against
+    * executor and driver memory, far above the 10 MB planner default
+    * the exchange-free plan can never runtime-correct. Crossing it
+    * flips the whole loop layout to u-partitioning (see [[GraphLoop]]).
+    */
+  private val LoopVertexBroadcastMaxBytes = 256L << 20
 
   /** Build a [[GraphLoop]] from a parent-session edge list and degree
     * table (both ideally persisted — this reads each once). Crossing
@@ -135,24 +177,21 @@ object Relational {
       p
     }
     try {
-      val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-        .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      val bi = mat(cross(biP).repartition(parts, col("u")))
-      // repartitioned like `bi`: the parent aggregate's partitioning
+      // repartitioned to the clamp: the parent aggregate's partitioning
       // (session width) would otherwise re-widen every round's
       // broadcast-side materialization to the parent's task count
       val degLoop = mat(cross(deg.select(col("v").as("u"), col("d")))
         .repartition(parts, col("u")))
-      // |V| rows riding a 2·|E|-row union: squeeze them into as few
-      // partitions as the ROW-SIZED clamp allows (1 at test scale —
-      // leaving them at degLoop's width re-widens every q77 round's map
-      // stage) but NEVER unconditionally one — a billion-vertex table
-      // in a single cached partition is a straggler/OOM by construction.
-      val slParts = math.max(1L,
-        math.min(parts.toLong, nv / LoopRowsPerTask + 1L)).toInt
-      val selfLoops = mat(degLoop.select(col("u").as("u"), col("u").as("v"))
-        .repartition(slParts))
-      GraphLoop(s, bi, degLoop, selfLoops, nv, parts)
+      val vMode = 48L * nv <= LoopVertexBroadcastMaxBytes
+      val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      // self-loops folded in, ONE persisted table partitioned on the
+      // AGGREGATION key (vMode) or the JOIN key (giant graphs) — see
+      // the [[GraphLoop]] layout discussion
+      val biPlus = mat(cross(biP)
+        .unionAll(degLoop.select(col("u"), col("u").as("v")))
+        .repartition(parts, col(if (vMode) "v" else "u")))
+      GraphLoop(s, biPlus, degLoop, nv, parts, vMode)
     } catch { case e: Throwable =>
       kept.foreach(_.unpersist())
       throw e
@@ -187,7 +226,7 @@ object Relational {
 
   /** Free a [[buildGraphLoop]] result's persisted loop tables. */
   def releaseGraphLoop(loop: GraphLoop): Unit = {
-    loop.bi.unpersist(); loop.deg.unpersist(); loop.selfLoops.unpersist()
+    loop.biPlus.unpersist(); loop.deg.unpersist()
     ()
   }
 
@@ -332,8 +371,7 @@ object Relational {
     Option(graphCache.remove((s, dir))).foreach { g =>
       g.oriented.unpersist(); g.adj.unpersist()
       g.deg.unpersist(); g.pairs.unpersist(); g.wdeg.unpersist()
-      g.loop.bi.unpersist(); g.loop.deg.unpersist()
-      g.loop.selfLoops.unpersist()
+      g.loop.biPlus.unpersist(); g.loop.deg.unpersist()
     }
     Option(supplyLoopCache.remove((s, dir))).foreach(releaseGraphLoop)
   }
@@ -2486,8 +2524,8 @@ object Relational {
     // over and widened the big join by a second build side. Identical
     // sum: each (u, v) row contributes the same per-u long either way.
     loop.bi.join(
-        loop.deg.select(col("u"),
-          round(lit(1e12) / col("d")).cast("long").as("c")), Seq("u"))
+        loop.hintV(loop.deg.select(col("u"),
+          round(lit(1e12) / col("d")).cast("long").as("c"))), Seq("u"))
       .groupBy("v").agg(sum("c").as("s"))
       .select(col("v"), col("s"),
         (lit(0.15) / lit(loop.nv) +
@@ -2516,7 +2554,7 @@ object Relational {
         .join(loop.deg, Seq("u"))
         .select(col("u"),
           round(col("rank") * lit(1e12) / col("d")).cast("long").as("c"))
-      r = loop.bi.join(contrib, Seq("u"))
+      r = loop.bi.join(loop.hintV(contrib), Seq("u"))
         .groupBy("v").agg(sum("c").as("s"))
         .select(col("v"),
           (lit(0.15) / lit(loop.nv) +
@@ -2618,18 +2656,22 @@ object Relational {
     * registered q77 path (same relationship as
     * [[pagerankIterateLoop]] to q74; integer-exact, so cross-engine
     * equality needs no grid tricks). The self-loop rows folding "min
-    * with own label" into the join are derived from the loop's degree
-    * table and squeezed to ONE persisted partition — they are |V|
-    * rows riding a 2·|E|-row union, and leaving them at the degree
-    * table's partitioning re-widens every round's map stage to the
-    * parent session's task count.
+    * with own label" into the join live INSIDE the loop's persisted
+    * `biPlus` table, so each round is one cached scan whose
+    * partitioning (vMode: the aggregation key `v`) flows through the
+    * hinted broadcast join into an exchange-free `groupBy("v")` — the
+    * pre-r13 per-round `unionAll(selfLoops)` voided that partitioning
+    * and re-shuffled 2·|E|+|V| rows per round.
     */
   def minLabelPropagateLoop(loop: GraphLoop, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val biPlus = loop.bi.unionAll(loop.selfLoops)
+    // self-loops ride inside the ONE persisted biPlus scan — the old
+    // per-round unionAll voided the cached partitioning (see
+    // [[GraphLoop]])
     var lab = loop.deg.select(col("u").as("v"), col("u").as("label"))
     for (_ <- 1 to k) {
-      lab = biPlus.join(lab.select(col("v").as("u"), col("label")), Seq("u"))
+      lab = loop.biPlus
+        .join(loop.hintV(lab.select(col("v").as("u"), col("label"))), Seq("u"))
         .groupBy("v").agg(min("label").as("label"))
     }
     lab
