@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordListCount].getCanonicalName, "word_list_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordListCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getCanonicalName, "sorted_intersect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersect(exprs(0), exprs(1))))
   }
 }

@@ -2340,16 +2340,24 @@ object Relational {
     */
   def trianglesFromOriented(oriented: DataFrame,
       adjOpt: Option[DataFrame] = None): DataFrame = {
+    graft.functions.SortedIntersect.register(oriented.sparkSession)
     val adj = adjOpt.getOrElse(
       oriented.groupBy(col("src"))
         .agg(array_sort(collect_list(col("dst"))).as("ns")))
+    // sorted_intersect (native merge scan) instead of array_intersect:
+    // the out-lists are sorted ascending + duplicate-free by
+    // construction (array_sort over a deduplicated canonical edge
+    // list — the contract an adjOpt caller must also meet), so the
+    // per-row hash set array_intersect builds is pure overhead — the
+    // intersection was q70's single largest stage at sf1
+    // (TriangleProbe2: 3.99 → 2.14 s, element-identical output).
     oriented
       .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
         col("src") === col("__u"))
       .join(adj.select(col("src").as("__v"), col("ns").as("nv")),
         col("dst") === col("__v"))
       .select(col("src"), col("dst"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        explode(expr("sorted_intersect(nu, nv)")).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
@@ -2585,6 +2593,7 @@ object Relational {
     */
   def linkJaccard(oriented: DataFrame, adjOpt: Option[DataFrame] = None,
       degOpt: Option[DataFrame] = None): DataFrame = {
+    graft.functions.SortedIntersect.register(oriented.sparkSession)
     val adj = adjOpt.getOrElse(
       oriented.groupBy(col("src"))
         .agg(array_sort(collect_list(col("dst"))).as("ns")))
@@ -2592,13 +2601,16 @@ object Relational {
       oriented.select(col("src").as("v"))
         .unionAll(oriented.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d")))
+    // native merge-scan intersection — same sorted-adjacency contract
+    // and measured rationale as [[trianglesFromOriented]]
+    // (TriangleProbe2 at sf1: 5.67 → 4.24 s, element-identical)
     val triEdges = oriented
       .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
         col("src") === col("__u"))
       .join(adj.select(col("src").as("__v"), col("ns").as("nv")),
         col("dst") === col("__v"))
       .select(col("src"), col("dst"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        explode(expr("sorted_intersect(nu, nv)")).as("w"))
       // credit each of the triangle's three edges, id-canonicalized
       .select(explode(array(
         struct(least(col("src"), col("dst")).as("a"),

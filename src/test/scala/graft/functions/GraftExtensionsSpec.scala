@@ -58,6 +58,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // content shorter than one source row -> null, not out-of-range
       assert(spark.sql("SELECT resize_grid(unhex('FF'), 2, 1, 1) AS g")
         .collect().head.isNullAt(0))
+      // sorted_intersect: merge-scan intersection of sorted bigints
+      val sx = spark.sql(
+        "SELECT sorted_intersect(array(1L, 3L, 5L), array(2L, 3L, 5L)) AS i")
+        .collect().head.getSeq[Long](0)
+      assert(sx == Seq(3L, 5L), s"sorted_intersect via extensions: $sx")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

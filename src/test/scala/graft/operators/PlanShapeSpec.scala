@@ -531,10 +531,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"triangle join degenerated to a product:\n$p")
     // the O(m^1.5) wedge set must stay in-row: common neighbors come
-    // from array_intersect over the adjacency arrays, not a self-join
-    // + closing semi-join (the r8 shape this replaced — 41M shuffled
-    // wedge rows for 1.2M edges at sf0.1, measured in TriangleProbe)
-    assert(p.contains("array_intersect"),
+    // from the native sorted_intersect over the adjacency arrays, not
+    // a self-join + closing semi-join (the r8 shape this replaced —
+    // 41M shuffled wedge rows for 1.2M edges at sf0.1, TriangleProbe;
+    // the r13 native merge scan replaced array_intersect's per-row
+    // hash set, TriangleProbe2)
+    assert(p.contains("sorted_intersect"),
       s"triangles must intersect adjacency arrays in-row:\n$p")
     assert(!p.contains("LeftSemi"),
       s"wedge-closing semi-join resurfaced — the wedge set is being materialized:\n$p")
