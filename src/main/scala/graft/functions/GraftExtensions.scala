@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordListCount(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("alpha_tokens"),
+      new ExpressionInfo(classOf[AlphaTokens].getCanonicalName, "alpha_tokens"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AlphaTokens(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersect].getCanonicalName, "sorted_intersect"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

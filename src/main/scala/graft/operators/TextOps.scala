@@ -175,11 +175,16 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.AlphaTokens.register(docs.sparkSession)
     val base = normalized(docs, idCol, textCol)
+    // native byte-scan tokenizer ≡ the oracle's
+    // regexp_extract_all(lower(text), '[a-z]+') + length > 3 filter
+    // (AlphaTokens scaladoc has the equivalence argument; the hash
+    // gate re-proves it per scale) — the regex engine was the
+    // tokenization's whole cost, as with the r13 counter expressions
     val toks = base
       .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("tok"))
-      .filter(length(col("tok")) > 3)
+        explode(expr("alpha_tokens(text, 4)")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))

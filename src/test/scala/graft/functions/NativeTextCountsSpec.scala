@@ -90,6 +90,33 @@ class NativeTextCountsSpec extends SparkSuite {
       "if Java ever aligns \\b with RE2, fold the stop check above back to all texts")
   }
 
+  test("alpha_tokens ≡ regexp_extract_all(lower(text), '[a-z]+') + length filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    AlphaTokens.register(spark)
+    def at(text: String, minLen: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(expr(s"alpha_tokens(t, $minLen)")).as[Seq[String]].head()
+    // edges: case folding, unicode delimiters, min length, order+dups
+    assert(at("The CAT sat", 1) == Seq("the", "cat", "sat"))
+    assert(at("The CAT sat", 3) == Seq("the", "cat", "sat"))
+    assert(at("ab1cd 的ef", 2) == Seq("ab", "cd", "ef")) // digits/CJK delimit
+    assert(at("é", 1) == Nil)            // non-ASCII letter is NOT [a-z]
+    assert(at("xéx", 1) == Seq("x", "x")) // ...and splits a run, dups kept
+    assert(at("", 1) == Nil)
+    assert(at("abc", 4) == Nil)
+    assert(at("abcd", 4) == Seq("abcd")) // run ending at string edge
+    // randomized sweep against the regex spelling the oracle keeps
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aBc1 ._é的\tZ!x"
+    for (_ <- 1 to 300) {
+      val t = (0 until rnd.nextInt(50)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val expect = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq.filter(_.length >= 4)
+      assert(at(t, 4) == expect, s"on '$t'")
+    }
+  }
+
   test("builder guards: bad mode, non-literal list, non-word word") {
     import spark.implicits._
     CharClassCount.register(spark)
