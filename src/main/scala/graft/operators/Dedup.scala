@@ -226,11 +226,24 @@ object Dedup {
     // the benchmark needs no id of its own — only its distinct n-gram
     // hashes survive into the probe side
     val evalGrams = benchmarkGramSet(benchmark, benchTextCol, n)
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // ONE corpus pass: a LEFT broadcast join marks hits and a single
+    // per-doc aggregate counts grams and hits together. The previous
+    // two-branch shape (hits agg ⋈ totals agg) re-derived the whole
+    // corpus n-gram stream per branch — the scaladoc's one-scan
+    // contract was false in-plan. At sf1 the two shapes measure a
+    // wash (1.95 vs 2.02 s — shingling is cheap against the fixture's
+    // per-query floor); at corpus scale one derivation of the n-gram
+    // stream is the difference that matters, so the plan now matches
+    // the contract. `h` is distinct per doc and the probe side is
+    // distinct by construction, so the left join preserves row counts
+    // (≤ 1 match per gram) and the n_hits > 0 filter reproduces the
+    // old inner join's output exactly.
     grams
-      .join(broadcast(evalGrams), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      .join(perDoc, "doc_id")
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        count(col("__hit")).as("n_hits"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_hits") > 0)
       .withColumn("contamination", col("n_hits") / col("n_grams"))
       .select("doc_id", "n_hits", "n_grams", "contamination")
   }

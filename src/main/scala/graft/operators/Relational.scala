@@ -182,7 +182,13 @@ object Relational {
       // broadcast-side materialization to the parent's task count
       val degLoop = mat(cross(deg.select(col("v").as("u"), col("d")))
         .repartition(parts, col("u")))
-      val vMode = 48L * nv <= LoopVertexBroadcastMaxBytes
+      // bound overridable per owner session (internal/testing knob):
+      // fixture |V| can never reach the flip point, and the u-layout
+      // branch must not ship untested
+      val maxBytes = edges.sparkSession.conf
+        .get("graft.loop.vertexBroadcastMaxBytes",
+          LoopVertexBroadcastMaxBytes.toString).toLong
+      val vMode = 48L * nv <= maxBytes
       val biP = edges.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       // self-loops folded in, ONE persisted table partitioned on the

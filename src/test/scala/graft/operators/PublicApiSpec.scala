@@ -1129,6 +1129,38 @@ class PublicApiSpec extends SparkSuite {
     } finally Relational.releaseGraphLoop(loop)
   }
 
+  test("buildGraphLoop: the giant-graph u-layout (vMode off) matches the v-layout bit for bit") {
+    import spark.implicits._
+    // fixture |V| can never cross the vMode flip (≈5M vertices), so
+    // force the u-partitioned/no-hint branch via the internal bound
+    // override and prove both layouts agree on a graph with real
+    // structure (two components, a hub, a cycle)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)) ++
+      (20L to 28L).map(v => (10L, v))).toDF("a", "b")
+    val vLoop = Relational.buildGraphLoop(edges)
+    spark.conf.set("graft.loop.vertexBroadcastMaxBytes", "0")
+    val uLoop =
+      try Relational.buildGraphLoop(edges)
+      finally spark.conf.unset("graft.loop.vertexBroadcastMaxBytes")
+    try {
+      assert(vLoop.vMode && !uLoop.vMode, "override must flip the layout")
+      assert(uLoop.bi.count() == vLoop.bi.count() &&
+        uLoop.selfLoops.count() == vLoop.nv)
+      def pr(l: Relational.GraphLoop) = Relational.pagerankIterateLoop(l, 3)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def st(l: Relational.GraphLoop) = Relational.pagerankStepLoop(l)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      def ml(l: Relational.GraphLoop) = Relational.minLabelPropagateLoop(l, 3)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pr(uLoop) == pr(vLoop))
+      assert(st(uLoop) == st(vLoop))
+      assert(ml(uLoop) == ml(vLoop))
+    } finally {
+      Relational.releaseGraphLoop(vLoop)
+      Relational.releaseGraphLoop(uLoop)
+    }
+  }
+
   test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
     import spark.implicits._
     val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
