@@ -589,6 +589,18 @@ class PlanShapeSpec extends SparkSuite {
     // rank/degree joins stay vertex-keyed equi-joins at every depth
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
       s"expected hash/merge equi-joins for the rank+degree attach:\n$p")
+    // r13: every round's groupBy(v) runs on the v-partitioned cached
+    // biPlus under a hinted broadcast join — ZERO shuffle exchanges in
+    // the whole k-round plan (GraphLoopProbe4; also pins that the
+    // ordering collapses rather than range-shuffling |V| rows). Losing
+    // either the layout or the hint re-inserts one per round.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a k-round shuffle exchange resurfaced (layout or hint lost):\n$p")
+    // q77 rides the identical loop context — same zero-shuffle pin
+    val p77 = SparkEntry.queries("q77_min_label_k")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p77.contains("Exchange hashpartitioning"),
+      s"min-label k-round shuffle exchange resurfaced:\n$p77")
   }
 
   test("q73: degree histogram is join-free — one aggregate over the cached degree table") {
