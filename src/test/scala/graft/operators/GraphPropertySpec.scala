@@ -92,12 +92,22 @@ class GraphPropertySpec extends SparkSuite {
 
   test("prepared loop variants equal generic operators on random graphs") {
     val rnd = new scala.util.Random(40)
-    for (i <- 1 to 3) {
+    for (i <- 1 to 6) {
       val n = 8 + rnd.nextInt(8)
       val edges = randomEdges(rnd, n, 0.25)
       if (edges.nonEmpty) {
         val df = edges.toDF("a", "b")
-        val loop = Relational.buildGraphLoop(df)
+        // odd cases force the giant-graph u-layout (vMode off) so the
+        // random sweep covers BOTH loop layouts, not just the one the
+        // fixture vertex counts can reach
+        val forceU = i % 2 == 1
+        if (forceU)
+          spark.conf.set("graft.loop.vertexBroadcastMaxBytes", "0")
+        val loop =
+          try Relational.buildGraphLoop(df)
+          finally if (forceU)
+            spark.conf.unset("graft.loop.vertexBroadcastMaxBytes")
+        assert(loop.vMode == !forceU, s"case $i layout flag")
         try {
           val canon = Relational.canonicalEdges(df)
           val prGen = Relational.pagerankIterate(canon, 3)
