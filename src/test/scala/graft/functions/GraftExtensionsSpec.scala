@@ -63,6 +63,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT sorted_intersect(array(1L, 3L, 5L), array(2L, 3L, 5L)) AS i")
         .collect().head.getSeq[Long](0)
       assert(sx == Seq(3L, 5L), s"sorted_intersect via extensions: $sx")
+      // alpha_tokens: lowercased alpha runs >= minLen
+      val at = spark.sql("SELECT alpha_tokens('The CAT 的 sat1x', 3) AS t")
+        .collect().head.getSeq[String](0)
+      assert(at == Seq("the", "cat", "sat"), s"alpha_tokens via extensions: $at")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
