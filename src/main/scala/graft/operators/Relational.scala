@@ -39,6 +39,24 @@ object Relational {
 
   private val HotKeyThreshold = 7L
 
+  // q53's PREBUILT Bloom filter — the "built once at ingest, reused by
+  // every query" artifact its registration demonstrates. Building it
+  // inside the query lambda ran the build aggregate + driver collect
+  // as a per-invocation Spark job, which undercut exactly the point
+  // of the prebuilt overload; the filter is a few KB of immutable
+  // longs, so the cache holds the value itself (nothing persisted,
+  // nothing to release — releaseStats drops the entry for re-ingest).
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Joins.BloomFilter]()
+
+  private[operators] def buildingSegmentBloom(
+      s: SparkSession, dir: String): Joins.BloomFilter =
+    bloomCache.computeIfAbsent((s, dir), _ =>
+      Joins.buildBloom(
+        customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("c_custkey"), bits = 1 << 12, hashes = 5))
+
   private def orderkeyHotStats(s: SparkSession, dir: String): DataFrame =
     hotKeyCache.computeIfAbsent((s, dir), _ => {
       val hot = Joins.hotKeys(
@@ -365,6 +383,7 @@ object Relational {
     orderkeyHotStats(s, dir)
     orientedCooccurGraph(s, dir)
     supplyGraphLoop(s, dir)
+    buildingSegmentBloom(s, dir)
     ()
   }
 
@@ -373,6 +392,7 @@ object Relational {
     * Dedup.releaseArtifacts).
     */
   def releaseStats(s: SparkSession, dir: String): Unit = {
+    bloomCache.remove((s, dir))
     Option(hotKeyCache.remove((s, dir))).foreach(_.unpersist())
     Option(graphCache.remove((s, dir))).foreach { g =>
       g.oriented.unpersist(); g.adj.unpersist()
@@ -1341,8 +1361,9 @@ object Relational {
       val segKeys = customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      val bf = Joins.buildBloom(segKeys, col("c_custkey"),
-        bits = 1 << 12, hashes = 5)
+      // the filter comes from the ingest-time cache — per-run builds
+      // paid the build aggregate + collect as an extra job per query
+      val bf = buildingSegmentBloom(s, dir)
       Joins.bloomSemiJoin(orders(s, dir), segKeys, "o_custkey", "c_custkey", bf)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
