@@ -114,6 +114,22 @@ case class KmvBottomK(child: Expression, k: Int,
 }
 
 object KmvBottomK {
+  /** Shared builder for the per-session registry and
+    * [[GraftExtensions]]: arity-checks and extracts the literal k.
+    */
+  def fromExprs(exprs: Seq[Expression]): KmvBottomK = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"kmv_bottomk(hash, k) takes exactly 2 arguments, got ${exprs.length}")
+    KmvBottomK(exprs(0), exprs(1) match {
+      case Literal(i: Int, _) => i
+      case Literal(l: Long, _) => l.toInt
+      case Literal(s: Short, _) => s.toInt
+      case Literal(b: Byte, _) => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"kmv_bottomk: k must be an integer literal, got $other")
+    })
+  }
+
   /** Register `kmv_bottomk(h, k)` (idempotent and quiet, like
     * [[VectorDot.register]]); `k` must be an integer literal.
     */
@@ -121,19 +137,7 @@ object KmvBottomK {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_bottomk")
     if (!s.sessionState.functionRegistry.functionExists(id)) {
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "kmv_bottomk",
-        exprs => {
-          if (exprs.length != 2) throw new IllegalArgumentException(
-            s"kmv_bottomk(hash, k) takes exactly 2 arguments, got ${exprs.length}")
-          KmvBottomK(exprs(0), exprs(1) match {
-            case Literal(i: Int, _) => i
-            case Literal(l: Long, _) => l.toInt
-            case Literal(s: Short, _) => s.toInt
-            case Literal(b: Byte, _) => b.toInt
-            case other => throw new IllegalArgumentException(
-              s"kmv_bottomk: k must be an integer literal, got $other")
-          })
-        }, "built-in")
+        "kmv_bottomk", fromExprs, "built-in")
     }
   }
 }

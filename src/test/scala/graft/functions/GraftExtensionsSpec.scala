@@ -67,6 +67,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val at = spark.sql("SELECT alpha_tokens('The CAT 的 sat1x', 3) AS t")
         .collect().head.getSeq[String](0)
       assert(at == Seq("the", "cat", "sat"), s"alpha_tokens via extensions: $at")
+      // kmv_bottomk: aggregate also rides the extension path
+      val km = spark.sql(
+        "SELECT kmv_bottomk(h, 3) AS s FROM VALUES (5L),(1L),(9L),(3L) AS t(h)")
+        .collect().head.getSeq[Long](0)
+      assert(km == Seq(1L, 3L, 5L), s"kmv_bottomk via extensions: $km")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
