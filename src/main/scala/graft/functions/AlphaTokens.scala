@@ -13,19 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * runs of at least `minLen` characters — duplicates and order
   * preserved (term-frequency counting needs both).
   *
-  * Exactly equivalent (the DuckDB oracle keeps the regex spelling, so
-  * the hash gate re-proves it per scale) to the t06 pipeline's
+  * On PRE-LOWERED input, exactly equivalent (the DuckDB oracle keeps
+  * the regex spelling, so the hash gate re-proves it per scale) to
+  * the t06 pipeline's
   *
   * {{{ regexp_extract_all(lower(text), '[a-z]+', 0)  — then length(tok) >= minLen }}}
   *
   * by the [[CharClassCount]] byte argument: every non-ASCII byte of
   * UTF-8 (lead or continuation, all ≥ 0x80) is outside `[a-z]` and
-  * delimits a run exactly like the regex, lowercasing A–Z is a +32
-  * byte add, and `lower()` on non-ASCII letters can only produce
-  * other non-ASCII letters (never ASCII a–z), so pre-lowercasing the
-  * scan input is unnecessary. One byte scan, one short copy per kept
-  * token — against the regex engine's per-match machinery over a
-  * corpus-linear token stream (the whole-cost observation that
+  * delimits a run exactly like the regex, and lowered text contains
+  * no A–Z bytes (continuation/lead bytes never fall in that range).
+  * Callers MUST apply `lower()` BEFORE the scan — it cannot fold in
+  * here: a handful of non-ASCII letters lowercase INTO ASCII
+  * (U+212A KELVIN SIGN → 'k'; U+0130 → 'i' + combining dot), so a
+  * raw-byte scan would delimit where the regex pipeline continues a
+  * token (r13 review finding; the spec pins the KELVIN case). The
+  * in-scan A–Z +32 fold is kept as robustness for un-lowered ASCII,
+  * not as a substitute for `lower()`. One byte scan, one short copy
+  * per kept token — against the regex engine's per-match machinery
+  * over a corpus-linear token stream (the whole-cost observation that
   * motivated the r13 counter expressions; this one must return the
   * tokens themselves, which is why it is not a counter).
   */

@@ -49,12 +49,17 @@ case class CharClassCount(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         "char_class_count expects a literal mode string " +
           "('alpha_runs' | 'digit_runs' | 'punct_chars')")
-    else CharClassCount.modeOf(
-        right.eval(null).asInstanceOf[UTF8String].toString) match {
-      case Some(_) => TypeCheckResult.TypeCheckSuccess
-      case None => TypeCheckResult.TypeCheckFailure(
-        s"unknown char_class_count mode ${right.eval(null)}; expected " +
-          "'alpha_runs', 'digit_runs' or 'punct_chars'")
+    else right.eval(null) match {
+      // a foldable NULL mode must fail the type check, not NPE in it
+      // (r13 review finding)
+      case null => TypeCheckResult.TypeCheckFailure(
+        "char_class_count: mode must not be NULL")
+      case m => CharClassCount.modeOf(m.asInstanceOf[UTF8String].toString) match {
+        case Some(_) => TypeCheckResult.TypeCheckSuccess
+        case None => TypeCheckResult.TypeCheckFailure(
+          s"unknown char_class_count mode $m; expected " +
+            "'alpha_runs', 'digit_runs' or 'punct_chars'")
+      }
     }
 
   override def dataType: DataType = IntegerType
@@ -177,9 +182,17 @@ case class WordListCount(left: Expression, right: Expression)
         s"word_list_count expects a string column, got ${left.dataType.sql}")
     else right.dataType match {
       case ArrayType(StringType, _) if right.foldable =>
+        if (right.eval(null) == null)
+          return TypeCheckResult.TypeCheckFailure(
+            "word_list_count: word list must not be NULL")
         val ws = WordListCount.wordsOf(right)
         if (ws.isEmpty)
           TypeCheckResult.TypeCheckFailure("word_list_count: empty word list")
+        // a NULL element NPEs numBytes below — name it instead
+        // (r13 review finding)
+        else if (ws.exists(_ == null))
+          TypeCheckResult.TypeCheckFailure(
+            "word_list_count: word list must not contain NULL elements")
         else if (ws.exists(w => w.numBytes == 0 ||
             !w.getBytes.forall(WordListCount.isWord)))
           TypeCheckResult.TypeCheckFailure(

@@ -44,10 +44,25 @@ case class PrefixDistinct(first: Expression, second: Expression,
 
   override def prettyName: String = "prefix_distinct"
 
+  /** `n` beyond either array's length is a caller bug, but the
+    * function is registered cluster-wide (GraftExtensions), so an
+    * arbitrary SQL call must fail loudly — UnsafeArrayData.getInt is
+    * UNCHECKED and would silently read adjacent row memory (r13
+    * review finding). Two comparisons per row against an array scan:
+    * noise. Internal callers always pass n == the tables' prefix
+    * length ≤ both code lengths.
+    */
+  private def checkBounds(x: ArrayData, y: ArrayData, upTo: Int): Unit =
+    if (upTo > x.numElements() || upTo > y.numElements())
+      throw new IllegalArgumentException(
+        s"prefix_distinct: n=$upTo exceeds an input array's length " +
+          s"(${x.numElements()}, ${y.numElements()})")
+
   override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val upTo = n.asInstanceOf[Int]
+    checkBounds(x, y, upTo)
     var i = 0
     while (i < upTo) {
       if (x.getInt(i) == y.getInt(i)) return false
@@ -56,11 +71,13 @@ case class PrefixDistinct(first: Expression, second: Expression,
     true
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pfd", this, classOf[PrefixDistinct].getName)
     nullSafeCodeGen(ctx, ev, (a, b, n) => {
       val i = ctx.freshName("i")
       val r = ctx.freshName("r")
       s"""
+         |$ref.checkBoundsJava($a, $b, $n);
          |boolean $r = true;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.getInt($i) == $b.getInt($i)) { $r = false; break; }
@@ -68,6 +85,11 @@ case class PrefixDistinct(first: Expression, second: Expression,
          |${ev.value} = $r;
        """.stripMargin
     })
+  }
+
+  /** Codegen entry for [[checkBounds]] (public for generated code). */
+  def checkBoundsJava(x: ArrayData, y: ArrayData, upTo: Int): Unit =
+    checkBounds(x, y, upTo)
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =

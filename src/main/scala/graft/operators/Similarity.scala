@@ -558,7 +558,9 @@ object Similarity {
     // both HOF spellings (slice+zip_with+exists, and exists over an
     // index sequence) allocate and box per candidate row and measured
     // SLOWER at sf1 than the redundant dots the dedup avoids; every
-    // call site registers the function via [[lshBuckets]]' session
+    // consumer registers the function on its own input's session
+    // (lshBuckets for in-plan buckets; annTopK/knnJoin directly, so
+    // the prebuilt-bucket path works without GraftExtensions)
     expr(s"prefix_distinct($codesA, $codesB, tbl)")
 
   /** A built IVF (inverted-file) coarse index: `centroids` is
@@ -769,6 +771,12 @@ object Similarity {
   def annTopK(corpus: DataFrame, probeIds: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bkOpt: Option[DataFrame] = None): DataFrame = {
+    // register on THIS session even when bkOpt skips lshBuckets (the
+    // only other registration site) — r13 review: the documented
+    // prebuilt-bucket path otherwise fails analysis on sessions
+    // without GraftExtensions
+    graft.functions.VectorDot.register(corpus.sparkSession)
+    graft.functions.PrefixDistinct.register(corpus.sparkSession)
     val e = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val bk = bkOpt.getOrElse(lshBuckets(e, annPlanes, BitsPerTable))
@@ -820,6 +828,9 @@ object Similarity {
       vecCol: String = "embedding",
       bkOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // same prebuilt-bucket registration guard as [[annTopK]]
+    graft.functions.VectorDot.register(emb.sparkSession)
+    graft.functions.PrefixDistinct.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val bk = bkOpt.getOrElse(lshBuckets(e, annPlanes, BitsPerTable))

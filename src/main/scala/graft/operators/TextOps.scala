@@ -177,14 +177,19 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     graft.functions.AlphaTokens.register(docs.sparkSession)
     val base = normalized(docs, idCol, textCol)
-    // native byte-scan tokenizer ≡ the oracle's
-    // regexp_extract_all(lower(text), '[a-z]+') + length > 3 filter
-    // (AlphaTokens scaladoc has the equivalence argument; the hash
-    // gate re-proves it per scale) — the regex engine was the
-    // tokenization's whole cost, as with the r13 counter expressions
+    // native byte-scan tokenizer over the PRE-LOWERED text ≡ the
+    // oracle's regexp_extract_all(lower(text), '[a-z]+') + length > 3
+    // filter, exactly: lower() first is load-bearing, not
+    // belt-and-braces — a handful of non-ASCII letters lowercase INTO
+    // ASCII (U+212A KELVIN → 'k'; U+0130 → 'i' + combining dot), so
+    // scanning the raw bytes would delimit where the regex pipeline
+    // continues a token (r13 review finding; AlphaTokens' scaladoc
+    // carries the full argument and the spec pins the KELVIN case).
+    // The regex engine was the tokenization's whole cost, as with the
+    // r13 counter expressions.
     val toks = base
       .select(col("doc_id"),
-        explode(expr("alpha_tokens(text, 4)")).as("tok"))
+        explode(expr("alpha_tokens(lower(text), 4)")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))

@@ -117,6 +117,27 @@ class NativeTextCountsSpec extends SparkSuite {
     }
   }
 
+  test("alpha_tokens requires pre-lowered input: the KELVIN-SIGN divergence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    AlphaTokens.register(spark)
+    // U+212A lowercases to ASCII 'k' (and U+0130 to 'i' + combining
+    // dot) — the only way a non-ASCII letter enters [a-z]. The regex
+    // pipeline lowercases FIRST, so "xKy" is ONE token "xky";
+    // a raw-byte scan delimits at the 3-byte kelvin sign. t06 applies
+    // lower() before alpha_tokens for exactly this reason — this test
+    // pins both the divergence (raw) and the contract (lowered).
+    val kelvin = "ax\u212Ayb cdef"
+    val raw = Seq(kelvin).toDF("t")
+      .select(expr("alpha_tokens(t, 2)")).as[Seq[String]].head()
+    assert(raw == Seq("ax", "yb", "cdef"), s"raw-byte scan: $raw")
+    val lowered = Seq(kelvin).toDF("t")
+      .select(expr("alpha_tokens(lower(t), 2)")).as[Seq[String]].head()
+    val viaRegex = "[a-z]+".r.findAllIn(kelvin.toLowerCase).toSeq.filter(_.length >= 2)
+    assert(lowered == viaRegex && lowered == Seq("axkyb", "cdef"),
+      s"lowered scan must match the regex pipeline: $lowered vs $viaRegex")
+  }
+
   test("builder guards: bad mode, non-literal list, non-word word") {
     import spark.implicits._
     CharClassCount.register(spark)
@@ -131,5 +152,17 @@ class NativeTextCountsSpec extends SparkSuite {
     intercept[Exception] {
       df.select(expr("word_list_count(t, array())")).collect()
     }
+    // foldable NULLs must be named type-check failures, not NPEs out
+    // of the analyzer (r13 review finding)
+    val nullMode = intercept[Exception] {
+      df.select(expr("char_class_count(t, CAST(NULL AS STRING))")).collect()
+    }
+    assert(!nullMode.isInstanceOf[NullPointerException] &&
+      nullMode.getMessage.contains("char_class_count"))
+    val nullWord = intercept[Exception] {
+      df.select(expr("word_list_count(t, array('the', NULL))")).collect()
+    }
+    assert(!nullWord.isInstanceOf[NullPointerException] &&
+      nullWord.getMessage.contains("word_list_count"))
   }
 }

@@ -452,6 +452,11 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pd(1), "prefix [1] vs [9] disagrees")
     assert(!pd(2), "index 1 agrees (2=2) inside the prefix")
     assert(!pd(4))
+    // n beyond the arrays must fail loudly, never read off the end of
+    // UnsafeArrayData (the function is exposed cluster-wide)
+    val oob = intercept[Exception](pd(5))
+    assert(oob.getMessage != null &&
+      oob.getMessage.contains("prefix_distinct"), s"got: ${oob.getMessage}")
     // equivalence with the HOF spelling on seeded pseudo-random codes
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(300)((
