@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * both q70 and q76 (TriangleProbe2: 5.0 s of q70's 5.3 s total is
   * joins+intersect).
   *
-  * CONTRACT (the bucket-table-style precondition, checked nowhere at
-  * runtime — checking would re-scan the arrays and refund the win):
-  * both inputs must be sorted ascending with no NULL elements.
+  * CONTRACT (the bucket-table-style precondition; sortedness is
+  * checked nowhere at runtime — checking would re-scan the arrays and
+  * refund the win): both inputs must be sorted ascending. NULL
+  * elements are rejected at ANALYSIS time (`checkInputDataTypes`
+  * requires containsNull=false), because a null slot read via
+  * getLong() would yield plausible-looking wrong data rather than an
+  * error.
   * Duplicates are tolerated (the emit-once guard below dedups exactly
   * like `array_intersect`); unsorted input yields the intersection of
   * whatever ascending subsequences the merge scan happens to walk —
@@ -35,14 +39,24 @@ case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull must be FALSE: the merge scan reads elements with
+    // getLong(), which on a null slot returns 0 (interpreted) or
+    // undefined bytes (UnsafeArrayData codegen) — plausible-looking
+    // wrong data, unlike the unsorted-input case where GIGO is the
+    // documented contract. All internal adjacency builders
+    // (array_sort(collect_list(...))) produce containsNull=false, so
+    // rejecting nullable elements costs nothing in-plan and turns a
+    // silent-corruption path into an analysis error for SQL users.
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect expects two array<bigint> arguments, got " +
-        s"${left.dataType.sql} and ${right.dataType.sql}")
+      s"sorted_intersect expects two array<bigint> arguments with " +
+        s"non-nullable elements (containsNull=false), got " +
+        s"${left.dataType.sql} (nullable elements not supported) and " +
+        s"${right.dataType.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -46,16 +46,44 @@ object Relational {
   // of the prebuilt overload; the filter is a few KB of immutable
   // longs, so the cache holds the value itself (nothing persisted,
   // nothing to release — releaseStats drops the entry for re-ingest).
+  //
+  // UNLIKE hotKeyCache/graphCache (where staleness after a re-ingest
+  // only mis-sizes a plan), a stale Bloom filter FALSE-NEGATIVES new
+  // custkeys and silently drops rows before the exact semi-join —
+  // wrong results, not just slower. So this cache is validated against
+  // an ingest FINGERPRINT of the source files (names + lengths +
+  // mtimes, the snapshot-id stand-in a real table format provides):
+  // a re-ingested dir rebuilds the filter automatically, with or
+  // without a releaseStats call. The fingerprint is one driver-side
+  // directory listing per invocation — metadata-only, negligible
+  // against the query it guards.
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Joins.BloomFilter]()
+    (SparkSession, String), (Long, Joins.BloomFilter)]()
+
+  private def customerIngestFingerprint(s: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.getName.hashCode
+      h = h * 31 + f.getLen
+      h = h * 31 + f.getModificationTime
+    }
+    h
+  }
 
   private[operators] def buildingSegmentBloom(
-      s: SparkSession, dir: String): Joins.BloomFilter =
-    bloomCache.computeIfAbsent((s, dir), _ =>
-      Joins.buildBloom(
+      s: SparkSession, dir: String): Joins.BloomFilter = {
+    val fp = customerIngestFingerprint(s, dir)
+    bloomCache.compute((s, dir), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, Joins.buildBloom(
         customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey")),
-        col("c_custkey"), bits = 1 << 12, hashes = 5))
+        col("c_custkey"), bits = 1 << 12, hashes = 5)))._2
+  }
 
   private def orderkeyHotStats(s: SparkSession, dir: String): DataFrame =
     hotKeyCache.computeIfAbsent((s, dir), _ => {
@@ -316,6 +344,15 @@ object Relational {
     * the 10 MB planner default that mis-sizes post-aggregate subtrees.
     */
   private val AdjBroadcastMaxBytes = 256L << 20
+
+  /** Upper bound (in side-table ROWS, each a handful of numeric
+    * columns ≈ 48 bytes) for hint-broadcasting exactPercentileSelect's
+    * |keys|-sized stats/ranks/targets tables: 4M rows ≈ 200 MB — same
+    * rationale as [[AdjBroadcastMaxBytes]] (clears executor + driver
+    * memory comfortably; far above the 10 MB planner default that
+    * would shuffle the 3-row q55 case).
+    */
+  private val PercentileBroadcastMaxKeys = 4L * 1000 * 1000
 
   private val graphCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), GraphArtifact]()
@@ -923,7 +960,10 @@ object Relational {
     "q55_percentile_rank" -> ((s, dir) =>
       exactPercentileSelect(
         lineitem(s, dir), "l_returnflag", "l_extendedprice",
-        Seq("p50" -> 0.5, "p90" -> 0.9))
+        Seq("p50" -> 0.5, "p90" -> 0.9),
+        // l_returnflag is a 3-value enum — pass the cardinality as the
+        // table statistic it is, skipping the sizing pass
+        keyCount = Some(3L))
         .orderBy("l_returnflag")),
 
     // Mergeable percentile rollup — the scale-safe twin of q31 (whose
@@ -2215,21 +2255,36 @@ object Relational {
     * supported (the bucket assignment would cast NaN under ANSI —
     * filter them upstream; the rank-window form this replaced ordered
     * them last, which is equally meaningless as a percentile
-    * input). The |keys|-row broadcasts
-    * make this the shape for few-to-millions of groups; at
-    * mega-cardinality keys the same joins degrade gracefully to
-    * key-partitioned shuffles when AQE retracts the broadcast.
+    * input).
+    *
+    * KEY-CARDINALITY SIZING (the adjJoin/vMode sized-hint pattern):
+    * the stats/ranks/targets tables are |keys|-row side inputs, and
+    * the broadcast hints that make the few-group case cheap would
+    * blow the driver at billions of keys. So the hints are applied
+    * ONLY when the key count clears [[PercentileBroadcastMaxKeys]];
+    * above it the same joins run key-partitioned (shuffled — slower
+    * but unbounded-safe). `keyCount`: pass the known cardinality
+    * (ingest pipelines have it as a table statistic; q55 passes the
+    * 3-flag bound) to size the decision for free; when absent the
+    * function spends ONE eager map-side-combinable pass counting the
+    * groups — safety is the default, the hint is the optimization.
     *
     * Output: (keyCol, n, <one column per requested percentile name>),
     * one row per key.
     */
   def exactPercentileSelect(df: DataFrame, keyCol: String, vCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 65536): DataFrame = {
+      ps: Seq[(String, Double)], buckets: Int = 65536,
+      keyCount: Option[Long] = None): DataFrame = {
     val base = df.select(col(keyCol).as("k"), col(vCol).as("v"))
       .filter(col("v").isNotNull)
     val stats = base.groupBy("k").agg(count(lit(1)).as("n"),
       min("v").as("mn"), max("v").as("mx"))
-    val statsB = broadcast(stats)
+    // sized hint: each side table is ≤ |keys|·(2·|ps|+2) tiny rows
+    val nKeys = keyCount.getOrElse(stats.count())
+    val sized: DataFrame => DataFrame =
+      if (nKeys * (2L * ps.size + 2L) <= PercentileBroadcastMaxKeys)
+        broadcast else identity
+    val statsB = sized(stats)
 
     def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
     val rankCols = ps.flatMap { case (_, p) =>
@@ -2253,7 +2308,7 @@ object Relational {
       .withColumn("cum", sum("c").over(
         Window.partitionBy("k").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val targets = cum.join(broadcast(ranks.withColumnRenamed("k", "rk")),
+    val targets = cum.join(sized(ranks.withColumnRenamed("k", "rk")),
         col("k") === col("rk") &&
           col("r") >= col("cum") - col("c") && col("r") < col("cum"))
       .select(col("k"), col("b"), col("r"),
@@ -2261,7 +2316,7 @@ object Relational {
 
     // pass 2: only the targeted buckets' rows survive into the pick
     val vals = varKeys.withColumn("b", bExpr)
-      .join(broadcast(targets), Seq("k", "b"))
+      .join(sized(targets), Seq("k", "b"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("k", "b", "r").orderBy("v")))
       .filter(col("rn") === col("off") + 1)
@@ -2273,7 +2328,7 @@ object Relational {
         col("mn").as("pv"))
 
     val withN = vals.unionAll(constVals)
-      .join(broadcast(stats.select(col("k"), col("n"))), "k")
+      .join(sized(stats.select(col("k"), col("n"))), "k")
     val aggCols = ps.flatMap { case (nm, p) =>
       Seq(min(when(col("r") === floor(posOf(p)).cast("long"), col("pv")))
           .as(s"__lo_$nm"),

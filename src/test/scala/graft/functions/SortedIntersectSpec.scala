@@ -60,6 +60,23 @@ class SortedIntersectSpec extends SparkSuite {
       e.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("nullable ELEMENT type is an analysis error (silent-corruption guard)") {
+    import spark.implicits._
+    SortedIntersect.register(spark)
+    // Seq[Option[Long]] encodes as array<bigint> with containsNull=true —
+    // exactly the shape whose null slots getLong() would misread as 0 /
+    // undefined bytes. Must fail analysis, not return plausible data.
+    val df = Seq((Seq(Option(1L), None, Option(3L)), Seq(Option(1L))))
+      .toDF("a", "b")
+    assert(df.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val e = intercept[Exception] {
+      df.select(expr("sorted_intersect(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("sorted_intersect") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("randomized equivalence with array_intersect on sorted arrays, both eval paths") {
     import spark.implicits._
     SortedIntersect.register(spark)

@@ -319,6 +319,38 @@ class JoinsSpec extends SparkSuite {
       f"FPP $fpp%.5f far above theoretical $theo%.5f — bit layout broken?")
   }
 
+  test("cached q53 Bloom filter self-invalidates on re-ingest (no stale false-negatives)") {
+    import spark.implicits._
+    // Unlike the perf-only caches (hotKeyCache/graphCache), a stale
+    // bloom CORRUPTS output: new custkeys would false-negative and be
+    // silently dropped before the exact semi-join. The cache is keyed
+    // on an ingest fingerprint (file names + lengths + mtimes), so an
+    // overwritten customer.parquet must rebuild WITHOUT releaseStats.
+    val dir = java.nio.file.Files.createTempDirectory("bloom-reingest").toString
+    def writeCustomers(keys: Seq[Long]): Unit =
+      keys.toDF("c_custkey")
+        .withColumn("c_mktsegment", lit("BUILDING"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    writeCustomers(Seq(1L, 2L, 3L))
+    val bf1 = Relational.buildingSegmentBloom(spark, dir)
+    // bf1 knows nothing about key 1000001 (bits are tiny; a lucky FP
+    // is possible, so pick the assert from the side that can't flake:
+    // members of the FIRST ingest must pass bf1)
+    assert(Seq(1L, 2L, 3L).toDF("k")
+      .filter(!Joins.bloomMightContain(bf1, col("k"))).count() == 0)
+    // same (session, dir) key, same bytes → cache hit (same instance)
+    assert(Relational.buildingSegmentBloom(spark, dir) eq bf1)
+    // RE-INGEST: disjoint key set, different file length → fingerprint
+    // changes → rebuilt filter has no false negatives on the NEW keys
+    val newKeys = (1000001L to 1000050L).toSeq
+    writeCustomers(newKeys)
+    val bf2 = Relational.buildingSegmentBloom(spark, dir)
+    assert(!(bf2 eq bf1), "re-ingested dir served the stale cached filter")
+    assert(newKeys.toDF("k")
+      .filter(!Joins.bloomMightContain(bf2, col("k"))).count() == 0,
+      "a key from the re-ingested customer table false-negatived")
+  }
+
   test("buildBloom rejects invalid parameters") {
     val keys = spark.range(0, 10).select(col("id").as("k"))
     intercept[IllegalArgumentException] {

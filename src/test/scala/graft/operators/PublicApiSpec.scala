@@ -1161,6 +1161,46 @@ class PublicApiSpec extends SparkSuite {
     }
   }
 
+  test("exactPercentileSelect sizes its hints by key cardinality: no broadcast above the bound") {
+    import spark.implicits._
+    // 50k distinct keys, 4 values each — values hand-computable per
+    // key: v ∈ {k, k+10, k+20, k+30} → p50 = k+15 (lerp between the
+    // 2nd/3rd order stats), p90 = k+27 (pos 2.7 → 10+0.7·10).
+    val df = spark.range(0, 50000).select(col("id").as("g"))
+      .crossJoin(spark.range(0, 4).select((col("id") * 10).as("o")))
+      .select(col("g"), (col("g") + col("o")).cast("double").as("v"))
+    def hints(d: org.apache.spark.sql.DataFrame): Int =
+      "ResolvedHint".r.findAllIn(
+        d.queryExecution.optimizedPlan.toString // pre-AQE: hints survive
+      ).size
+    // LOW cardinality (declared): hints present — the q55 fast shape
+    val lo = Relational.exactPercentileSelect(
+      df.filter(col("g") < 3), "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9), keyCount = Some(3L))
+    // analyzed (not optimized) plan keeps UnresolvedHint/ResolvedHint
+    assert(lo.queryExecution.analyzed.toString.contains("Hint"),
+      "low-cardinality path lost its broadcast hints")
+    // HIGH cardinality (declared above the 4M-row side-table bound):
+    // NO broadcast hints — the joins stay key-partitioned, driver-safe
+    val hi = Relational.exactPercentileSelect(df, "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9), keyCount = Some(5L * 1000 * 1000))
+    assert(!hi.queryExecution.analyzed.toString.contains("Hint"),
+      "high-cardinality path still hints a |keys|-row broadcast")
+    // and the unhinted path is still EXACT (spot-check 3 keys + count)
+    val got = hi.filter(col("g").isin(0L, 777L, 49999L))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 15.0, 27.0), (777L, 4L, 792.0, 804.0),
+      (49999L, 4L, 50014.0, 50026.0)), s"got ${got.toSeq}")
+    assert(hi.count() == 50000L)
+    // undeclared cardinality: the sizing pass counts the groups itself
+    // and still lands on the safe shape at 50k·6 ≤ 4M → hinted
+    val auto = Relational.exactPercentileSelect(df, "g", "v",
+      Seq("p50" -> 0.5))
+    assert(auto.queryExecution.analyzed.toString.contains("Hint"))
+  }
+
   test("degreeHistogram: star graph — hub and leaves land in integer log2 buckets") {
     import spark.implicits._
     val star = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
