@@ -123,17 +123,17 @@ object Similarity {
     * The floor is the rational `num/den` (hits·den ≥ answered·num —
     * integer compare, no IEEE in the gate).
     *
-    * Independence caveat (r12 ADVICE, recorded honestly): the exact
-    * witness ([[exactTopKWitness]]) is computed by the SAME
-    * [[cosineTopK]] Spark path the oracled s01 runs, so the
-    * certification's cross-engine independence is ANCHORED by s01's
-    * hash check — DuckDB recomputes s01's brute-force top-k from the
-    * raw parquet and hash-compares it, so a bug in cosineTopK (or in
-    * vector_dot beneath it) fails s01 before it could silently
-    * certify the ANN family green. A shared-bug scenario therefore
-    * requires s01 to hash-match DuckDB *while* cosineTopK misbehaves
-    * here — same session, same relation, same plan. The hash-exact
-    * s04b/s08b/s09b twins close the remaining routing/encode surface.
+    * Witness independence (r12 ADVICE → closed r14): the exact
+    * witness ([[exactTopKWitness]]) is computed by [[cosineTopK]],
+    * but it is no longer TRUSTED on its own authority — each
+    * certification row carries order-free checksums of the witness id
+    * set (`witness_sum`/`witness_xor`), and the ORACLE recomputes
+    * those from the raw parquet in DuckDB (the s01 SQL shape). A bug
+    * in cosineTopK or vector_dot therefore hash-fails s04/s08/s09's
+    * own oracle compare directly — the certification's ground truth
+    * is cross-engine-verified inside the gated row, not anchored by a
+    * separate query. The hash-exact s04b/s08b/s09b twins close the
+    * remaining routing/encode surface.
     */
   // The exact top-k witness is the SAME relation for s04/s08/s09 (and
   // the bench runs each query 4×): build it once per (session, dir,
@@ -177,19 +177,45 @@ object Similarity {
         sum(when(col("qid") === col("cid"), 1).otherwise(0)).as("n_self"),
         sum(coalesce(col("__x"), lit(0))).as("hits"))
     val tot = per.agg(sum("hits").as("th"), sum("n_results").as("tn"))
-    per.crossJoin(broadcast(tot))
+    // the witness DECOUPLING columns (r13 VERDICT item 3): checksum the
+    // exact-top-k id set per probe (order-free sum + xor — exact long
+    // arithmetic in both engines), and let the ORACLE recompute them
+    // from the raw parquet in DuckDB. The recall gate's ground truth
+    // is thereby hash-verified cross-engine INSIDE this query's own
+    // rows — a cosineTopK/vector_dot bug now fails s04/s08/s09's
+    // oracle compare directly, not via the s01 anchor.
+    val wit = exact.groupBy("qid").agg(
+      sum("cid").as("witness_sum"),
+      expr("bit_xor(cid)").as("witness_xor"))
+    per.join(broadcast(wit), Seq("qid"))
+      .crossJoin(broadcast(tot))
       .select(col("qid"),
         (col("n_results") === k).as("has_k_results"),
         (col("n_self") === 0).as("no_self_match"),
-        (col("th") * den >= col("tn") * num).as("recall_floor_ok"))
+        (col("th") * den >= col("tn") * num).as("recall_floor_ok"),
+        col("witness_sum"), col("witness_xor"))
       .orderBy("qid")
   }
 
-  /** The shared oracle for [[certifyAnnTopK]] outputs. */
+  /** The shared oracle for [[certifyAnnTopK]] outputs: literal-TRUE
+    * bound checks on the flags, plus a DuckDB recomputation of the
+    * exact-top-5 witness checksums from the raw parquet (the s01
+    * relation's SQL shape — score DESC, cid tie-break, self excluded).
+    */
   private val annCertOracle: String =
-    """SELECT vec_id AS qid, TRUE AS has_k_results, TRUE AS no_self_match,
-         TRUE AS recall_floor_ok
-       FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       d AS (SELECT qid, cid, list_dot_product(qv, cv) AS score
+             FROM c, q WHERE qid != cid),
+       r AS (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+             FROM d)
+       SELECT qid, TRUE AS has_k_results, TRUE AS no_self_match,
+         TRUE AS recall_floor_ok,
+         CAST(SUM(cid) AS BIGINT) AS witness_sum,
+         CAST(BIT_XOR(cid) AS BIGINT) AS witness_xor
+       FROM r WHERE rnk <= 5 GROUP BY qid ORDER BY qid"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k: 10 probe vectors × all candidates.
