@@ -76,6 +76,34 @@ object Similarity {
     planeBits(2026, NearDupTables * NearDupBitsPerTable)
   private val nearDupPlanes: Seq[Seq[Double]] = planesOf(nearDupPlaneBits)
 
+  // s03c: SCALE-SIZED blocking (r13 VERDICT item 4) — the same
+  // 24-table sign-LSH scheme as s03, but bits/table follows the
+  // documented BUILD-TIME RULE instead of the gate-pinned 4: the
+  // smallest b in [4, 12] with 2^b · B ≥ n (B = 16 target bucket
+  // occupancy), i.e. bits ≈ ceil(log2(n/B)). Bucket count then tracks
+  // corpus growth, so EXPECTED occupancy — and candidate volume per
+  // vector — stays ~constant as n scales, where pinned 4-bit buckets
+  // let occupancy grow linearly in n (quadratically in candidate
+  // pairs; CandVolumeProbe measures both). The rule is INTEGER
+  // arithmetic (smallest b with (1<<b)·B ≥ n — no log/ceil floating
+  // point), so the oracle derives the identical b from COUNT(*)
+  // without cross-engine ULP risk. Each table owns SizedMaxBits
+  // consecutive planes and uses the FIRST b of them, so the plane
+  // longs embedded in the oracle are scale-independent.
+  private val SizedTables = 24
+  private val SizedMaxBits = 12
+  private val SizedMinBits = 4
+  private val SizedBucketTarget = 16L
+  private val sizedPlaneBits: Seq[Long] =
+    planeBits(2027, SizedTables * SizedMaxBits)
+  private[operators] def sizedBitsOf(n: Long): Int =
+    (SizedMinBits to SizedMaxBits)
+      .find(b => (1L << b) * SizedBucketTarget >= n).getOrElse(SizedMaxBits)
+  private val corpusCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    corpusCountCache.computeIfAbsent((s, dir), _ => embeddings(s, dir).count())
+
   // Sign-LSH bucket tables as cached ingest artifacts (r10): a
   // vector's bucket codes are a property of corpus + plane family,
   // not of any one query — at 100 TB these are written LSH index
@@ -106,6 +134,12 @@ object Similarity {
     cachedBuckets(s, dir, "ann", annPlanes, BitsPerTable)
   private def nearDupBuckets(s: SparkSession, dir: String): DataFrame =
     cachedBuckets(s, dir, "neardup", nearDupPlanes, NearDupBitsPerTable)
+  private def sizedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bits = sizedBitsOf(corpusCount(s, dir))
+    val planes = planesOf(
+      sizedPlaneBits.grouped(SizedMaxBits).flatMap(_.take(bits)).toSeq)
+    cachedBuckets(s, dir, "sized", planes, bits)
+  }
 
   /** Certification wrapper for the ANN top-k family (s04/s08/s09) —
     * the r12 pattern that graduated the HLL sketches: the ANN result
@@ -515,20 +549,60 @@ object Similarity {
       // grows ~quadratically (495,900 rows at sf1) — no plan beats
       // its own output size; the operational scale answer is
       // s06/s07's cluster-blocked SemDeDup.
-      val bk = nearDupBuckets(s, dir)
-      val e = vecs(s, dir)
-      bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
-          col("codes").as("ca"))
-        .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
-          col("codes").as("cb")), Seq("tbl", "bucket"))
-        .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
-        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), dot("va", "vb").as("cosine"))
-        .filter(col("cosine") >= NearDupThreshold)
-        .orderBy("id_a", "id_b")
-    })
+      lshNearDupPairs(nearDupBuckets(s, dir), vecs(s, dir))
+    }),
+
+    // s03's SCALE-SIZED twin: identical pair pipeline, but the bucket
+    // artifact's bits/table follows the build-time rule (smallest b
+    // in [4,12] with 2^b·16 ≥ n — see the sizedPlaneBits note) the
+    // s03 scaladoc only documented. The oracle derives the same b
+    // from COUNT(*) with the same integer rule, so the query stays
+    // hash-exact at EVERY scale even as its parameters change with n.
+    // The payoff is measured (CandVolumeProbe, SCALE.md): candidate
+    // volume per vector flattens where s03's gate-pinned 4-bit
+    // buckets grow linearly in n. Recall at a grazing 0.35 threshold
+    // drops with tighter buckets (the documented bits-vs-recall
+    // trade); the operational corpus-scale answer remains s06/s07 —
+    // this twin demonstrates index SIZING, not a recall upgrade.
+    "s03c_embed_neardup_sized" -> ((s, dir) =>
+      lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir)))
   )
+
+  /** CandVolumeProbe hooks: candidate-pair count (post
+    * first-collision dedup, pre-cosine) and qualifying-pair count for
+    * the pinned-4-bit vs sized blocking families, plus the bits the
+    * sizing rule picked — the measured basis of the s03c SCALE.md
+    * table.
+    */
+  private[graft] def candVolume(s: SparkSession, dir: String,
+      sized: Boolean): (Long, Long) = {
+    val bk = if (sized) sizedBuckets(s, dir) else nearDupBuckets(s, dir)
+    val cands = bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+        col("codes").as("ca"))
+      .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+        col("codes").as("cb")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
+    (cands.count(), lshNearDupPairs(bk, vecs(s, dir)).count())
+  }
+  private[graft] def probeBits(s: SparkSession, dir: String, sized: Boolean): Int =
+    if (sized) sizedBitsOf(corpusCount(s, dir)) else NearDupBitsPerTable
+
+  /** The shared s03/s03c pair pipeline over a prebuilt LSH bucket
+    * table: narrow bucket self-join → in-row first-collision dedup →
+    * vector fetch for survivors only → exact cosine filter. (See the
+    * s03 registration comment for the measured plan history.)
+    */
+  private def lshNearDupPairs(bk: DataFrame, e: DataFrame): DataFrame =
+    bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+        col("codes").as("ca"))
+      .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+        col("codes").as("cb")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), dot("va", "vb").as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+      .orderBy("id_a", "id_b")
 
   /** One row per (vector, LSH table) with that table's bucket code
     * (little-endian: first plane of a table is its LSB, matching the
@@ -691,7 +765,8 @@ object Similarity {
     */
   def prepareIndex(s: SparkSession, dir: String): Unit = {
     ivfIndex(s, dir); pqIndex(s, dir); semPairs(s, dir)
-    annBuckets(s, dir); nearDupBuckets(s, dir); detIndexes(s, dir); ()
+    annBuckets(s, dir); nearDupBuckets(s, dir); sizedBuckets(s, dir)
+    detIndexes(s, dir); ()
   }
 
   /** Release the cached IVF index for a dataset: unpersists the cell
@@ -713,6 +788,14 @@ object Similarity {
         Option(lshBucketCache.remove((s, dir, f, planes.hashCode, bits)))
           .foreach(_.unpersist())
     }
+    // the sized family's bits depend on the (possibly re-ingested)
+    // corpus count, so release by key scan rather than recomputation —
+    // and drop the count itself so the next build re-sizes
+    lshBucketCache.keySet().forEach { key =>
+      if (key._1 == s && key._2 == dir && key._3 == "sized")
+        Option(lshBucketCache.remove(key)).foreach(_.unpersist())
+    }
+    corpusCountCache.remove((s, dir))
     // certification witnesses (r12): exact top-k per k + truth pairs
     certTruthCache.keySet().forEach { key =>
       if (key._1 == s && key._2 == dir)
@@ -1776,6 +1859,42 @@ object Similarity {
                  FROM e CROSS JOIN pv),
          buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
                   FROM sig GROUP BY vec_id, tbl),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM buck a JOIN buck b
+                    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT c.id_a, c.id_b, list_dot_product(ea.v, eb.v) AS cosine
+         FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+         WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
+         ORDER BY id_a, id_b"""
+    },
+
+    // s03c: the same blocking reproduction, with bits/table derived
+    // from COUNT(*) by the IDENTICAL integer rule the Spark side uses
+    // (smallest b in [4,12] with (1<<b)·16 ≥ n — no log/ceil floating
+    // point, so no cross-engine ULP risk at rule boundaries). Each
+    // table owns 12 consecutive plane ids; slots ≥ b are filtered out
+    // before bucket assembly, mirroring the Spark side's plane-list
+    // truncation.
+    "s03c_embed_neardup_sized" -> {
+      val vals = sizedPlaneBits.zipWithIndex
+        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH planes(pid, pb) AS (VALUES $vals),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         bb AS (SELECT COALESCE((SELECT MIN(b)
+                   FROM generate_series($SizedMinBits, $SizedMaxBits) g(b), nn
+                   WHERE (CAST(1 AS BIGINT) << b) * $SizedBucketTarget >= nn.n),
+                 $SizedMaxBits) AS bits),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pv AS (SELECT pid, list_transform(generate_series(0, 63),
+                  d -> CASE WHEN ((pb >> d) & 1) = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+                FROM planes),
+         sig AS (SELECT e.vec_id, pv.pid // $SizedMaxBits AS tbl,
+                        (pv.pid % $SizedMaxBits) AS slot,
+                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
+                 FROM e CROSS JOIN pv),
+         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
+                  FROM sig, bb WHERE slot < bb.bits GROUP BY vec_id, tbl),
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                   FROM buck a JOIN buck b
                     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the s03-vs-s03c index-sizing claim (r13 VERDICT item 4):
+  * candidate-pair volume (distinct colliding pairs surviving the
+  * first-collision dedup, BEFORE the cosine filter) under the
+  * gate-pinned 4-bit blocking vs the build-time-sized blocking, at
+  * each fixture scale passed on the command line. A correctly sized
+  * index holds candidates-per-vector ~flat as n grows; pinned buckets
+  * let it grow linearly in n (quadratically in pairs).
+  *
+  * Usage: runMain graft.tools.CandVolumeProbe <sfDir> [<sfDir> ...]
+  * Prints one line per (dir, family): corpus n, bits/table chosen,
+  * candidate pairs, candidates per vector, and the qualifying-pair
+  * count after the cosine gate (the output-bound floor no blocking
+  * can beat).
+  */
+object CandVolumeProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CandVolumeProbe <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("dir,family,n,bits,cand_pairs,cand_per_vec,qualifying_pairs")
+    args.foreach { dir =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      Seq("pinned4" -> false, "sized" -> true).foreach { case (fam, sized) =>
+        val (cand, qual) = graft.operators.Similarity
+          .candVolume(spark, dir, sized)
+        println(f"$dir,$fam,$n,${graft.operators.Similarity.probeBits(spark, dir, sized)},$cand,${cand.toDouble / n}%.2f,$qual")
+      }
+      graft.operators.Similarity.releaseIndex(spark, dir)
+    }
+    spark.stop()
+  }
+}

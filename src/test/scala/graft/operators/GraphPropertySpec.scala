@@ -125,6 +125,47 @@ class GraphPropertySpec extends SparkSuite {
     }
   }
 
+  test("loop-vs-generic parity holds on a LARGE graph in both layouts (real-data-scale flip)") {
+    // The random sweep above covers both layouts on toy graphs; this
+    // case exercises the u-layout flip at a size where the layout
+    // actually matters — 30k vertices / ~90k hash-random edges (many
+    // components, nontrivial diameter) — and asserts both branches
+    // equal the generic operators. GraphLoopProbe5 carries the
+    // million-vertex timing A/B; this keeps row-exact parity at the
+    // largest size a unit test can afford.
+    val nV = 30000L
+    val syn = spark.range(90000).select(
+      abs(xxhash64(col("id"), lit(11)) % nV).as("a"),
+      abs(xxhash64(col("id"), lit(12)) % nV).as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = Relational.canonicalEdges(syn).persist()
+    try {
+      val prGen = Relational.pagerankIterate(canon, 3)
+        .select(expr("bit_xor(xxhash64(v, CAST(round(rank * 1e9) AS BIGINT)))"),
+          count(lit(1))).head()
+      val mlGen = Relational.minLabelPropagate(canon, 3)
+        .select(expr("bit_xor(xxhash64(v, label))"), count(lit(1))).head()
+      Seq(Some("0"), None).foreach { forceU =>
+        forceU.foreach(b =>
+          spark.conf.set("graft.loop.vertexBroadcastMaxBytes", b))
+        val loop =
+          try Relational.buildGraphLoop(canon)
+          finally if (forceU.isDefined)
+            spark.conf.unset("graft.loop.vertexBroadcastMaxBytes")
+        assert(loop.vMode == forceU.isEmpty, s"layout flag (forceU=$forceU)")
+        try {
+          val prLoop = Relational.pagerankIterateLoop(loop, 3)
+            .select(expr("bit_xor(xxhash64(v, CAST(round(rank * 1e9) AS BIGINT)))"),
+              count(lit(1))).head()
+          val mlLoop = Relational.minLabelPropagateLoop(loop, 3)
+            .select(expr("bit_xor(xxhash64(v, label))"), count(lit(1))).head()
+          assert(prLoop == prGen, s"pagerank diverged in ${if (loop.vMode) "v" else "u"}-layout")
+          assert(mlLoop == mlGen, s"minlabel diverged in ${if (loop.vMode) "v" else "u"}-layout")
+        } finally Relational.releaseGraphLoop(loop)
+      }
+    } finally canon.unpersist()
+  }
+
   test("q78 supply loop equals the generic operator on the real bipartite graph") {
     // the registered q78 path (public buildGraphLoop over the
     // supplier–part graph) must agree with the generic lazy operator
