@@ -106,7 +106,10 @@ object StateRecoveryBench {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), s"$tag did not drain")
+      // 600 s covers the 1M default; the 10M-key run (r13 item 6)
+      // needs build time proportional to records
+      require(q.awaitTermination(math.max(600000L, Records * 2L)),
+        s"$tag did not drain")
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -131,10 +134,16 @@ object StateRecoveryBench {
     val RocksProvider =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-    scenario("ewma", ewmaInput, FileProvider)
-    scenario("ewma", ewmaInput, RocksProvider)
-    scenario("kmv32", kmvInput, FileProvider)
-    scenario("kmv32", kmvInput, RocksProvider)
+    // scenario filter for the big-cardinality runs (r13 VERDICT item
+    // 6: 10M keys on RocksDB) — running all four at 10M records would
+    // mostly measure the in-memory fixture service, not the store
+    val only = sys.env.get("SPARK_GRAFT_SRB_SCENARIOS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(k: String): Boolean = only.forall(_.contains(k))
+    if (want("ewma_file")) scenario("ewma", ewmaInput, FileProvider)
+    if (want("ewma_rocks")) scenario("ewma", ewmaInput, RocksProvider)
+    if (want("kmv32_file")) scenario("kmv32", kmvInput, FileProvider)
+    if (want("kmv32_rocks")) scenario("kmv32", kmvInput, RocksProvider)
 
     spark.stop()
   }
