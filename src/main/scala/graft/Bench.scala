@@ -44,12 +44,22 @@ object Bench {
     // (e.g. the sf1 top-20 capture); composes with nothing — it wins.
     val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val suite =
+    // Skip-list for scale captures: a query whose parameters are
+    // gate-pinned can exhaust LOCAL disk at a big derived sf (s03/s10's
+    // pinned-bits LSH at sf5 — the r14 finding their sized twins fix)
+    // and, worse, poison every LATER query's run with
+    // no-space-left-on-device failures. Skipping is loud: the skipped
+    // names are recorded in the output JSON.
+    val skipNames = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val suite0 =
       if (onlyNames.isDefined)
         SparkEntry.queries.filter { case (k, _) => onlyNames.get(k) }
       else if (onlyMatched)
         SparkEntry.queries.filter { case (k, _) => baseline.exists(_._2.contains(k)) }
       else SparkEntry.queries
+    val suite = suite0.filter { case (k, _) => !skipNames(k) }
     // Untimed warm-up: JIT/codegen/classloading otherwise lands on
     // whichever query happens to run first (incl. MLlib's one-time
     // BLAS/class init, which the IVF query would otherwise absorb).
@@ -207,7 +217,8 @@ object Bench {
       "\"" + k + "\":{\"certified\":" + fmt(3)(cert) + ",\"raw\":" + fmt(3)(raw) +
         ",\"overhead\":" + fmt(3)(over) + "}"
     }.mkString("{", ",", "}")
-    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"cert_overhead":$certJson,"sf":"$sfDir","runs":$nRuns}"""
+    val skipJson = skipNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"cert_overhead":$certJson,"skipped":$skipJson,"sf":"$sfDir","runs":$nRuns}"""
     try {
       val p = java.nio.file.Paths.get(
         if (onlyMatched) "target/bench_full_matched.json" else "target/bench_full.json")

@@ -93,11 +93,17 @@ object Similarity {
   private val SizedTables = 24
   private val SizedMaxBits = 12
   private val SizedMinBits = 4
+  // the ann family's sized floor stays at its gate-pinned 8 bits so
+  // the small fixtures keep the pinned geometry (s10c ≡ s10's shape
+  // at sf ≤ 0.1, then buckets grow with the corpus)
+  private val SizedMinBitsAnn = 8
   private val SizedBucketTarget = 16L
   private val sizedPlaneBits: Seq[Long] =
     planeBits(2027, SizedTables * SizedMaxBits)
-  private[operators] def sizedBitsOf(n: Long): Int =
-    (SizedMinBits to SizedMaxBits)
+  private val sizedAnnPlaneBits: Seq[Long] =
+    planeBits(2028, LshTables * SizedMaxBits)
+  private[operators] def sizedBitsOf(n: Long, lo: Int = SizedMinBits): Int =
+    (lo to SizedMaxBits)
       .find(b => (1L << b) * SizedBucketTarget >= n).getOrElse(SizedMaxBits)
   private val corpusCountCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
@@ -139,6 +145,12 @@ object Similarity {
     val planes = planesOf(
       sizedPlaneBits.grouped(SizedMaxBits).flatMap(_.take(bits)).toSeq)
     cachedBuckets(s, dir, "sized", planes, bits)
+  }
+  private def sizedAnnBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bits = sizedBitsOf(corpusCount(s, dir), SizedMinBitsAnn)
+    val planes = planesOf(
+      sizedAnnPlaneBits.grouped(SizedMaxBits).flatMap(_.take(bits)).toSeq)
+    cachedBuckets(s, dir, "sizedann", planes, bits)
   }
 
   /** Certification wrapper for the ANN top-k family (s04/s08/s09) —
@@ -441,6 +453,18 @@ object Similarity {
       knnJoin(embeddings(s, dir), k = 5,
         bkOpt = Some(annBuckets(s, dir))).orderBy("qid", "rnk")),
 
+    // s10's SCALE-SIZED twin (same story as s03c): the kNN self-join
+    // over the ann bucket artifact, with bits/table from the integer
+    // build-time rule (floor at the gate-pinned 8, so the small
+    // fixtures keep s10's geometry). Motivated by measurement: at sf5
+    // (100k vectors) s10's pinned 8-bit buckets hold ~390 vectors each
+    // → ~0.6B candidate rows, which exhausted local DISK in the r14
+    // capture; the sized index (12 bits → ~24/bucket) completes in
+    // seconds. The oracle derives the same bits from COUNT(*).
+    "s10c_knn_join_sized" -> ((s, dir) =>
+      knnJoin(embeddings(s, dir), k = 5,
+        bkOpt = Some(sizedAnnBuckets(s, dir))).orderBy("qid", "rnk")),
+
     // One Lloyd iteration via [[kmeansStep]], seeded with the 8 lowest
     // vec_ids as centroids (deterministic, no RNG). Hash-checked: the
     // oracle reproduces the argmin from the same dot-product folds.
@@ -574,6 +598,18 @@ object Similarity {
     * sizing rule picked — the measured basis of the s03c SCALE.md
     * table.
     */
+  /** Pre-dedup candidate JOIN volume Σ_{tbl,bucket} c·(c−1)/2 — the
+    * number of row pairs the bucket self-join emits, computable from
+    * bucket sizes alone (no join): the cheap diagnostic that stays
+    * answerable even where materializing the join exhausts disk
+    * (pinned 4-bit at sf5).
+    */
+  private[graft] def candJoinVolume(s: SparkSession, dir: String,
+      sized: Boolean): Long = {
+    val bk = if (sized) sizedBuckets(s, dir) else nearDupBuckets(s, dir)
+    bk.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) DIV 2")).cast("long")).head().getLong(0)
+  }
   private[graft] def candVolume(s: SparkSession, dir: String,
       sized: Boolean): (Long, Long) = {
     val bk = if (sized) sizedBuckets(s, dir) else nearDupBuckets(s, dir)
@@ -766,7 +802,7 @@ object Similarity {
   def prepareIndex(s: SparkSession, dir: String): Unit = {
     ivfIndex(s, dir); pqIndex(s, dir); semPairs(s, dir)
     annBuckets(s, dir); nearDupBuckets(s, dir); sizedBuckets(s, dir)
-    detIndexes(s, dir); ()
+    sizedAnnBuckets(s, dir); detIndexes(s, dir); ()
   }
 
   /** Release the cached IVF index for a dataset: unpersists the cell
@@ -788,11 +824,11 @@ object Similarity {
         Option(lshBucketCache.remove((s, dir, f, planes.hashCode, bits)))
           .foreach(_.unpersist())
     }
-    // the sized family's bits depend on the (possibly re-ingested)
+    // the sized families' bits depend on the (possibly re-ingested)
     // corpus count, so release by key scan rather than recomputation —
     // and drop the count itself so the next build re-sizes
     lshBucketCache.keySet().forEach { key =>
-      if (key._1 == s && key._2 == dir && key._3 == "sized")
+      if (key._1 == s && key._2 == dir && key._3.startsWith("sized"))
         Option(lshBucketCache.remove(key)).foreach(_.unpersist())
     }
     corpusCountCache.remove((s, dir))
@@ -1701,6 +1737,44 @@ object Similarity {
                  FROM e CROSS JOIN pv),
          buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
                   FROM sig GROUP BY vec_id, tbl),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  FROM buck q JOIN buck c
+                    ON c.tbl = q.tbl AND c.bucket = q.bucket
+                   AND c.vec_id != q.vec_id),
+         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
+                    FROM cand JOIN e eq ON eq.vec_id = qid
+                              JOIN e ec ON ec.vec_id = cid),
+         r AS (SELECT qid, cid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+               FROM scored)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+    },
+
+    // s10c: the s10 blocking reproduction with bits/table derived from
+    // COUNT(*) by the identical integer rule (floor 8 = the gate-pinned
+    // geometry; each table owns 12 consecutive plane ids, slots ≥ bits
+    // filtered before bucket assembly — the s03c pattern).
+    "s10c_knn_join_sized" -> {
+      val vals = sizedAnnPlaneBits.zipWithIndex
+        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH planes(pid, pb) AS (VALUES $vals),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         bb AS (SELECT COALESCE((SELECT MIN(b)
+                   FROM generate_series($SizedMinBitsAnn, $SizedMaxBits) g(b), nn
+                   WHERE (CAST(1 AS BIGINT) << b) * $SizedBucketTarget >= nn.n),
+                 $SizedMaxBits) AS bits),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pv AS (SELECT pid, list_transform(generate_series(0, 63),
+                  d -> CASE WHEN ((pb >> d) & 1) = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+                FROM planes),
+         sig AS (SELECT e.vec_id, pv.pid // $SizedMaxBits AS tbl,
+                        (pv.pid % $SizedMaxBits) AS slot,
+                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
+                 FROM e CROSS JOIN pv),
+         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
+                  FROM sig, bb WHERE slot < bb.bits GROUP BY vec_id, tbl),
          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
                   FROM buck q JOIN buck c
                     ON c.tbl = q.tbl AND c.bucket = q.bucket

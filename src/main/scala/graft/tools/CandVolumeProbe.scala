@@ -26,13 +26,21 @@ object CandVolumeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("dir,family,n,bits,cand_pairs,cand_per_vec,qualifying_pairs")
+    // join-materialization guard: above this pre-dedup volume the
+    // distinct-pair/qualifying counts are not computed (the join's
+    // shuffle is exactly what exhausts local disk — the finding)
+    val JoinGuard = 500L * 1000 * 1000
+    println("dir,family,n,bits,join_pairs,join_per_vec,dedup_cand_pairs,qualifying_pairs")
     args.foreach { dir =>
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       Seq("pinned4" -> false, "sized" -> true).foreach { case (fam, sized) =>
-        val (cand, qual) = graft.operators.Similarity
-          .candVolume(spark, dir, sized)
-        println(f"$dir,$fam,$n,${graft.operators.Similarity.probeBits(spark, dir, sized)},$cand,${cand.toDouble / n}%.2f,$qual")
+        val jv = graft.operators.Similarity.candJoinVolume(spark, dir, sized)
+        val (cand, qual) =
+          if (jv <= JoinGuard) {
+            val (c, q) = graft.operators.Similarity.candVolume(spark, dir, sized)
+            (c.toString, q.toString)
+          } else ("DNF(join-guard)", "DNF(join-guard)")
+        println(f"$dir,$fam,$n,${graft.operators.Similarity.probeBits(spark, dir, sized)},$jv,${jv.toDouble / n}%.2f,$cand,$qual")
       }
       graft.operators.Similarity.releaseIndex(spark, dir)
     }
