@@ -339,11 +339,22 @@ object Relational {
   }
 
   /** Upper bound for hint-broadcasting a prepared adjacency table:
-    * 256 MB — small against executor memory (the broadcast must also
-    * fit the driver, which at this size it trivially does), far above
-    * the 10 MB planner default that mis-sizes post-aggregate subtrees.
+    * 1 GiB — raised from 256 MB in r14 after TriangleProbe3 measured
+    * the crossover at sf5 (59.8M edges, 526 MB adjacency): the forced
+    * broadcast ran the triangle join in 9.9 s steady-state where the
+    * SMJ fallback took 39.0 s (shuffle-hash-hinted attaches 87.1 s; a
+    * skinny-row wedge re-plan 333 s — both measured and REJECTED, the
+    * fallbacks all move O(Σ outdeg²) bytes and SMJ has the best
+    * constants). One static table reused by both attach joins, so —
+    * unlike the per-round loop broadcast, which re-ships a CHANGING
+    * |V|-row table every iteration and measurably flips at 256 MB
+    * ([[LoopVertexBroadcastMaxBytes]], GraphLoopProbe5) — the
+    * adjacency broadcast amortizes: past ~1 GiB (≳120M edges) the
+    * per-executor residency cost stops being trivial and the shuffled
+    * SMJ (moving |E| + |V| rows) takes over. Far above the 10 MB
+    * planner default that mis-sizes post-aggregate subtrees.
     */
-  private val AdjBroadcastMaxBytes = 256L << 20
+  private val AdjBroadcastMaxBytes = 1024L << 20
 
   /** Upper bound (in side-table ROWS, each a handful of numeric
     * columns ≈ 48 bytes) for hint-broadcasting exactPercentileSelect's
@@ -2421,18 +2432,47 @@ object Relational {
     * Output: (`part`, `n_tri`) for every vertex in ≥1 triangle.
     */
   def trianglesFromOriented(oriented: DataFrame,
-      adjOpt: Option[DataFrame] = None): DataFrame = {
+      adjOpt: Option[DataFrame] = None): DataFrame =
+    triangleInstances(oriented, adjOpt)
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+
+  /** Triangle instances — EXACTLY one row per triangle, as (`src`,
+    * `dst`, `w`) with (src → dst) an oriented edge and `w` their
+    * common out-neighbor — shared by [[trianglesFromOriented]] and
+    * [[linkJaccard]]: both endpoints' out-lists attach to each edge
+    * and merge-scan in-row (`sorted_intersect`), so the O(m^1.5)
+    * wedge set never materializes as rows. Exactly-once: a
+    * triangle's three oriented edges are u→v, u→w, v→w, and (u, v)
+    * is the only edge whose BOTH endpoints point at the third vertex.
+    *
+    * sorted_intersect (native merge scan) instead of array_intersect:
+    * the out-lists are sorted ascending + duplicate-free by
+    * construction (array_sort over a deduplicated canonical edge
+    * list — the contract an adjOpt caller must also meet), so the
+    * per-row hash set array_intersect builds is pure overhead — the
+    * intersection was q70's single largest stage at sf1
+    * (TriangleProbe2: 3.99 → 2.14 s, element-identical output).
+    *
+    * Above the adjacency broadcast bound the attach joins fall back
+    * to sort-merge, shuffling |E| rows that CARRY out-list arrays
+    * (O(Σ outdeg²) bytes). A skinny-row WEDGE re-plan — explode each
+    * out-list's ordered in-row pairs, close them against the
+    * id-canonical edge set with one narrow equi-join — was measured
+    * at sf5 and REJECTED (TriangleProbe3, 59.8M edges / 2.05G
+    * wedges: wedge 333 s vs SMJ fallback 39 s steady-state; every
+    * fallback moves O(Σ outdeg²) bytes and the 2e9-row skinny
+    * shuffle has the worst constants). What the probe DID move was
+    * the bound itself: the 526 MB adjacency force-broadcast ran
+    * 9.9 s, 4× the best fallback — hence
+    * [[AdjBroadcastMaxBytes]] = 1 GiB.
+    */
+  private def triangleInstances(oriented: DataFrame,
+      adjOpt: Option[DataFrame]): DataFrame = {
     graft.functions.SortedIntersect.register(oriented.sparkSession)
     val adj = adjOpt.getOrElse(
       oriented.groupBy(col("src"))
         .agg(array_sort(collect_list(col("dst"))).as("ns")))
-    // sorted_intersect (native merge scan) instead of array_intersect:
-    // the out-lists are sorted ascending + duplicate-free by
-    // construction (array_sort over a deduplicated canonical edge
-    // list — the contract an adjOpt caller must also meet), so the
-    // per-row hash set array_intersect builds is pure overhead — the
-    // intersection was q70's single largest stage at sf1
-    // (TriangleProbe2: 3.99 → 2.14 s, element-identical output).
     oriented
       .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
         col("src") === col("__u"))
@@ -2440,8 +2480,6 @@ object Relational {
         col("dst") === col("__v"))
       .select(col("src"), col("dst"),
         explode(expr("sorted_intersect(nu, nv)")).as("w"))
-      .select(explode(array(col("src"), col("dst"), col("w"))).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 
   /** Canonicalize → orient → count, unmaterialized — for one-off use
@@ -2675,24 +2713,13 @@ object Relational {
     */
   def linkJaccard(oriented: DataFrame, adjOpt: Option[DataFrame] = None,
       degOpt: Option[DataFrame] = None): DataFrame = {
-    graft.functions.SortedIntersect.register(oriented.sparkSession)
-    val adj = adjOpt.getOrElse(
-      oriented.groupBy(col("src"))
-        .agg(array_sort(collect_list(col("dst"))).as("ns")))
     val deg = degOpt.getOrElse(
       oriented.select(col("src").as("v"))
         .unionAll(oriented.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d")))
-    // native merge-scan intersection — same sorted-adjacency contract
-    // and measured rationale as [[trianglesFromOriented]]
-    // (TriangleProbe2 at sf1: 5.67 → 4.24 s, element-identical)
-    val triEdges = oriented
-      .join(adj.select(col("src").as("__u"), col("ns").as("nu")),
-        col("src") === col("__u"))
-      .join(adj.select(col("src").as("__v"), col("ns").as("nv")),
-        col("dst") === col("__v"))
-      .select(col("src"), col("dst"),
-        explode(expr("sorted_intersect(nu, nv)")).as("w"))
+    // shared in-row adjacency intersection (see [[triangleInstances]]
+    // for the plan rationale and the measured wedge rejection)
+    val triEdges = triangleInstances(oriented, adjOpt)
       // credit each of the triangle's three edges, id-canonicalized
       .select(explode(array(
         struct(least(col("src"), col("dst")).as("a"),

@@ -64,21 +64,27 @@ object TriangleProbe3 {
     }
 
     def intersectTriples(hint: Option[String]): Long = {
-      def h(df: DataFrame) = hint.map(df.hint(_)).getOrElse(df)
+      val h = hint.map {
+        case "broadcast" => broadcast(adj)
+        case other => adj.hint(other)
+      }.getOrElse(adj)
       oriented
-        .join(h(adj.select(col("src").as("__u"), col("ns").as("nu"))),
+        .join(h.select(col("src").as("__u"), col("ns").as("nu")),
           col("src") === col("__u"))
-        .join(h(adj.select(col("src").as("__v"), col("ns").as("nv"))),
+        .join(h.select(col("src").as("__v"), col("ns").as("nv")),
           col("dst") === col("__v"))
         .select(explode(expr("sorted_intersect(nu, nv)")).as("w"))
         .count()
     }
     // wedge path: ns is sorted ascending, so in-row pairs (x, y) are
     // id-ordered; the edge between them sits in oriented in ONE
-    // degree-ordered direction, so join on the id-canonical form
-    def wedgeTriples(): Long = {
-      val ec = oriented.select(least(col("src"), col("dst")).as("wa"),
+    // degree-ordered direction, so join on the id-canonical form.
+    // ecHint: hint the skinny closing-edge side (shuffle_hash kills
+    // the 2e9-row wedge sort a merge join would need).
+    def wedgeTriples(ecHint: Option[String]): Long = {
+      val ec0 = oriented.select(least(col("src"), col("dst")).as("wa"),
         greatest(col("src"), col("dst")).as("wb"))
+      val ec = ecHint.map(ec0.hint(_)).getOrElse(ec0)
       adj.select(col("src").as("u"), explode(expr(
           """flatten(transform(ns, (x, i) ->
                transform(slice(ns, i + 2, size(ns)), y ->
@@ -88,13 +94,22 @@ object TriangleProbe3 {
         .count()
     }
 
-    val t0 = time("wedge")(wedgeTriples())
-    val tB = time("shuffle_hash")(intersectTriples(Some("shuffle_hash")))
+    // r14 second pass: the first (contended) capture showed unhinted
+    // wedge 8x WORSE than the shipped SMJ; this sweep adds the two
+    // unmeasured candidates — wedge with a shuffle-hash closing join,
+    // and the intersect path with the 526 MB adjacency FORCE-broadcast
+    // (is the 256 MB bound below the real crossover?).
     val tA = time("shipped_smj")(intersectTriples(None))
-    require(t0 == tB && tB == tA, s"triple counts diverged: $t0 $tB $tA")
+    val tB = time("shuffle_hash")(intersectTriples(Some("shuffle_hash")))
+    val tBc = time("broadcast_526mb")(intersectTriples(Some("broadcast")))
+    val tW = time("wedge_hash")(wedgeTriples(Some("shuffle_hash")))
+    require(tA == tB && tB == tBc && tBc == tW,
+      s"triple counts diverged: $tA $tB $tBc $tW")
     // repeat for steady-state (page cache, JIT)
-    time("wedge_2")(wedgeTriples())
+    time("shipped_smj_2")(intersectTriples(None))
     time("shuffle_hash_2")(intersectTriples(Some("shuffle_hash")))
+    time("broadcast_526mb_2")(intersectTriples(Some("broadcast")))
+    time("wedge_hash_2")(wedgeTriples(Some("shuffle_hash")))
     spark.stop()
   }
 }

@@ -360,6 +360,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert((surv & paired) == minOfCluster, "survivors among paired are not the cluster minima")
   }
 
+  test("s07c sized cells: rule tracks sqrt(n), survivors are the sized-pair cluster minima") {
+    // the integer rule the oracle re-derives from COUNT(*)
+    assert(Similarity.sizedCellsOf(1) == 16)       // floor
+    assert(Similarity.sizedCellsOf(256) == 16)
+    assert(Similarity.sizedCellsOf(257) == 32)
+    assert(Similarity.sizedCellsOf(500) == 32)     // sf0.001/sf0.01
+    assert(Similarity.sizedCellsOf(2000) == 64)    // sf0.1
+    assert(Similarity.sizedCellsOf(20000) == 256)  // sf1
+    assert(Similarity.sizedCellsOf(100000) == 512) // sf5
+    assert(Similarity.sizedCellsOf(100L * 1000 * 1000) == 4096) // clamp
+    val d01 = sf("sf0.01")
+    val all = graft.Tables.embeddings(spark, d01).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.sizedDetPairs(spark, d01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test is vacuous: no sized near-dup pairs")
+    // precision 1.0 by construction: every sized blocked pair is a true
+    // threshold pair with its exact cosine
+    val exact = Similarity.embedNearDupExact(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet.subsetOf(exact), s"false positives: ${pairs.toSet -- exact}")
+    val surv = SparkEntry.queries("s07c_semantic_survivors_sized")(spark, d01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    pairs.foreach { case (a, b) =>
+      assert(!(surv.contains(a) && surv.contains(b)), s"both of pair ($a,$b) kept")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- paired).subsetOf(surv), "an unpaired vector was dropped")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val minOfCluster = paired.groupBy(find).map { case (_, m) => m.min }.toSet
+    assert((surv & paired) == minOfCluster, "survivors among paired are not the cluster minima")
+  }
+
   test("buildIvfIndex: recall holds across cell counts and candidate volume scales ~n^2/cells") {
     val d01 = sf("sf0.01")
     val e = graft.Tables.embeddings(spark, d01)
