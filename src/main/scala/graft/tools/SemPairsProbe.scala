@@ -48,7 +48,7 @@ object SemPairsProbe {
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") <= 4)
         .groupBy("cell").agg(count(lit(1)).as("c"))
-        .agg(sum(expr("c * (c - 1) / 2"))).head().getLong(0)
+        .agg(sum(expr("c * (c - 1) div 2"))).head().getLong(0)
     }
 
     def time(label: String)(f: => Long): Unit = {

@@ -124,36 +124,52 @@ if len(sys.argv) > 3:
     only = set(sys.argv[3].split(","))
     names = [n for n in names if n in only]
     print(f"!! NAME FILTER: comparing only {len(names)} of the result dirs\n")
+# GRAFT_VERIFY_JSON=<path>: also dump a driver-format per-query record
+# (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) —
+# the CORRECTNESS_sf1.json shape, regenerable at any fixture.
+json_out = os.environ.get("GRAFT_VERIFY_JSON")
+records = {}
 n_pass = n_fail = n_rowsonly = 0
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     got = con.sql(f"SELECT * FROM read_parquet({files})").df()
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": len(got), "oracle_rows": None, "err": None}
+    records[name] = rec
     if use_ext and name in ext:
         try:
             exp = run_extension(ext[name])
         except Exception as e:
             print(f"{'EXT-ERR':18s} {name:28s} {e}")
+            rec["err"] = str(e)[:300]
             n_fail += 1
             continue
-        if compare(name, got, exp, tag="PASS-EXT"):
-            n_pass += 1
-        else:
-            n_fail += 1
-        continue
-    if name not in oracle:
+    elif name not in oracle:
         status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
         n_rowsonly += 1
+        rec["err"] = "rows-only (no oracle)"
         print(f"{status:18s} {name:28s} rows={len(got)}")
         continue
-    try:
-        exp = con.sql(oracle[name]).df()
-    except Exception as e:
-        print(f"{'ORACLE-ERR':18s} {name:28s} {e}")
-        n_fail += 1
-        continue
-    if compare(name, got, exp):
+    else:
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{'ORACLE-ERR':18s} {name:28s} {e}")
+            rec["err"] = str(e)[:300]
+            n_fail += 1
+            continue
+    rec["oracle_rows"] = len(exp)
+    rec["rows_match"] = len(got) == len(exp)
+    rec["schema_match"] = sorted(got.columns) == sorted(exp.columns)
+    tag = "PASS-EXT" if (use_ext and name in ext) else "PASS"
+    if compare(name, got, exp, tag=tag):
+        rec["hash_match"] = True
         n_pass += 1
     else:
         n_fail += 1
 print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(records, f, indent=1)
+    print(f"wrote {json_out} ({len(records)} queries)")
 sys.exit(1 if n_fail else 0)
