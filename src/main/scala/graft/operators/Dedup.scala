@@ -432,6 +432,17 @@ object Dedup {
     * so the 4M default peaks around ~230 MB and settles near ~80 MB —
     * sized for a driver with a few GB of heap.
     */
+  /** Upper bound for hint-broadcasting the loop's |nodes|-row label
+    * table each round (~48 bytes/row estimate, the
+    * [[graft.operators.Relational]] adjJoin sizing style): 256 MB →
+    * ~5.6M nodes. The r15 CcProbe A/B on the s07b-shaped sf5 survivor
+    * graph (100k nodes / 24M directed edges, clique components)
+    * measured the hinted loop against the stats-blind shuffle plan —
+    * see SCALE.md. Override per caller session via
+    * `graft.cc.labelBroadcastMaxBytes`.
+    */
+  private val CcLabelBroadcastMaxBytes = 256L << 20
+
   def connectedComponents(pairsDf: DataFrame,
       checkpointDir: Option[String] = None,
       driverMaxEdges: Long = 4000000L): DataFrame = {
@@ -498,6 +509,28 @@ object Dedup {
       else edges0
       var labels = materialize(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
+      // Size the per-round join strategy to the LABEL table, not the
+      // planner default: a checkpointed labels DataFrame is a LogicalRDD
+      // with no stats, so without a hint every propagate round plans a
+      // full edge-side shuffle join — at the sf5 survivor volume (24M
+      // directed edges over ≤100k nodes) that is ~2 edge-width shuffles
+      // per round for a labels side of a few MB. The label table's row
+      // count is FIXED across rounds (labels only change value, never
+      // cardinality), so one count sizes the whole loop: under the bound
+      // (~48 bytes/row, the GraphArtifact.adjJoin estimate) every
+      // propagate and pointer-jump joins broadcast-hash against the
+      // label side and the only per-round edge-width work is an
+      // in-memory scan + map-side partial min. Above the bound (the
+      // 100 TB regime: billions of NODES, not just edges) the hint is
+      // skipped and the loop shuffles as before. Bound overridable per
+      // caller session (testing/ops knob, the graft.loop.* pattern).
+      val nNodes = labels.count()
+      val bcMax = pairs.sparkSession.conf
+        .get("graft.cc.labelBroadcastMaxBytes",
+          CcLabelBroadcastMaxBytes.toString).toLong
+      val hintLabels = 48L * nNodes <= bcMax
+      def hinted(df: DataFrame): DataFrame =
+        if (hintLabels) broadcast(df) else df
       // Min-label propagation only ever DECREASES labels, so the label
       // sum is strictly monotone until fixpoint — one cheap aggregate
       // per round detects convergence without a join. (Zero for the
@@ -505,16 +538,19 @@ object Dedup {
       def labelSum(df: DataFrame): java.math.BigDecimal =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
           .getOrElse(java.math.BigDecimal.ZERO)
-      def propagate(l: DataFrame) =
-        edges.join(l, edges("src") === l("id"))
+      def propagate(l: DataFrame) = {
+        val lh = hinted(l)
+        edges.join(lh, edges("src") === lh("id"))
           .select(col("dst").as("id"), col("label"))
           .union(l)
           .groupBy("id").agg(min("label").as("label"))
+      }
       // Pointer jumping: every label is itself a node id present in the
       // label map (labels start as self-pointers and only ever move to
       // other nodes' mins), so the parent lookup is a plain equi-join.
       def pointerJump(l: DataFrame) = {
-        val parent = l.select(col("id").as("pid"), col("label").as("plabel"))
+        val parent = hinted(
+          l.select(col("id").as("pid"), col("label").as("plabel")))
         l.join(parent, col("label") === col("pid"))
           .select(col("id"), col("plabel").as("label"))
       }
@@ -699,13 +735,35 @@ object Dedup {
     * table. No exact re-verification pass — the estimate IS the point
     * of MinHash at 100 TB.
     */
+  /** Upper bound for hint-broadcasting the |docs|-row SIGNATURE table
+    * into the candidate→signature fetch joins (~560 bytes/row at 64
+    * perms): 256 MB → ~480k docs. Same measured rationale as the
+    * similarity family's vecHint (SizedBitsProbe2, r15): the persisted
+    * signature artifact is stats-blind, so both fetch joins plan
+    * sort-merge and the second one sorts the candidate stream with
+    * sig_a (64 longs) already attached — millions of wide rows through
+    * an external sort at sf5. Under the bound both joins broadcast-
+    * hash; above it (100 TB corpora) the shuffle plan stands.
+    */
+  private val SigBroadcastMaxBytes = 256L << 20
+
   private[operators] def minhashPairsFromSig(sig: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, nOpt: Option[Long] = None): DataFrame = {
     val bandCols: Seq[Column] = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
           .map(i => expr(s"sig[$i]")): _*).as("bucket"))
     }
+    // caller-declared doc count or one eager sizing pass (cheap for
+    // the registered path: the signature artifact is persisted);
+    // bound overridable per session (testing/ops knob)
+    val n = nOpt.getOrElse(sig.count())
+    val bcMax = sig.sparkSession.conf
+      .get("graft.dedup.sigBroadcastMaxBytes",
+        SigBroadcastMaxBytes.toString).toLong
+    def sigHint(df: DataFrame): DataFrame =
+      if (n * (48L + 8L * NumPerms) <= bcMax) broadcast(df)
+      else df
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -713,8 +771,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .join(sigHint(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))),
+        Seq("doc_a"))
+      .join(sigHint(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
+        Seq("doc_b"))
     cand
       .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))
@@ -738,7 +798,12 @@ object Dedup {
           docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
           3, Nil, hashFamily),
         hashFamily),
-      threshold)
+      threshold,
+      // size the signature-fetch hint from the INPUT row count (one
+      // cheap scan of docs — one row per doc, so |docs| == |sig| —
+      // instead of letting the default sizing pass evaluate the whole
+      // derived signature pipeline a second time)
+      nOpt = Some(docs.count()))
 
   /** SimHash signatures: per-token hashes bit-voted into one long.
     * 64 bits for xxhash64; 60 for the md5 family (its shared base hash

@@ -468,7 +468,8 @@ object Similarity {
     // DedupSimilaritySpec.
     "s10_knn_join" -> ((s, dir) =>
       knnJoin(embeddings(s, dir), k = 5,
-        bkOpt = Some(annBuckets(s, dir))).orderBy("qid", "rnk")),
+        bkOpt = Some(annBuckets(s, dir)),
+        nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk")),
 
     // s10's SCALE-SIZED twin (same story as s03c): the kNN self-join
     // over the ann bucket artifact, with bits/table from the integer
@@ -480,7 +481,8 @@ object Similarity {
     // seconds. The oracle derives the same bits from COUNT(*).
     "s10c_knn_join_sized" -> ((s, dir) =>
       knnJoin(embeddings(s, dir), k = 5,
-        bkOpt = Some(sizedAnnBuckets(s, dir))).orderBy("qid", "rnk")),
+        bkOpt = Some(sizedAnnBuckets(s, dir)),
+        nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk")),
 
     // One Lloyd iteration via [[kmeansStep]], seeded with the 8 lowest
     // vec_ids as centroids (deterministic, no RNG). Hash-checked: the
@@ -609,7 +611,8 @@ object Similarity {
       // grows ~quadratically (495,900 rows at sf1) — no plan beats
       // its own output size; the operational scale answer is
       // s06/s07's cluster-blocked SemDeDup.
-      lshNearDupPairs(nearDupBuckets(s, dir), vecs(s, dir))
+      lshNearDupPairs(nearDupBuckets(s, dir), vecs(s, dir),
+        corpusCount(s, dir))
     }),
 
     // s03's SCALE-SIZED twin: identical pair pipeline, but the bucket
@@ -625,7 +628,8 @@ object Similarity {
     // trade); the operational corpus-scale answer remains s06/s07 —
     // this twin demonstrates index SIZING, not a recall upgrade.
     "s03c_embed_neardup_sized" -> ((s, dir) =>
-      lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir)))
+      lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir),
+        corpusCount(s, dir)))
   )
 
   /** CandVolumeProbe hooks: candidate-pair count (post
@@ -654,24 +658,85 @@ object Similarity {
       .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
         col("codes").as("cb")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
-    (cands.count(), lshNearDupPairs(bk, vecs(s, dir)).count())
+    (cands.count(),
+      lshNearDupPairs(bk, vecs(s, dir), corpusCount(s, dir)).count())
   }
   private[graft] def probeBits(s: SparkSession, dir: String, sized: Boolean): Int =
     if (sized) sizedBitsOf(corpusCount(s, dir)) else NearDupBitsPerTable
 
-  /** The shared s03/s03c pair pipeline over a prebuilt LSH bucket
-    * table: narrow bucket self-join → in-row first-collision dedup →
-    * vector fetch for survivors only → exact cosine filter. (See the
-    * s03 registration comment for the measured plan history.)
+  /** SizedBitsProbe hooks (r15): bucket table and pair pipeline at an
+    * EXPLICIT bits/table — the measured basis for the SizedMaxBits
+    * clamp decision. The r14 CandVolumeProbe table showed the sized
+    * rule's sf5 per-vector candidate volume ticking up (273 → 1,026)
+    * because the rule wants 13 bits at n=100k and the clamp stops at
+    * 12; these hooks build the same 24-table scheme at any bits in
+    * [1, 16] over a 16-plane-per-table family (seed 2027, same
+    * distribution; exact plane identity doesn't matter for a volume/
+    * runtime trend probe — the probe compares ITS OWN 12-bit geometry
+    * against 13/14, not against the registered s03c planes).
     */
-  private def lshNearDupPairs(bk: DataFrame, e: DataFrame): DataFrame =
+  private val ProbeFamBits = 16
+  private[graft] def probeBucketsAtBits(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= ProbeFamBits,
+      s"bits must be in [1, $ProbeFamBits], got $bits")
+    val planes = planesOf(planeBits(2027, SizedTables * ProbeFamBits)
+      .grouped(ProbeFamBits).flatMap(_.take(bits)).toSeq)
+    cachedBuckets(s, dir, s"sizedprobe", planes, bits)
+  }
+  private[graft] def probePairsOfBuckets(s: SparkSession, dir: String,
+      bk: DataFrame): DataFrame =
+    lshNearDupPairs(bk, vecs(s, dir), corpusCount(s, dir))
+  /** Candidate pairs only (post first-collision dedup, pre vector
+    * fetch) — SizedBitsProbe2's stage isolation. */
+  private[graft] def probeCandsOfBuckets(bk: DataFrame): DataFrame =
     bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
         col("codes").as("ca"))
       .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
         col("codes").as("cb")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+  /** Upper bound for hint-broadcasting the CORPUS VECTOR side of the
+    * candidate-pair → vector-fetch joins (~560 bytes/row at Dim = 64:
+    * id + array header + 64 doubles): 256 MB → n ≤ ~480k vectors.
+    * Why a hint at all: the vector table sits behind a persisted
+    * artifact (stats-blind to the 10 MB planner default), so both
+    * fetch joins plan sort-merge — and the SECOND one sorts the
+    * candidate stream with the first join's 512-byte vector already
+    * attached. At sf5 that is ~24 GB of wide-row sort for 46M
+    * candidates, a measured spill cliff (SizedBitsProbe2, r15: the
+    * 12-bit pipeline read 33× slower than 13-bit on 1.76× the
+    * candidates). Under the bound both joins broadcast-hash and
+    * candidates stream through unsorted; above it (the 100 TB corpus)
+    * the shape falls back to the shuffle plan.
+    */
+  private val VecSideBroadcastMaxBytes = 256L << 20
+  private def vecHint(n: Long)(df: DataFrame): DataFrame = {
+    // bound overridable per session (testing/ops knob, graft.* pattern)
+    val bcMax = df.sparkSession.conf
+      .get("graft.sim.vecBroadcastMaxBytes",
+        VecSideBroadcastMaxBytes.toString).toLong
+    if (n * (48L + 8L * Dim) <= bcMax) broadcast(df) else df
+  }
+
+  /** The shared s03/s03c pair pipeline over a prebuilt LSH bucket
+    * table: narrow bucket self-join → in-row first-collision dedup →
+    * vector fetch for survivors only → exact cosine filter. (See the
+    * s03 registration comment for the measured plan history; `n` is
+    * the corpus row count, sizing the vector-side hint — [[vecHint]].)
+    */
+  private def lshNearDupPairs(bk: DataFrame, e: DataFrame,
+      n: Long): DataFrame =
+    bk.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+        col("codes").as("ca"))
+      .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+        col("codes").as("cb")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b") && firstCollision("ca", "cb"))
+      .join(vecHint(n)(e.select(col("vec_id").as("id_a"), col("v").as("va"))),
+        Seq("id_a"))
+      .join(vecHint(n)(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), dot("va", "vb").as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
       .orderBy("id_a", "id_b")
@@ -1031,7 +1096,8 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      bkOpt: Option[DataFrame] = None): DataFrame = {
+      bkOpt: Option[DataFrame] = None,
+      nOpt: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // same prebuilt-bucket registration guard as [[annTopK]]
     graft.functions.VectorDot.register(emb.sparkSession)
@@ -1040,6 +1106,11 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val bk = bkOpt.getOrElse(lshBuckets(e, annPlanes, BitsPerTable))
       .select("vec_id", "tbl", "bucket", "codes")
+    // vector-side hint sized by corpus rows — caller-declared (the
+    // registered paths pass the cached ingest count) or one eager
+    // sizing pass, the exactPercentileSelect pattern; see [[vecHint]]
+    // for the measured wide-row-sort cliff the hint removes
+    val n = nOpt.getOrElse(e.count())
     val cand = bk.select(col("vec_id").as("qid"), col("tbl"), col("bucket"),
         col("codes").as("ca"))
       .join(bk.select(col("vec_id").as("cid"), col("tbl"), col("bucket"),
@@ -1048,8 +1119,10 @@ object Similarity {
       .select("qid", "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     cand
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
+      .join(vecHint(n)(e.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        Seq("qid"))
+      .join(vecHint(n)(e.select(col("vec_id").as("cid"), col("v").as("cv"))),
+        Seq("cid"))
       .select(col("qid"), col("cid"), dot("qv", "cv").as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
