@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersect(arity("sorted_intersect", 2, exprs)(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("grouped_prefix_distinct"),
+      new ExpressionInfo(classOf[GroupedPrefixDistinct].getCanonicalName,
+        "grouped_prefix_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GroupedPrefixDistinct(arity("grouped_prefix_distinct", 4, exprs)(0),
+          exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
       FunctionIdentifier("kmv_bottomk"),
       new ExpressionInfo(classOf[KmvBottomK].getCanonicalName, "kmv_bottomk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -727,13 +727,15 @@ object Dedup {
     * joined as a string (plain equality — no second hash, and the exact
     * value `string_agg(m, ',' ORDER BY i)` yields in DuckDB).
     *
-    * Narrow-first (same layout as s03): the band self-join and the pair
-    * dedup move only (band, bucket, doc_id) rows — carrying the 64-long
-    * signature through them would shuffle each doc's sig once per band
-    * (16×) and twice more through the dedup. Signatures are fetched for
-    * the few SURVIVING pairs by two equi-joins against the signature
-    * table. No exact re-verification pass — the estimate IS the point
-    * of MinHash at 100 TB.
+    * Narrow-first (same layout as s03): the band self-join moves only
+    * (band, bucket, doc_id) rows — carrying the 64-long signature
+    * through it would shuffle each doc's sig once per band (16×).
+    * Signatures are attached by two equi-joins against the signature
+    * table; pair dedup is the s03-style FIRST-COLLISION in-row check
+    * under the signature broadcast bound (zero shuffles end to end)
+    * and a pre-fetch `dropDuplicates` above it. No exact
+    * re-verification pass — the estimate IS the point of MinHash at
+    * 100 TB.
     */
   /** Upper bound for hint-broadcasting the |docs|-row SIGNATURE table
     * into the candidate→signature fetch joins (~560 bytes/row at 64
@@ -766,16 +768,37 @@ object Dedup {
       else df
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // Under the broadcast bound the pair dedup is FIRST-COLLISION
+    // (the s03 pattern, grouped): keep a pair only in the first band
+    // where both docs' bucket slices agree — a codegen'd in-row check
+    // on the signatures the broadcast fetch joins attach, so the
+    // whole pipeline is ZERO-shuffle (band self-join output streams
+    // through two broadcast-hash joins + a native filter; the
+    // duplicate candidate occurrences cost short-circuited long
+    // comparisons, not a 100M-row distinct exchange — D04Probe2).
+    // Bucket-string equality ⟺ slice equality (comma-joined decimal
+    // longs are injective), so the surviving pair SET is exactly
+    // dropDuplicates'. Above the bound the fetch joins are sort-merge
+    // and carrying duplicates through them would out-cost the
+    // distinct, so the dedup-first shuffle plan stands.
+    val bcast = n * (48L + 8L * NumPerms) <= bcMax
+    graft.functions.GroupedPrefixDistinct.register(sig.sparkSession)
+    val candPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .join(sigHint(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))),
-        Seq("doc_a"))
-      .join(sigHint(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
-        Seq("doc_b"))
-    cand
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.band").as("band"))
+    val cand =
+      (if (bcast) candPairs else candPairs.dropDuplicates("doc_a", "doc_b"))
+        .join(sigHint(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))),
+          Seq("doc_a"))
+        .join(sigHint(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
+          Seq("doc_b"))
+    val deduped =
+      if (bcast) cand.filter(expr(
+        s"grouped_prefix_distinct(sig_a, sig_b, $RowsPerBand, band)"))
+      else cand
+    deduped
       .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z) / CAST($NumPerms AS DOUBLE)"))
       .filter(col("est_jaccard") >= threshold)
@@ -871,13 +894,29 @@ object Dedup {
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(s"transform(sequence(0, 3), k -> (simhash >> (k * $bandBits)) & $mask)")))
       .toDF("doc_id", "simhash", "band", "key")
+    // Pair dedup is FIRST-COLLISION, in-row: a pair generated at band
+    // t survives iff no band before t also matched — and both docs'
+    // whole simhashes are ALREADY in the joined row (8 bytes each, no
+    // fetch join, no broadcast bound), so "band j matched" is two
+    // shifts and a mask. Replaces `.distinct()` (a full shuffle of
+    // every candidate occurrence; same-pair rows live in different
+    // (band, key) partitions, so map-side partials never collapse
+    // them) with codegen'd bit math — the d04/s03 pattern at its
+    // degenerate easiest. Unconditional: correct at every scale.
+    val sa = col("a.simhash")
+    val sb = col("b.simhash")
+    def key(s: Column, j: Int): Column =
+      shiftright(s, j * bandBits).bitwiseAND(lit(mask))
+    val firstCollision = (0 until 3).map { j =>
+      col("a.band") <= j || key(sa, j) =!= key(sb, j)
+    }.reduce(_ && _)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(firstCollision)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash")))
           .cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -183,21 +183,29 @@ object Multimodal {
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         posexplode(expr("array(b0, b1, b2, b3)")))
       .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "key")
+    // Pair dedup is FIRST-COLLISION, in-row (the d05 pattern — both
+    // docs' four band keys are ALREADY in the joined row): a pair
+    // generated at band t survives iff no earlier band also matched,
+    // so each colliding pair exits the join's codegen stage exactly
+    // once and there is NO distinct exchange at all. The hamming gate
+    // still runs inside the same stage — on low-entropy corpora (flat
+    // grids → one hot bucket per band) the band join emits ~n² rows
+    // and both predicates must kill them before any shuffle. Same
+    // result set: hamming is functionally dependent on the pair, and
+    // every surviving pair appears in exactly one band's row.
+    val bandKeys = Seq("b0", "b1", "b2", "b3")
+    val firstCollision = (0 until 3).map { j =>
+      col("a.band") <= j || col(s"a.${bandKeys(j)}") =!= col(s"b.${bandKeys(j)}")
+    }.reduce(_ && _)
     withBands.as("a").join(withBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(firstCollision)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("""CAST(bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
                    + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)
                 AS INT)""").as("hamming"))
-      // verify BEFORE the dedup shuffle: on low-entropy corpora (flat
-      // grids → one hot bucket per band) the band join emits ~n² rows,
-      // and the hamming gate must kill them inside the join's codegen
-      // stage rather than feed them all through the distinct's
-      // exchange. Same result set: hamming is functionally dependent
-      // on the pair.
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Shannon byte entropy of a binary column — the standard

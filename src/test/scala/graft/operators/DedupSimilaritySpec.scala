@@ -527,4 +527,55 @@ class DedupSimilaritySpec extends SparkSuite {
       .dropDuplicates("id_a", "id_b").count()
     assert(once.length == distinctPairs)
   }
+
+  test("grouped_prefix_distinct: semantics, HOF equivalence, and d04 path parity") {
+    import spark.implicits._
+    graft.functions.GroupedPrefixDistinct.register(spark)
+    // groups of 2: group 0 = (1,2)/(1,9) differs at index 1;
+    // group 1 = (3,4)/(3,4) fully equal
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L))).toDF("a", "b")
+    def gpd(g: Int, n: Int): Boolean =
+      df.select(expr(s"grouped_prefix_distinct(a, b, $g, $n)")).as[Boolean].head()
+    assert(gpd(2, 0), "n=0 must be vacuously true")
+    assert(gpd(2, 1), "group 0 differs at its second element")
+    assert(!gpd(2, 2), "group 1 is fully equal")
+    assert(!gpd(1, 1), "with g=1, group 0 is the equal scalar 1=1")
+    assert(gpd(4, 1), "one whole-array group differs at index 1")
+    // out-of-range and non-positive group size fail loudly (the
+    // function is exposed cluster-wide; getLong is unchecked)
+    val oob = intercept[Exception](gpd(2, 3))
+    assert(oob.getMessage != null &&
+      oob.getMessage.contains("grouped_prefix_distinct"), s"got: ${oob.getMessage}")
+    val badG = intercept[Exception](gpd(0, 1))
+    assert(badG.getMessage != null &&
+      badG.getMessage.contains("positive"), s"got: ${badG.getMessage}")
+    // equivalence with the HOF spelling on seeded pseudo-random sigs
+    // (small value range forces plenty of equal groups)
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(300)((
+      Array.fill(12)(rnd.nextInt(3).toLong), Array.fill(12)(rnd.nextInt(3).toLong),
+      rnd.nextInt(5)))
+    val rdf = rows.toDF("a", "b", "n")
+    val diff = rdf.select(
+        expr("grouped_prefix_distinct(a, b, 3, n)").as("native"),
+        expr("""n = 0 OR !exists(sequence(0, n - 1),
+                 j -> forall(sequence(j * 3, j * 3 + 2), k -> a[k] = b[k]))""").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"native and HOF grouped prefix checks disagree on $diff rows")
+    // d04 path parity: the first-collision (broadcast) plan and the
+    // dropDuplicates (above-bound shuffle) plan yield the identical
+    // pair relation — est_jaccard included
+    def d04Rows(maxBytes: String): Set[(Long, Long, Double)] = {
+      spark.conf.set("graft.dedup.sigBroadcastMaxBytes", maxBytes)
+      try SparkEntry.queries("d04_dedup_minhash")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("graft.dedup.sigBroadcastMaxBytes")
+    }
+    val viaFirstCollision = d04Rows((256L << 20).toString)
+    val viaDistinct = d04Rows("0")
+    assert(viaFirstCollision == viaDistinct,
+      s"d04 dedup paths diverge: only-bcast=${viaFirstCollision -- viaDistinct} " +
+        s"only-shuffle=${viaDistinct -- viaFirstCollision}")
+    assert(viaFirstCollision.nonEmpty)
+  }
 }
