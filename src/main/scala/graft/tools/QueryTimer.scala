@@ -30,7 +30,15 @@ object QueryTimer {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"QTIMER $name%-36s cold=${times.head}%8.2fs steady=${times.tail.min}%8.2fs")
-    }
+      // Reap the finished query's dead state before the next one runs:
+      // Spark's ContextCleaner only releases unreferenced broadcasts /
+      // shuffle files / accumulators AFTER a driver GC, and a 96g heap
+      // left alone may not GC for many queries — the backlog then
+      // taxes later queries (measured: q76 steady 5.0 s clean vs 84 s
+      // run after d04 in the same JVM). Same hygiene as Bench's
+      // inter-query reap.
+      System.gc()
+      Thread.sleep(2000)
     spark.stop()
   }
 }

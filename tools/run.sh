@@ -14,6 +14,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS "-Xmx${SPARK_DRIVER_MEM:-48g}" \
+# -Xms pinned to -Xmx: an un-pinned heap lets G1 uncommit regions
+# after full GCs (including the bench harness's inter-query reap) and
+# re-fault them on the next heavy query — measured as 30-50% SYSTEM
+# CPU (kernel page faults) and 2-4x erratic graph-family times at sf1.
+exec java $OPENS "-Xms${SPARK_DRIVER_MEM:-48g}" "-Xmx${SPARK_DRIVER_MEM:-48g}" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
