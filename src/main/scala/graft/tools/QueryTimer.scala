@@ -39,6 +39,7 @@ object QueryTimer {
       // inter-query reap.
       System.gc()
       Thread.sleep(2000)
+    }
     spark.stop()
   }
 }
