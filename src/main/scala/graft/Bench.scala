@@ -80,22 +80,24 @@ object Bench {
     // +Inf and surface as -1 if no run of a query ever succeeded.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Inter-query reap, OUTSIDE the timed window: Spark's
-        // ContextCleaner releases unreferenced broadcasts / shuffle
-        // files / accumulators only AFTER a driver GC, and a large
-        // bench heap left alone may not GC for many queries — the
-        // dead backlog then taxes LATER queries' measurements with
-        // eviction/GC work that belongs to an earlier query
-        // (measured at sf1: q76 steady 5.0 s clean vs 84 s run after
-        // d04 in one unreaped JVM, 7.4 s with the reap). Each query
-        // is charged its own execution, not its predecessors' trash.
-        System.gc()
-        Thread.sleep(800)
-        dt
-      } catch { case _: Throwable => Double.PositiveInfinity }
+      val dt =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.PositiveInfinity }
+      // Inter-query reap, OUTSIDE the timed window AND outside the
+      // failure-scoring try (an InterruptedException during the sleep
+      // must not mark a successful run as failed): Spark's
+      // ContextCleaner releases unreferenced broadcasts / shuffle
+      // files / accumulators only AFTER a driver GC, and a large
+      // bench heap left alone may not GC for many queries — the
+      // dead backlog then taxes LATER queries' measurements with
+      // eviction/GC work that belongs to an earlier query
+      // (measured at sf1: q76 steady 5.0 s clean vs 84 s run after
+      // d04 in one unreaped JVM, 7.4 s with the reap). Each query
+      // is charged its own execution, not its predecessors' trash.
+      try { System.gc(); Thread.sleep(800) } catch { case _: InterruptedException => () }
+      dt
     }
     // One untimed interleaved warm pass over the whole suite before any
     // timed run: janino codegen + classloading for each query's plan

@@ -18,6 +18,15 @@ done
 # after full GCs (including the bench harness's inter-query reap) and
 # re-fault them on the next heavy query — measured as 30-50% SYSTEM
 # CPU (kernel page faults) and 2-4x erratic graph-family times at sf1.
-exec java $OPENS "-Xms${SPARK_DRIVER_MEM:-48g}" "-Xmx${SPARK_DRIVER_MEM:-48g}" -XX:+AlwaysPreTouch \
+# The pin + AlwaysPreTouch commits the whole heap at JVM launch, so it
+# only applies when SPARK_DRIVER_MEM is explicitly set (bench runs);
+# otherwise a lazy-commit 48g -Xmx keeps casual tool launches cheap on
+# boxes without 48 GB free.
+if [ -n "${SPARK_DRIVER_MEM:-}" ]; then
+  HEAP="-Xms${SPARK_DRIVER_MEM} -Xmx${SPARK_DRIVER_MEM} -XX:+AlwaysPreTouch"
+else
+  HEAP="-Xmx48g"
+fi
+exec java $OPENS $HEAP \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
