@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // -Xms pinned to -Xmx: G1 uncommits heap regions after full GCs
+  // (including the bench harness's inter-query reap) and the next
+  // heavy query re-faults them — measured as 30-70% system CPU and
+  // 2-4x erratic graph-family times (SCALE.md, capture-heap
+  // protocol). 8g is small enough to commit eagerly on any CI box.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
