@@ -64,7 +64,7 @@ object SparkEntry {
     * stays the default at gate scales.
     */
   def oracleExt: Map[String, Map[String, String]] =
-    operators.Similarity.oracleExtensions
+    operators.Similarity.oracleExtensions ++ operators.Dedup.oracleExtensions
 
   /** Raw (uncertified) production paths for every CERTIFIED query —
     * what the operator costs without its in-query certification work.

@@ -1049,6 +1049,52 @@ object Dedup {
   private def minhashSeedValues: String = minhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
 
+  /** The d06/d08/d10 oracles' shared NON-recursive prefix: the n-gram
+    * Jaccard ≥ 0.5 pair relation, aliased to the (id_a, id_b) contract
+    * of local_verify.py's union-find extensions. The recursive-CTE
+    * transitive closure the pure-SQL forms build on top of this is
+    * Σc² rows per clique — fine at sf0.01, but at sf1's replica-clique
+    * density ONE of those closures ground DuckDB for 100+ minutes and
+    * ~50 GB of temp spill before being killed (r15 capture note in
+    * SCALE.md). The extension keeps DuckDB on the pure-SQL pair
+    * relation and runs the bounded O(E α(V)) union-find verifier-side,
+    * compared with the same exact column/row hash — the s07b pattern.
+    */
+  private val jaccardGoodPairsSql: String =
+    """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens)-2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+           FROM docs WHERE len(tokens) >= 3),
+         counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a AS id_a, doc_b AS id_b FROM prs
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
+
+  def oracleExtensions: Map[String, Map[String, String]] = Map(
+    "d06_dedup_clusters" -> Map(
+      "algo" -> "component_labels",
+      "pairs_sql" -> jaccardGoodPairsSql,
+      "id_name" -> "doc_id",
+      "label_name" -> "cluster_id"),
+    "d08_dedup_survivors" -> Map(
+      "algo" -> "keep_min_component",
+      "pairs_sql" -> jaccardGoodPairsSql,
+      "corpus_sql" -> "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+    "d10_dedup_best_rep" -> Map(
+      "algo" -> "best_rep_per_component",
+      "pairs_sql" -> jaccardGoodPairsSql,
+      "corpus_sql" -> "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "rank_desc_col" -> "n_chars"))
+
   def oracles: Map[String, String] = Map(
     "d04_dedup_minhash" ->
       s"""WITH docs AS (

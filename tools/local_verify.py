@@ -52,37 +52,71 @@ if os.path.exists(f"{out}/SUBSET_MARKER"):
     print("!! results below may include STALE dirs from earlier runs\n")
 
 
+def _union_find(pairs):
+    """Exact connected components over a DuckDB-derived (id_a, id_b)
+    pair relation: union-find, O(E α(V)) time / O(V) memory. Union by
+    min id keeps every root == its component's minimum. Replaces the
+    recursive-CTE transitive closure whose intermediate is Σc² rows per
+    clique (at sf1's replica-clique density one such closure ground for
+    100+ min / ~50 GB of temp spill before being killed)."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return parent, find
+
+
 def run_extension(spec):
     """Execute an oracle extension: heavy relations via DuckDB SQL, the
     bounded algorithmic step here. Returns the expected DataFrame."""
+    import pandas as pd
     algo = spec["algo"]
     if algo == "keep_min_component":
-        # Exact connected components over the DuckDB-derived pair
-        # relation (union-find, O(E α(V)) time / O(V) memory), then the
-        # keep-rule: drop every paired vertex that is not its
-        # component's minimum id. Replaces the recursive-CTE transitive
-        # closure whose intermediate is Σc³ over cliques.
-        pairs = con.sql(spec["pairs_sql"]).df()
+        # Keep-rule: drop every paired vertex that is not its
+        # component's minimum id.
+        parent, find = _union_find(con.sql(spec["pairs_sql"]).df())
         corpus = con.sql(spec["corpus_sql"]).df()
-        parent = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min id keeps find() roots == component minima
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
         dropped = {v for v in parent if find(v) != v}
         id_col = corpus.columns[0]
         return corpus[~corpus[id_col].isin(dropped)].reset_index(drop=True)
+    if algo == "component_labels":
+        # One row per PAIRED vertex: (id, component-min label) — the
+        # d06 cluster table shape.
+        parent, find = _union_find(con.sql(spec["pairs_sql"]).df())
+        verts = sorted(set(parent) | {find(v) for v in parent})
+        return pd.DataFrame({spec.get("id_name", "doc_id"): verts,
+                             spec.get("label_name", "cluster_id"):
+                                 [find(v) for v in verts]})
+    if algo == "best_rep_per_component":
+        # Keep-rule: within each component keep the row ranked first by
+        # (rank_desc_col DESC, id ASC); unpaired rows are all kept — the
+        # d10 best-representative shape.
+        parent, find = _union_find(con.sql(spec["pairs_sql"]).df())
+        corpus = con.sql(spec["corpus_sql"]).df()
+        id_col, rank_col = corpus.columns[0], spec["rank_desc_col"]
+        comp = {v: find(v) for v in parent} | {find(v): find(v) for v in parent}
+        paired = corpus[corpus[id_col].isin(comp)]
+        best = {}
+        for vid, rank in zip(paired[id_col].astype(int),
+                             paired[rank_col].astype(int)):
+            c = comp[vid]
+            # max by (rank, -id): n_chars DESC, doc_id ASC tiebreak
+            if c not in best or (rank, -vid) > (best[c][0], -best[c][1]):
+                best[c] = (rank, vid)
+        keep_paired = {vid for _, vid in best.values()}
+        drop = {v for v in comp if v not in keep_paired}
+        return corpus[~corpus[id_col].isin(drop)].reset_index(drop=True)
     raise ValueError(f"unknown oracle extension algo: {algo}")
 
 
