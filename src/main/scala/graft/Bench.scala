@@ -45,10 +45,12 @@ object Bench {
     val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Skip-list for scale captures: a query whose parameters are
-    // gate-pinned can exhaust LOCAL disk at a big derived sf (s03/s10's
-    // pinned-bits LSH at sf5 — the r14 finding their sized twins fix)
-    // and, worse, poison every LATER query's run with
-    // no-space-left-on-device failures. Skipping is loud: the skipped
+    // gate-pinned can exhaust LOCAL disk at a big derived sf (the r14
+    // finding on the then-pinned s03/s10 LSH at sf5) and, worse,
+    // poison every LATER query's run with no-space-left-on-device
+    // failures. Since r16 no registered query needs it — s03/s10 are
+    // re-registered on the scale-sized rule — but the mechanism stays
+    // for future derived-scale triage. Skipping is loud: the skipped
     // names are recorded in the output JSON.
     val skipNames = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -109,9 +111,39 @@ object Bench {
     // ±30% (JIT, GC, page cache), which would swamp round-over-round
     // plan-cost deltas.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val runs = (1 to nRuns).map { _ =>
-      suite.map { case (name, fn) => name -> runOnce(name, fn) }
+    val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    (1 to nRuns).foreach { _ =>
+      runsBuf += suite.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
     }
+    // Run-level sanity (r15 VERDICT item 3): BENCH_r15_sf1_full shipped
+    // a POISONED run — run 2 uniformly ~2x slower across ALL queries,
+    // trivial ones included (q18 0.72 -> 8.52 s), so total_median was
+    // garbage while best-of stayed clean. The whole-run slow mode is
+    // uniform by definition, so it's detectable from run TOTALS alone:
+    // a run whose total exceeds 1.5x the fastest run's total is flagged,
+    // up to 2 replacement runs are captured, and flagged runs are
+    // excluded from the median (best-of is unaffected — a slow run
+    // never wins a min). Flagging is loud: indices + totals go into
+    // bench_full.json's poisoned_runs, and the count rides the median
+    // line, so a capture can't embed a poisoned median silently again.
+    def runTotal(r: Map[String, Double]): Double =
+      r.values.filter(v => !v.isInfinity).sum
+    val PoisonRatio = 1.5
+    def poisonedIdx: Seq[Int] = {
+      val ts = runsBuf.map(runTotal)
+      val tmin = ts.min
+      ts.zipWithIndex.collect { case (t, i) if t > tmin * PoisonRatio => i }.toSeq
+    }
+    if (nRuns >= 2) {
+      var retries = 0
+      while (poisonedIdx.nonEmpty && retries < 2) {
+        retries += 1
+        runsBuf += suite.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      }
+    }
+    val poisoned: Set[Int] = if (nRuns >= 2) poisonedIdx.toSet else Set.empty
+    val runs = runsBuf.toSeq
+    val cleanRuns = runs.zipWithIndex.collect { case (r, i) if !poisoned(i) => r }
     // Report best-of-N (the plan-cost signal) AND the trimmed median:
     // with N ≥ 3 the single worst run is dropped before taking the
     // median, so one GC/compaction stall can't dominate the reported
@@ -126,7 +158,8 @@ object Bench {
     val results = runs.head.keys.map { name =>
       val times = runs.map(_(name))
       val best = times.min
-      val med = median(times)
+      // median over CLEAN runs only (poisoned runs stay in per_run)
+      val med = median(cleanRuns.map(_(name)))
       name -> (if (best.isInfinity) -1.0 else best,
                if (med.isInfinity) -1.0 else med)
     }.toMap
@@ -189,7 +222,7 @@ object Bench {
           (if (onlyMatched) s""","isolated_matched_subset":true""" else "")
       case None => ""
     }
-    val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":$nRuns}"""
+    val medianLine = s"""{"metric":"total_median","value":${fmt(3)(totalMed)},"unit":"sec","queries_median":$meds,"runs":${runs.length},"poisoned_runs":${poisoned.size}}"""
     def assemble(dec: Int): String =
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec"$matchedExtra,"queries":${qMap(dec)},"sf":"$sfDir","runs":$nRuns}"""
     // At 130+ queries the full per-query map no longer fits the
@@ -232,7 +265,12 @@ object Bench {
         ",\"overhead\":" + fmt(3)(over) + "}"
     }.mkString("{", ",", "}")
     val skipJson = skipNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"cert_overhead":$certJson,"skipped":$skipJson,"sf":"$sfDir","runs":$nRuns}"""
+    val poisonJson = {
+      val totals = runs.map(r => fmt(2)(runTotal(r))).mkString("[", ",", "]")
+      val idx = poisoned.toSeq.sorted.mkString("[", ",", "]")
+      s""""poisoned_runs":$idx,"run_totals":$totals"""
+    }
+    val full = s"""{"best":$qs,"median":$meds,"per_run":$perRun,"total":$total,"total_median":$totalMed$matchedExtra,"cert_overhead":$certJson,"skipped":$skipJson,$poisonJson,"sf":"$sfDir","runs":${runs.length}}"""
     try {
       val p = java.nio.file.Paths.get(
         if (onlyMatched) "target/bench_full_matched.json" else "target/bench_full.json")

@@ -76,7 +76,8 @@ object Similarity {
     planeBits(2026, NearDupTables * NearDupBitsPerTable)
   private val nearDupPlanes: Seq[Seq[Double]] = planesOf(nearDupPlaneBits)
 
-  // s03c: SCALE-SIZED blocking (r13 VERDICT item 4) — the same
+  // SCALE-SIZED blocking (r13 VERDICT item 4; the registered s03
+  // since r16, formerly the twin s03c) — the same
   // 24-table sign-LSH scheme as s03, but bits/table follows the
   // documented BUILD-TIME RULE instead of the gate-pinned 4: the
   // smallest b in [4, 12] with 2^b · B ≥ n (B = 16 target bucket
@@ -94,8 +95,9 @@ object Similarity {
   private val SizedMaxBits = 12
   private val SizedMinBits = 4
   // the ann family's sized floor stays at its gate-pinned 8 bits so
-  // the small fixtures keep the pinned geometry (s10c ≡ s10's shape
-  // at sf ≤ 0.1, then buckets grow with the corpus)
+  // the small fixtures keep the pinned geometry (the sized s10 keeps
+  // the old pinned shape at sf ≤ 0.1, then buckets grow with the
+  // corpus)
   private val SizedMinBitsAnn = 8
   private val SizedBucketTarget = 16L
   private val sizedPlaneBits: Seq[Long] =
@@ -462,24 +464,22 @@ object Similarity {
     // recall vs the all-pairs ground truth is asserted in
     // DedupSimilaritySpec (98.9% at sf0.01 with these parameters).
     // Self-kNN join via [[knnJoin]]: every vector's top-5 neighbors —
-    // the kNN graph. Same shared plane family as s02, so the DuckDB
-    // oracle derives identical buckets and the result is hash-checked
-    // end to end; recall vs the brute-force graph asserted in
-    // DedupSimilaritySpec.
+    // the kNN graph. RE-REGISTERED on the scale-sized index (r15
+    // VERDICT item 1, formerly the separate twin s10c): bits/table
+    // follows the integer build-time rule — smallest b in [8,12] with
+    // 2^b·16 ≥ n; the floor 8 IS the old pinned geometry, so the gate
+    // fixtures keep the same bucket width — instead of a pinned 8.
+    // Measured motivation: at sf5 (100k vectors) pinned 8-bit buckets
+    // hold ~390 vectors each → ~0.6B candidate rows, which exhausted
+    // local DISK in the r14 capture and forced an sf5 skip-list; the
+    // sized index (12 bits → ~24/bucket) completes in seconds
+    // (SCALE.md, CandVolumeProbe). The DuckDB oracle derives the SAME
+    // bits from COUNT(*) with the identical integer rule, so the
+    // graph stays hash-checked at every scale even as its parameters
+    // change with n. The formerly-registered pinned form survives as
+    // the gate-only fixture [[pinnedKnnJoin]] (exactness/recall
+    // asserted in DedupSimilaritySpec; never run at derived scales).
     "s10_knn_join" -> ((s, dir) =>
-      knnJoin(embeddings(s, dir), k = 5,
-        bkOpt = Some(annBuckets(s, dir)),
-        nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk")),
-
-    // s10's SCALE-SIZED twin (same story as s03c): the kNN self-join
-    // over the ann bucket artifact, with bits/table from the integer
-    // build-time rule (floor at the gate-pinned 8, so the small
-    // fixtures keep s10's geometry). Motivated by measurement: at sf5
-    // (100k vectors) s10's pinned 8-bit buckets hold ~390 vectors each
-    // → ~0.6B candidate rows, which exhausted local DISK in the r14
-    // capture; the sized index (12 bits → ~24/bucket) completes in
-    // seconds. The oracle derives the same bits from COUNT(*).
-    "s10c_knn_join_sized" -> ((s, dir) =>
       knnJoin(embeddings(s, dir), k = 5,
         bkOpt = Some(sizedAnnBuckets(s, dir)),
         nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk")),
@@ -605,32 +605,48 @@ object Similarity {
       // occurrence and measured WORSE, 95 s; the collision check
       // dedups exactly, in codegen, before anything is fetched or
       // shuffled). Vectors then attach to the ~|distinct colliding
-      // pairs| survivors, the cosine filter runs per pair, done. The
+      // pairs| survivors, the cosine filter runs per pair, done.
+      //
+      // RE-REGISTERED on the scale-sized bucket artifact (r15 VERDICT
+      // item 1, formerly the separate twin s03c): bits/table follows
+      // the build-time rule — smallest b in [4,12] with 2^b·16 ≥ n
+      // (see the sizedPlaneBits note) — instead of the gate-pinned 4
+      // whose bucket occupancy grows linearly in n (quadratic
+      // candidate pairs: ~7.9B at 100k vectors, measured to exhaust a
+      // 252 GB disk at sf5 — SCALE.md, CandVolumeProbe — and the
+      // reason the pinned form needed an sf5 skip-list). The oracle
+      // derives the same b from COUNT(*) with the same integer rule,
+      // so the query stays hash-exact at EVERY scale even as its
+      // parameters change with n. Recall at the grazing 0.35
+      // threshold drops with tighter buckets (the documented
+      // bits-vs-recall trade, measured in DedupSimilaritySpec); the
+      // operational corpus-scale answer for near-dup REMOVAL remains
+      // s06/s07's cluster-blocked SemDeDup. The formerly-registered
+      // pinned form survives as the gate-only fixture
+      // [[pinnedNearDupPairs]] (never run at derived scales). The
       // remaining growth is output-bound: at a 0.35 threshold over a
       // 10×-replicated corpus the qualifying pair relation ITSELF
       // grows ~quadratically (495,900 rows at sf1) — no plan beats
-      // its own output size; the operational scale answer is
-      // s06/s07's cluster-blocked SemDeDup.
-      lshNearDupPairs(nearDupBuckets(s, dir), vecs(s, dir),
-        corpusCount(s, dir))
-    }),
-
-    // s03's SCALE-SIZED twin: identical pair pipeline, but the bucket
-    // artifact's bits/table follows the build-time rule (smallest b
-    // in [4,12] with 2^b·16 ≥ n — see the sizedPlaneBits note) the
-    // s03 scaladoc only documented. The oracle derives the same b
-    // from COUNT(*) with the same integer rule, so the query stays
-    // hash-exact at EVERY scale even as its parameters change with n.
-    // The payoff is measured (CandVolumeProbe, SCALE.md): candidate
-    // volume per vector flattens where s03's gate-pinned 4-bit
-    // buckets grow linearly in n. Recall at a grazing 0.35 threshold
-    // drops with tighter buckets (the documented bits-vs-recall
-    // trade); the operational corpus-scale answer remains s06/s07 —
-    // this twin demonstrates index SIZING, not a recall upgrade.
-    "s03c_embed_neardup_sized" -> ((s, dir) =>
+      // its own output size.
       lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir),
-        corpusCount(s, dir)))
+        corpusCount(s, dir))
+    })
   )
+
+  /** Gate-only fixtures: the formerly-registered pinned-parameter
+    * s03/s10 (24×4-bit seed-2026 / 8×8-bit seed-7 plane families).
+    * Kept for DedupSimilaritySpec's recall/exactness assertions — at
+    * small fixtures the pinned geometry is the recall-leaning
+    * reference point — but deliberately OUTSIDE [[queries]]: pinned
+    * bucket occupancy grows linearly in n, so candidate pairs grow
+    * quadratically (7.9B at 100k vectors — SCALE.md, CandVolumeProbe),
+    * a scale-killer no registered query is allowed to carry.
+    */
+  private[graft] def pinnedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    lshNearDupPairs(nearDupBuckets(s, dir), vecs(s, dir), corpusCount(s, dir))
+  private[graft] def pinnedKnnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoin(embeddings(s, dir), k = 5, bkOpt = Some(annBuckets(s, dir)),
+      nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk")
 
   /** CandVolumeProbe hooks: candidate-pair count (post
     * first-collision dedup, pre-cosine) and qualifying-pair count for
@@ -1911,41 +1927,12 @@ object Similarity {
     },
 
     // s02's bucket derivation with every vector as a probe (the self-
-    // join), k=5.
+    // join), k=5 — over the SIZED index: bits/table derived from
+    // COUNT(*) by the identical integer rule the Spark side uses
+    // (floor 8 = the old pinned geometry; each table owns 12
+    // consecutive plane ids, slots ≥ bits filtered before bucket
+    // assembly — the s03 pattern).
     "s10_knn_join" -> {
-      val vals = annPlaneBits.zipWithIndex
-        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
-      s"""WITH planes(pid, bits) AS (VALUES $vals),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         pv AS (SELECT pid, list_transform(generate_series(0, 63),
-                  d -> CASE WHEN ((bits >> d) & 1) = 1
-                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
-                FROM planes),
-         sig AS (SELECT e.vec_id, pv.pid // $BitsPerTable AS tbl,
-                        (pv.pid % $BitsPerTable) AS slot,
-                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
-                 FROM e CROSS JOIN pv),
-         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
-                  FROM sig GROUP BY vec_id, tbl),
-         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-                  FROM buck q JOIN buck c
-                    ON c.tbl = q.tbl AND c.bucket = q.bucket
-                   AND c.vec_id != q.vec_id),
-         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
-                    FROM cand JOIN e eq ON eq.vec_id = qid
-                              JOIN e ec ON ec.vec_id = cid),
-         r AS (SELECT qid, cid, score,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
-               FROM scored)
-         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
-         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
-    },
-
-    // s10c: the s10 blocking reproduction with bits/table derived from
-    // COUNT(*) by the identical integer rule (floor 8 = the gate-pinned
-    // geometry; each table owns 12 consecutive plane ids, slots ≥ bits
-    // filtered before bucket assembly — the s03c pattern).
-    "s10c_knn_join_sized" -> {
       val vals = sizedAnnPlaneBits.zipWithIndex
         .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
       s"""WITH planes(pid, pb) AS (VALUES $vals),
@@ -2125,38 +2112,14 @@ object Similarity {
          SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 
+    // s03: the blocking reproduction over the SIZED artifact, with
+    // bits/table derived from COUNT(*) by the IDENTICAL integer rule
+    // the Spark side uses (smallest b in [4,12] with (1<<b)·16 ≥ n —
+    // no log/ceil floating point, so no cross-engine ULP risk at rule
+    // boundaries). Each table owns 12 consecutive plane ids; slots
+    // ≥ b are filtered out before bucket assembly, mirroring the
+    // Spark side's plane-list truncation.
     "s03_embed_neardup" -> {
-      val vals = nearDupPlaneBits.zipWithIndex
-        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
-      s"""WITH planes(pid, bits) AS (VALUES $vals),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         pv AS (SELECT pid, list_transform(generate_series(0, 63),
-                  d -> CASE WHEN ((bits >> d) & 1) = 1
-                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
-                FROM planes),
-         sig AS (SELECT e.vec_id, pv.pid // $NearDupBitsPerTable AS tbl,
-                        (pv.pid % $NearDupBitsPerTable) AS slot,
-                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
-                 FROM e CROSS JOIN pv),
-         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
-                  FROM sig GROUP BY vec_id, tbl),
-         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                  FROM buck a JOIN buck b
-                    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         SELECT c.id_a, c.id_b, list_dot_product(ea.v, eb.v) AS cosine
-         FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
-         WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
-         ORDER BY id_a, id_b"""
-    },
-
-    // s03c: the same blocking reproduction, with bits/table derived
-    // from COUNT(*) by the IDENTICAL integer rule the Spark side uses
-    // (smallest b in [4,12] with (1<<b)·16 ≥ n — no log/ceil floating
-    // point, so no cross-engine ULP risk at rule boundaries). Each
-    // table owns 12 consecutive plane ids; slots ≥ b are filtered out
-    // before bucket assembly, mirroring the Spark side's plane-list
-    // truncation.
-    "s03c_embed_neardup_sized" -> {
       val vals = sizedPlaneBits.zipWithIndex
         .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
       s"""WITH planes(pid, pb) AS (VALUES $vals),

@@ -12,10 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.tools.ProbeSession.fixedCores(16, logLevel = "ERROR")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val e = graft.Tables.embeddings(spark, dir)

@@ -20,12 +20,7 @@ import org.apache.spark.sql.functions._
 object CandVolumeProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: CandVolumeProbe <sfDir> [<sfDir> ...]")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
     // join-materialization guard: above this pre-dedup volume the
     // distinct-pair/qualifying counts are not computed (the join's
     // shuffle is exactly what exhausts local disk — the finding)

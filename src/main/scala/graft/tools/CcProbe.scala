@@ -30,12 +30,7 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 100000L
     val c = if (args.length > 1) args(1).toInt else 250
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
 
     // clique graph: node ids are bit-mixed so neither cliques nor the
     // min labels follow data order; every pair within a clique is an

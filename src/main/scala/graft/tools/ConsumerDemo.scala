@@ -16,11 +16,7 @@ object ConsumerDemo {
   val deadLettered = new java.util.concurrent.atomic.AtomicLong(0)
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
 
     // Stage: events table → Kinesis record envelope, 4 shards.
     val stage = java.nio.file.Files.createTempDirectory("replay").toString

@@ -4,11 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 object DeconStreamProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession.fixedCores(4)
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val bench = docs.filter(col("doc_id") % 10 === 0)

@@ -2,11 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(8, logLevel = "ERROR")
     val dir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.01")
     for (name <- args) {
       println(s"===== $name =====")

@@ -30,12 +30,7 @@ object GraphLoopProbe5 {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: GraphLoopProbe5 <sf5Dir>")
     val dir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f

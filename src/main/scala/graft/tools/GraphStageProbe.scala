@@ -25,12 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphStageProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.tools.ProbeSession(logLevel = "ERROR")
     val dir = sys.env.getOrElse("SF_DIR", "/root/repo/target/sf1")
 
     val g = Relational.orientedCooccurGraph(spark, dir) // cached, untimed below

@@ -10,10 +10,7 @@ import graft.streaming._
   */
 object IntervalJoinDemo {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
     FakeKinesisService.createStream("clicks", 1)
     FakeKinesisService.createStream("buys", 1)
     KinesisRegistry.clients.put("ij", new FakeKinesisClient())

@@ -24,12 +24,7 @@ object MakeSf1 {
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
     val src = "/root/testdata/sf0.1"
     val dst = sys.env.getOrElse("SF1_DIR", "/root/repo/target/sf1")
 

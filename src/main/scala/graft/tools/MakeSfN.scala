@@ -28,12 +28,7 @@ object MakeSfN {
     require(args.length == 2, "usage: MakeSfN <replicas> <dstDir>")
     val replicas = args(0).toInt
     val dst = args(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
     val src = "/root/testdata/sf0.1"
 
     // identical stride table to MakeSf1 — strides clear each key's

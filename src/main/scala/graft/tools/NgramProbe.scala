@@ -3,10 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object NgramProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(8, logLevel = "ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     def time(label: String)(f: => Long): Unit =
       (1 to 3).foreach { i =>

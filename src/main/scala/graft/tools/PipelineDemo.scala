@@ -21,11 +21,7 @@ import org.apache.spark.sql.functions._
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(8, logLevel = "ERROR")
     import graft.operators.{Dedup, Pipeline}
 
     // Each stage is persisted before its count: the funnel runs seven

@@ -3,11 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
     val dir = "/root/testdata/sf0.01"
     for (n <- args) {
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(FormattedMode)

@@ -3,10 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Q36Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(8, logLevel = "ERROR")
     val dir = "/root/testdata/sf0.1"
     val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity", "l_linenumber")
     val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")

@@ -15,12 +15,7 @@ object QueryTimer {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: QueryTimer <queryName>...")
     val dir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession(logLevel = "ERROR")
     args.foreach { name =>
       val q = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))

@@ -19,12 +19,7 @@ object SemPairsProbe {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: SemPairsProbe <sfDir>")
     val dir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
     graft.functions.VectorDot.register(spark)
     import graft.operators.Similarity
 

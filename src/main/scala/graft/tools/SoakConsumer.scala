@@ -82,14 +82,9 @@ object SoakConsumer {
   }
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "200").toInt
     val rpb = sys.env.getOrElse("SPARK_GRAFT_SOAK_RPB", "500").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession(logLevel = "ERROR", defaultCpus = "8")
 
     val stream = "soak"
     val client = new FakeKinesisClient()

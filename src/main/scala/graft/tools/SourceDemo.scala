@@ -15,10 +15,7 @@ object SourceDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
     FakeKinesisService.createStream("demo", 2)
     KinesisRegistry.clients.put("fake", new FakeKinesisClient())
     val saver = new ProbeSaver
@@ -43,10 +40,7 @@ object SourceDemo {
 /** Probes: option validation + full source→consumer composition. */
 object SourceProbe {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
     // probe 1: missing streamName
     try {
       spark.readStream.format("kinesis-graft").load()

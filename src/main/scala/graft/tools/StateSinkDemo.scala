@@ -11,10 +11,7 @@ import graft.streaming._
   */
 object StateSinkDemo {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession.fixedCores(4, logLevel = "ERROR")
     import spark.implicits._
 
     FakeKinesisService.createStream("rt", 2)

@@ -28,12 +28,7 @@ object StreamBench {
   private val Shards = 8
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeSession(logLevel = "ERROR")
     KinesisRegistry.clients.put("bench", new FakeKinesisClient())
 
     var streamNo = 0

@@ -26,12 +26,7 @@ object TriangleProbe3 {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: TriangleProbe3 <sfDir>")
     val dir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeSession()
     graft.functions.SortedIntersect.register(spark)
 
     import graft.operators.Relational.{canonicalEdges, orientEdges}
