@@ -111,10 +111,19 @@ object Bench {
     // ±30% (JIT, GC, page cache), which would swamp round-over-round
     // plan-cost deltas.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
-    (1 to nRuns).foreach { _ =>
-      runsBuf += suite.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    // Wall-clock run markers on stderr (never stdout — the driver
+    // parses stdout): lets a telemetry capture (vmstat/proc sampling
+    // alongside the bench, tools/bench_capture.sh) attribute a
+    // poisoned run's window to kernel/CPU-steal/GC mechanisms.
+    def timedRun(idx: Int): Map[String, Double] = {
+      System.err.println(s"BENCH_RUN_START $idx ${java.time.Instant.now()}")
+      val r = suite.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      System.err.println(s"BENCH_RUN_END $idx ${java.time.Instant.now()} " +
+        f"total=${r.values.filter(v => !v.isInfinity).sum}%.2f")
+      r
     }
+    val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    (1 to nRuns).foreach { i => runsBuf += timedRun(i) }
     // Run-level sanity (r15 VERDICT item 3): BENCH_r15_sf1_full shipped
     // a POISONED run — run 2 uniformly ~2x slower across ALL queries,
     // trivial ones included (q18 0.72 -> 8.52 s), so total_median was
@@ -138,7 +147,9 @@ object Bench {
       var retries = 0
       while (poisonedIdx.nonEmpty && retries < 2) {
         retries += 1
-        runsBuf += suite.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+        System.err.println(s"BENCH_POISON_RETRY $retries (flagged: " +
+          poisonedIdx.mkString(",") + ")")
+        runsBuf += timedRun(nRuns + retries)
       }
     }
     val poisoned: Set[Int] = if (nRuns >= 2) poisonedIdx.toSet else Set.empty

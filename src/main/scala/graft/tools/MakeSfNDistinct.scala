@@ -4,30 +4,37 @@ import org.apache.spark.sql.functions._
 
 /** Derive a NON-CLIQUE scaled fixture for the output-bound similarity/
   * dedup families (r15 VERDICT item 5): [[MakeSfN]]'s byte-identical
-  * replication turns every self-similar row into an N-clique, so the
-  * qualifying-pair relation of threshold queries (s07-family SemDeDup,
-  * d05 SimHash) grows ~quadratically in N — a FIXTURE artifact, not
-  * engine behavior. This generator replicates only the two tables
-  * those families read (documents, embeddings) with a deterministic
-  * per-replica content perturbation that preserves WITHIN-replica
-  * similarity structure exactly and destroys CROSS-replica similarity:
+  * replication turns every row into an N-clique of exact twins, so
+  * threshold pair queries (SemDeDup s06/s07, SimHash d05) measure the
+  * replication artifact on top of any genuine growth. This generator
+  * replicates only the two tables those families read (documents,
+  * embeddings) with a deterministic per-replica content perturbation
+  * that preserves WITHIN-replica similarity structure exactly and
+  * destroys CROSS-replica exact/near duplication:
   *
-  *  - embeddings: circular-shift the 64-dim vector by (rep mod 64)
-  *    positions. A shift is an orthonormal permutation, so norms and
-  *    all within-replica cosines are bit-identical to sf0.1's, while
-  *    a shifted vs differently-shifted pair decorrelates to the
-  *    corpus's near-isotropic background (measured < the 0.35/0.8
-  *    thresholds for all but chance pairs).
-  *  - documents: rotate the word sequence by (rep mod n_words) words.
-  *    Within a replica every doc pair keeps its exact shingle/token
-  *    relation; across replicas the k-shingle sets shift out of
-  *    alignment, collapsing Jaccard/SimHash agreement.
+  *  - embeddings: per-(replica, dimension) SIGN FLIP, the parity of
+  *    xxhash64(rep·64 + dim). Flipping both sides of a within-replica
+  *    pair multiplies each product a_i·b_i by s_i² = 1, so every
+  *    within-replica cosine is BIT-IDENTICAL to sf0.1's; a
+  *    cross-replica pair sees independent ±1 products, collapsing to
+  *    the isotropic background N(0, 1/64). (v1 of this tool used a
+  *    circular shift — measured insufficient: the fixture embeddings
+  *    carry enough autocorrelation that shifted copies stayed
+  *    0.35-correlated. Sign flips decorrelate regardless of spectrum.)
+  *  - documents: append "_r<rep>" to every whitespace token. Token
+  *    equality within a replica is preserved exactly (every token
+  *    carries the same suffix), so shingle/token/SimHash relations
+  *    match sf0.1's; across replicas NO token is shared. (v1 rotated
+  *    the word order — measured a no-op for d05: unigram SimHash is
+  *    order-invariant, so rotated replicas kept identical signatures.)
   *
-  * No RNG anywhere (the perturbation is a pure function of replica
-  * index), so the fixture is reproducible and DuckDB-readable for
-  * oracle checks. True growth at N replicas is then ~N× pairs
-  * (each replica contributes its own sf0.1 pair structure) — the
-  * linear yardstick the clique fixture can't provide.
+  * No RNG anywhere (both perturbations are pure functions of replica
+  * index), so the fixture is reproducible and DuckDB-readable. The
+  * CHANCE tail is deliberately untouched: at a grazing threshold t,
+  * isotropic 64-d cosines exceed t with probability P(z > t·8) (σ =
+  * 1/√64), so the qualifying-pair relation has an irreducible
+  * ~C(n,2)·P term no fixture design can remove — the probe's point is
+  * to measure that term separately from the clique term.
   *
   * Usage: runMain graft.tools.MakeSfNDistinct <replicas> <dstDir>
   */
@@ -47,8 +54,8 @@ object MakeSfNDistinct {
     val embN = emb.crossJoin(idx)
       .withColumn("vec_id", col("vec_id") + col("__rep") * lit(stride))
       .withColumn("embedding", expr(
-        s"transform(sequence(0, $dim - 1), " +
-          s"i -> element_at(embedding, CAST((i + __rep % $dim) % $dim AS INT) + 1))"))
+        s"transform(sequence(0, $dim - 1), i -> element_at(embedding, i + 1) * " +
+          s"CAST(1 - 2 * pmod(xxhash64(__rep * $dim + i), 2) AS DOUBLE))"))
       .drop("__rep")
     embN.repartition(math.max(2, replicas / 5)).write.mode("overwrite")
       .parquet(s"$dst/embeddings.parquet")
@@ -57,12 +64,9 @@ object MakeSfNDistinct {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docsN = docs.crossJoin(idx)
       .withColumn("doc_id", col("doc_id") + col("__rep") * lit(stride))
-      .withColumn("__w", split(col("text"), " "))
-      .withColumn("__r", (col("__rep") % greatest(size(col("__w")), lit(1))).cast("int"))
-      .withColumn("text", concat_ws(" ", flatten(array(
-        expr("slice(__w, __r + 1, size(__w) - __r)"),
-        expr("slice(__w, 1, __r)")))))
-      .drop("__rep", "__w", "__r")
+      .withColumn("text", concat_ws(" ", expr(
+        "transform(split(text, ' '), w -> concat(w, '_r', CAST(__rep AS STRING)))")))
+      .drop("__rep")
     docsN.repartition(math.max(2, replicas / 5)).write.mode("overwrite")
       .parquet(s"$dst/documents.parquet")
     println(s"SFND documents: ${spark.read.parquet(s"$dst/documents.parquet").count()} rows")

@@ -84,8 +84,10 @@ if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   tail -20 "$STAGE/bench.log" >&2
   fail bench "graft.Bench rc!=0 — no bench artifact written"
 fi
-grep -m1 '^{"metric"' "$STAGE/bench.log" > "$STAGE/BENCH_local.json" \
-  || fail bench "Bench emitted no JSON metric line"
+# the driver-facing metric line is metric:"total" (metric:"total_median"
+# precedes it and carries queries_median, not queries)
+grep -m1 '^{"metric":"total",' "$STAGE/bench.log" > "$STAGE/BENCH_local.json" \
+  || fail bench "Bench emitted no JSON total metric line"
 python3 -c "
 import json,sys
 d=json.load(open('$STAGE/BENCH_local.json'))
