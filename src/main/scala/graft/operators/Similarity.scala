@@ -630,7 +630,21 @@ object Similarity {
       // its own output size.
       lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir),
         corpusCount(s, dir))
-    })
+    }),
+
+    // The r15-registered SIZED twins, restored (r16): re-pointing
+    // s03/s10 at the sized rule made these aliases, but a registered
+    // name must never disappear (driver bench/correctness contract —
+    // entries may be added, never removed or renamed). They compute
+    // exactly what they computed in r15: the sized pipeline, now
+    // shared with s03/s10.
+    "s03c_embed_neardup_sized" -> ((s, dir) =>
+      lshNearDupPairs(sizedBuckets(s, dir), vecs(s, dir),
+        corpusCount(s, dir))),
+    "s10c_knn_join_sized" -> ((s, dir) =>
+      knnJoin(embeddings(s, dir), k = 5,
+        bkOpt = Some(sizedAnnBuckets(s, dir)),
+        nOpt = Some(corpusCount(s, dir))).orderBy("qid", "rnk"))
   )
 
   /** Gate-only fixtures: the formerly-registered pinned-parameter
@@ -1932,39 +1946,10 @@ object Similarity {
     // (floor 8 = the old pinned geometry; each table owns 12
     // consecutive plane ids, slots ≥ bits filtered before bucket
     // assembly — the s03 pattern).
-    "s10_knn_join" -> {
-      val vals = sizedAnnPlaneBits.zipWithIndex
-        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
-      s"""WITH planes(pid, pb) AS (VALUES $vals),
-         nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         bb AS (SELECT COALESCE((SELECT MIN(b)
-                   FROM generate_series($SizedMinBitsAnn, $SizedMaxBits) g(b), nn
-                   WHERE (CAST(1 AS BIGINT) << b) * $SizedBucketTarget >= nn.n),
-                 $SizedMaxBits) AS bits),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         pv AS (SELECT pid, list_transform(generate_series(0, 63),
-                  d -> CASE WHEN ((pb >> d) & 1) = 1
-                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
-                FROM planes),
-         sig AS (SELECT e.vec_id, pv.pid // $SizedMaxBits AS tbl,
-                        (pv.pid % $SizedMaxBits) AS slot,
-                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
-                 FROM e CROSS JOIN pv),
-         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
-                  FROM sig, bb WHERE slot < bb.bits GROUP BY vec_id, tbl),
-         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-                  FROM buck q JOIN buck c
-                    ON c.tbl = q.tbl AND c.bucket = q.bucket
-                   AND c.vec_id != q.vec_id),
-         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
-                    FROM cand JOIN e eq ON eq.vec_id = qid
-                              JOIN e ec ON ec.vec_id = cid),
-         r AS (SELECT qid, cid, score,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
-               FROM scored)
-         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
-         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
-    },
+    "s10_knn_join" -> sizedKnnOracleSql,
+    // restored r15 twin — same sized pipeline, same oracle (see the
+    // queries-map note)
+    "s10c_knn_join_sized" -> sizedKnnOracleSql,
 
     // Deterministic ANN stage twins: every stage of the seed-quantizer
     // pipeline is argmin/argmax over shared dot-product folds, so the
@@ -2119,10 +2104,59 @@ object Similarity {
     // boundaries). Each table owns 12 consecutive plane ids; slots
     // ≥ b are filtered out before bucket assembly, mirroring the
     // Spark side's plane-list truncation.
-    "s03_embed_neardup" -> {
-      val vals = sizedPlaneBits.zipWithIndex
-        .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
-      s"""WITH planes(pid, pb) AS (VALUES $vals),
+    "s03_embed_neardup" -> sizedNearDupOracleSql,
+    // restored r15 twin — same sized pipeline, same oracle (see the
+    // queries-map note)
+    "s03c_embed_neardup_sized" -> sizedNearDupOracleSql
+  )
+
+  /** Shared oracle SQL for the sized LSH pipelines (s10 == s10c,
+    * s03 == s03c since the r16 re-registration): bits/table derived
+    * from COUNT(*) by the identical integer rule the Spark side uses
+    * (smallest b in the family's [floor, 12] with (1<<b)·16 ≥ n — no
+    * log/ceil floating point, so no cross-engine ULP risk at rule
+    * boundaries). Each table owns 12 consecutive plane ids; slots ≥ b
+    * are filtered out before bucket assembly, mirroring the Spark
+    * side's plane-list truncation.
+    */
+  private lazy val sizedKnnOracleSql: String = {
+    val vals = sizedAnnPlaneBits.zipWithIndex
+      .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH planes(pid, pb) AS (VALUES $vals),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         bb AS (SELECT COALESCE((SELECT MIN(b)
+                   FROM generate_series($SizedMinBitsAnn, $SizedMaxBits) g(b), nn
+                   WHERE (CAST(1 AS BIGINT) << b) * $SizedBucketTarget >= nn.n),
+                 $SizedMaxBits) AS bits),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pv AS (SELECT pid, list_transform(generate_series(0, 63),
+                  d -> CASE WHEN ((pb >> d) & 1) = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+                FROM planes),
+         sig AS (SELECT e.vec_id, pv.pid // $SizedMaxBits AS tbl,
+                        (pv.pid % $SizedMaxBits) AS slot,
+                        CASE WHEN list_dot_product(pv.p, e.v) > 0 THEN 1 ELSE 0 END AS bit
+                 FROM e CROSS JOIN pv),
+         buck AS (SELECT vec_id, tbl, SUM(bit * (1 << slot)) AS bucket
+                  FROM sig, bb WHERE slot < bb.bits GROUP BY vec_id, tbl),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  FROM buck q JOIN buck c
+                    ON c.tbl = q.tbl AND c.bucket = q.bucket
+                   AND c.vec_id != q.vec_id),
+         scored AS (SELECT qid, cid, list_dot_product(eq.v, ec.v) AS score
+                    FROM cand JOIN e eq ON eq.vec_id = qid
+                              JOIN e ec ON ec.vec_id = cid),
+         r AS (SELECT qid, cid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+               FROM scored)
+         SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, score
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
+
+  private lazy val sizedNearDupOracleSql: String = {
+    val vals = sizedPlaneBits.zipWithIndex
+      .map { case (p, i) => s"($i, CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH planes(pid, pb) AS (VALUES $vals),
          nn AS (SELECT COUNT(*) AS n FROM embeddings),
          bb AS (SELECT COALESCE((SELECT MIN(b)
                    FROM generate_series($SizedMinBits, $SizedMaxBits) g(b), nn
@@ -2146,6 +2180,5 @@ object Similarity {
          FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
          WHERE list_dot_product(ea.v, eb.v) >= $NearDupThreshold
          ORDER BY id_a, id_b"""
-    }
-  )
+  }
 }
