@@ -336,13 +336,18 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction — fully Catalyst (codegen'd),
     // oracle-checked: byte length + content digest over the binary col.
+    // Per-asset projections sort the RAW scan and project AFTER the
+    // sort (r16, same note as TextOps.queries): a trailing global
+    // orderBy makes RangePartitioning's bounds sampling execute the
+    // projection once before the shuffle executes it again — md5/
+    // byte-fold work ran twice per query. Row-wise ops, unique doc_id:
+    // identical rows and order.
     "m01_binary_meta" -> ((s, dir) => {
-      assets(s, dir)
+      assets(s, dir).orderBy("doc_id")
         .select(col("doc_id"), col("modality"),
           octet_length(col("content")).as("n_bytes"),
           md5(col("content")).as("content_md5"),
           substring(md5(col("content")), 1, 8).as("md5_pfx"))
-        .orderBy("doc_id")
     }),
 
     // Batched decode / feature-extract via mapPartitions (mapInPandas
@@ -375,13 +380,13 @@ object Multimodal {
     // scalar output for the gate: per-doc pixel sum + corner pixel.
     // Oracle-checked (ASCII corpus: ascii(char) == content byte).
     "m05_image_resize" -> ((s, dir) =>
-      resizeNearest(assets(s, dir).filter(col("modality") === "image"),
+      resizeNearest(
+          assets(s, dir).filter(col("modality") === "image").orderBy("doc_id"),
           srcWidth = 32, outW = 8, outH = 8)
         .select(col("doc_id"), col("src_h"),
           expr("aggregate(pix, 0L, (acc, x) -> acc + x)").as("px_sum"),
           element_at(col("pix"), 1).as("px_first"),
-          element_at(col("pix"), 64).as("px_last"))
-        .orderBy("doc_id")),
+          element_at(col("pix"), 64).as("px_last"))),
 
     // Audio resampling shape for "audio" assets: the binary payload is
     // treated as a stream of 2-byte PCM-ish samples, decimated 3:1
@@ -392,6 +397,7 @@ object Multimodal {
     "m04_audio_resample" -> ((s, dir) => {
       assets(s, dir)
         .filter(col("modality") === "audio")
+        .orderBy("doc_id") // below the decimation fold (see m01 note)
         .withColumn("n_samples", expr("CAST(octet_length(content) / 2 AS INT)"))
         .filter(col("n_samples") > 0)
         .withColumn("kept", expr("filter(sequence(0, n_samples - 1), i -> i % 3 = 0)"))
@@ -400,7 +406,6 @@ object Multimodal {
                     transform(kept, i ->
                       CAST(ascii(substring(CAST(content AS STRING), i * 2 + 1, 1)) AS BIGINT)),
                     0L, (acc, x) -> acc + x)""").as("amp_sum"))
-        .orderBy("doc_id")
     }),
 
     // Perceptual (aHash) near-dup over the image assets via
@@ -426,7 +431,7 @@ object Multimodal {
     // Shannon byte entropy over the binary assets via [[byteEntropy]]
     // — hash-checked thanks to the integer micro-nat grid.
     "m07_byte_entropy" -> ((s, dir) =>
-      byteEntropy(assets(s, dir)).orderBy("doc_id")),
+      byteEntropy(assets(s, dir).orderBy("doc_id"))),
 
     // Shot-boundary detection over the binary assets via
     // [[sceneChanges]] — all-integer frame signatures, hash-checked.
@@ -444,13 +449,13 @@ object Multimodal {
     // boundary) and one fixed 8-byte run (always below it), separated
     // by an 'x'. Untouched docs exercise the all-zero path.
     "m09_silence_runs" -> ((s, dir) => {
-      val injected = documents(s, dir).select(col("doc_id"),
+      val injected = documents(s, dir).orderBy("doc_id").select(col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(col("text"),
             expr("repeat(char(1), CAST(doc_id % 40 AS INT))"),
             lit("x"), expr("repeat(char(1), 8)")))
           .otherwise(col("text")).cast("binary").as("content"))
-      silenceRuns(injected, threshold = 32, minRun = 16).orderBy("doc_id")
+      silenceRuns(injected, threshold = 32, minRun = 16) // sorted below (m01 note)
     })
   )
 

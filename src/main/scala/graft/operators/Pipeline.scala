@@ -541,10 +541,14 @@ object Pipeline {
 
     // Corpus mixture: downweight the (majority) English stratum to 25%,
     // sample the rest at 50% — deterministic, content-hash-based.
+    // p02/p04 sort the RAW scan and filter/project after (r16, same
+    // note as TextOps.queries): the trailing orderBy's range-bounds
+    // sampling otherwise executes the md5 screen twice. Row-wise ops,
+    // unique doc_id: identical rows and order.
     "p02_sample_stratified" -> ((s, dir) =>
-      sampleStratified(documents(s, dir), rates = Map("en" -> 16384),
-        defaultRate = 32768, strataCol = "lang")
-        .orderBy("doc_id")),
+      sampleStratified(documents(s, dir).orderBy("doc_id"),
+        rates = Map("en" -> 16384),
+        defaultRate = 32768, strataCol = "lang")),
 
     "p03_quantize_embeddings" -> ((s, dir) =>
       quantizeEmbeddings(embeddings(s, dir))
@@ -552,8 +556,8 @@ object Pipeline {
 
     // 5% test / 5% val / 90% train, content-hash assigned.
     "p04_split_assign" -> ((s, dir) =>
-      splitAssign(documents(s, dir), testRate = 3277, valRate = 3277)
-        .orderBy("doc_id")),
+      splitAssign(documents(s, dir).orderBy("doc_id"),
+        testRate = 3277, valRate = 3277)),
 
     // Rule screen over the synthetic corpus; thresholds chosen so both
     // verdicts occur (the corpus is ~30-word-vocabulary word salad:

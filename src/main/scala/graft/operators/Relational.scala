@@ -517,14 +517,19 @@ object Relational {
 
     // Projection + selective filter: only 4 columns should reach the scan
     // (ReadSchema) and all three predicates should appear in PushedFilters.
+    // Scan-rooted projections sort BELOW the projection (r16, same
+    // note as TextOps.queries): a trailing global orderBy makes
+    // RangePartitioning's bounds sampling execute the projection once
+    // before the shuffle executes it again. Row-wise expressions,
+    // unique sort keys: identical rows and order.
     "q02_filter_project" -> ((s, dir) => {
       lineitem(s, dir)
         .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_quantity") < 24)
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // 3-way join + agg + top-k (TPC-H Q3). customer is small → Catalyst
@@ -670,6 +675,7 @@ object Relational {
     "q15_string_fns" -> ((s, dir) => {
       part(s, dir)
         .filter(col("p_partkey") % 7 === 0)
+        .orderBy("p_partkey") // below the string fns (q02 note)
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("up_name"),
@@ -681,7 +687,6 @@ object Relational {
           reverse(col("p_brand")).as("rev_brand"),
           lpad(col("p_brand"), 12, "*").as("pad_brand"),
           trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"))
-        .orderBy("p_partkey")
     }),
 
     // Date/time function library + month-grain agg.
@@ -701,6 +706,7 @@ object Relational {
     "q17_math_fns" -> ((s, dir) => {
       lineitem(s, dir)
         .filter(col("l_orderkey") % 101 === 0)
+        .orderBy("l_orderkey", "l_linenumber") // below the math fns (q02 note)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_quantity") - 25.0).as("abs_dev"),
@@ -710,7 +716,6 @@ object Relational {
           (col("l_orderkey") % 7).as("mod7"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
           least(col("l_quantity"), col("l_tax") * 100).as("ls"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // JSON schema-on-read: the events.props payload is the analog of the
@@ -829,6 +834,7 @@ object Relational {
     "q28_collection_fns" -> ((s, dir) => {
       lineitem(s, dir)
         .filter(col("l_orderkey") % 211 === 0)
+        .orderBy("l_orderkey", "l_linenumber") // below the array fns (q02 note)
         .withColumn("arr", array(col("l_quantity"), col("l_discount"), col("l_tax")))
         .select(
           col("l_orderkey"), col("l_linenumber"),
@@ -837,7 +843,6 @@ object Relational {
           element_at(sort_array(col("arr"), asc = false), 1).as("biggest"),
           element_at(sort_array(col("arr")), 1).as("smallest"),
           element_at(slice(sort_array(col("arr")), 2, 1), 1).as("middle"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Sketch aggregates (HLL distinct, percentile sketch), CERTIFIED
@@ -861,6 +866,11 @@ object Relational {
     "q27_sketches" -> ((s, dir) => {
       val nb = 1024
       val li = lineitem(s, dir)
+      // (r16 probe, kept OUT: folding the exact countDistinct into this
+      // aggregate would save a scan, but single-distinct planning
+      // computes the non-distinct aggs per (flag, partkey) group —
+      // one approx_percentile buffer per PART — measured 1.1 → 4.9 s.
+      // The separate exact pass stays.)
       val approx = sketchAggs(li)
       val stats = li.agg(min("l_extendedprice").as("mn"),
         max("l_extendedprice").as("mx"))
@@ -1155,13 +1165,13 @@ object Relational {
     // identically in Java regex and RE2 (the shared-subset rule).
     "q42_regex_extract" -> ((s, dir) => {
       documents(s, dir)
+        .orderBy("doc_id") // below the regex pipeline (q02 note)
         .withColumn("s_words", expr("regexp_extract_all(text, '\\\\bs[a-z]+', 0)"))
         .withColumn("n_s_words", size(col("s_words")).cast("long"))
         .withColumn("n_distinct_s", size(array_distinct(col("s_words"))).cast("long"))
         .withColumn("first_st", regexp_extract(col("text"), "\\b(st[a-z]+)", 1))
         .filter(col("n_s_words") >= 3)
         .select("doc_id", "n_s_words", "n_distinct_s", "first_st")
-        .orderBy("doc_id")
     }),
 
     // Gaps-and-islands: merge each customer's orders into purchase
@@ -1759,12 +1769,27 @@ object Relational {
     // tighter ≤2% agreement stays asserted in SketchAndFormatSpec;
     // hash-exact twin: q65b.
     "q65_sliding_distinct_hll" -> ((s, dir) => {
+      // r16: BOTH forms consume one shared (day, user) distinct pair
+      // relation — the identical subtree lets AQE reuse the one
+      // fact-sized exchange across the two branches (formerly each
+      // path scanned and deduped the facts on its own). Sketch content
+      // is unchanged: HLL insertion is duplicate-idempotent, so
+      // hll_sketch_agg over the DEDUPED pairs holds exactly the state
+      // it held over raw events; the exact path from pairs on is
+      // slidingDistinctUsers' own body.
+      val pairs = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id").as("u")).distinct()
       val approx = slidingDistinctApprox(
-        events(s, dir)
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
+        pairs.groupBy(col("d").as("day"))
+          .agg(hll_sketch_agg(col("u"), 12).as("sk")),
         windowDays = 7)
-      val exact = slidingDistinctUsers(events(s, dir), windowDays = 7)
+      val days = pairs.select(col("d").as("day")).distinct()
+      val exact = pairs
+        .select(explode(sequence(col("d"),
+          date_add(col("d"), 6))).as("day"), col("u"))
+        .join(broadcast(days), Seq("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("u7"))
       approx.join(exact, "day")
         .select(col("day"), col("u7").as("u7_exact"),
           (abs(col("u_approx") - col("u7")) <= col("u7") * 0.05).as("within_5pct"))
@@ -2300,52 +2325,68 @@ object Relational {
     def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
     val rankCols = ps.flatMap { case (_, p) =>
       Seq(floor(posOf(p)).cast("long"), ceil(posOf(p)).cast("long")) }
-    val ranks = stats.select(col("k"),
-      explode(array_distinct(array(rankCols: _*))).as("r"))
 
     // the same bucket expression in both passes — consistency of the
-    // assignment, not its precision, is what exactness rides on
+    // assignment, not its precision, is what exactness rides on.
+    // Constant-valued keys (mx ≤ mn) route to bucket 0 IN the
+    // expression (their width would be 0 → NaN → ANSI cast error), so
+    // they ride the same two passes as everyone else: r16 re-plan —
+    // the former separate constVals/ranks/withN branches each re-ran
+    // the stats aggregate from its own parquet scan (AQE could not
+    // reuse them: per-branch column pruning made the exchanges
+    // non-identical — measured 5 scans / 8 exchanges at sf0.01), where
+    // deriving targets and n inline makes the whole job the documented
+    // 3 scans (stats + the two passes).
     val width = (col("mx").cast("double") - col("mn").cast("double")) /
       lit(buckets.toDouble)
-    val bExpr = least(
-      floor((col("v").cast("double") - col("mn").cast("double")) / width)
-        .cast("long"),
-      lit(buckets - 1L))
+    val bExpr = when(col("mx") <= col("mn"), lit(0L))
+      .otherwise(least(
+        floor((col("v").cast("double") - col("mn").cast("double")) / width)
+          .cast("long"),
+        lit(buckets - 1L)))
 
-    val varKeys = base.join(statsB, "k").filter(col("mx") > col("mn"))
-    // pass 1: per-(key, bucket) counts + cumulative rank boundaries
-    val cum = varKeys.withColumn("b", bExpr)
+    // both passes consume the IDENTICAL (k, v, b) projection over the
+    // IDENTICAL (k, mn, mx) broadcast — per-branch column pruning would
+    // otherwise specialize the two broadcast subtrees apart and defeat
+    // AQE exchange reuse (measured: a 4th parquet scan appears when
+    // pass 1 also pulls n through the join)
+    val withB = base.join(statsB, "k").withColumn("b", bExpr)
+      .select(col("k"), col("v"), col("b"))
+    // pass 1: per-(key, bucket) counts + cumulative rank boundaries;
+    // n is the key's total bucket mass — a second frame over the same
+    // window partitioning, not a join back to stats
+    val wKey = Window.partitionBy("k")
+    val cum = withB
       .groupBy("k", "b").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(
-        Window.partitionBy("k").orderBy("b")
+        wKey.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val targets = cum.join(sized(ranks.withColumnRenamed("k", "rk")),
-        col("k") === col("rk") &&
-          col("r") >= col("cum") - col("c") && col("r") < col("cum"))
-      .select(col("k"), col("b"), col("r"),
+      .withColumn("n", sum("c").over(wKey))
+    // targets inline: the candidate ranks floor/ceil(p·(n−1)) are pure
+    // expressions of n, so the bucket holding each rank is a FILTER on
+    // the tiny cum relation — no separate ranks table, no extra join
+    val targets = cum
+      .select(col("k"), col("b"), col("n"), col("cum"), col("c"),
+        explode(filter(array_distinct(array(rankCols: _*)),
+          r => r >= col("cum") - col("c") && r < col("cum"))).as("r"))
+      .select(col("k"), col("b"), col("n"), col("r"),
         (col("r") - (col("cum") - col("c"))).as("off"))
 
     // pass 2: only the targeted buckets' rows survive into the pick
-    val vals = varKeys.withColumn("b", bExpr)
+    // (k, v, b only — n/mn/mx would ride every surviving row into the
+    // row_number shuffle; targets already carries n per key)
+    val vals = withB.select(col("k"), col("v"), col("b"))
       .join(sized(targets), Seq("k", "b"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("k", "b", "r").orderBy("v")))
       .filter(col("rn") === col("off") + 1)
-      .select(col("k"), col("r"), col("v").as("pv"))
-    // constant-valued keys: every rank's value IS the constant
-    val constVals = stats.filter(col("mx") <= col("mn"))
-      .select(col("k"),
-        explode(array_distinct(array(rankCols: _*))).as("r"),
-        col("mn").as("pv"))
-
-    val withN = vals.unionAll(constVals)
-      .join(sized(stats.select(col("k"), col("n"))), "k")
+      .select(col("k"), col("r"), col("v").as("pv"), col("n"))
     val aggCols = ps.flatMap { case (nm, p) =>
       Seq(min(when(col("r") === floor(posOf(p)).cast("long"), col("pv")))
           .as(s"__lo_$nm"),
         min(when(col("r") === ceil(posOf(p)).cast("long"), col("pv")))
           .as(s"__hi_$nm")) }
-    val g = withN.groupBy("k").agg(max("n").as("n"), aggCols: _*)
+    val g = vals.groupBy("k").agg(max("n").as("n"), aggCols: _*)
     val sel = col("k").as(keyCol) +: col("n") +: ps.map { case (nm, p) =>
       val pos = posOf(p)
       val frac = pos - floor(pos)

@@ -241,7 +241,16 @@ object Similarity {
         count(lit(1)).as("n_results"),
         sum(when(col("qid") === col("cid"), 1).otherwise(0)).as("n_self"),
         sum(coalesce(col("__x"), lit(0))).as("hits"))
-    val tot = per.agg(sum("hits").as("th"), sum("n_results").as("tn"))
+    // corpus-wide hit/result totals as a GLOBAL window over the
+    // per-probe relation (|probes| rows — 10 here; the unpartitioned
+    // window is safe for any bounded probe set). The r16 re-plan: the
+    // previous `per.agg(...)` + crossJoin referenced `per` twice, and
+    // Spark re-executes repeated subtrees — the ENTIRE ANN pipeline
+    // (LSH/IVF/PQ scoring, its scans and shuffles) ran twice per call
+    // (measured: s08 certified 1.43 s vs raw 0.51 s at sf0.1; the
+    // duplicated WindowGroupLimit subtree is visible in the r16
+    // before-plans).
+    val wTot = Window.partitionBy()
     // the witness DECOUPLING columns (r13 VERDICT item 3): checksum the
     // exact-top-k id set per probe (order-free sum + xor — exact long
     // arithmetic in both engines), and let the ORACLE recompute them
@@ -252,8 +261,10 @@ object Similarity {
     val wit = exact.groupBy("qid").agg(
       sum("cid").as("witness_sum"),
       expr("bit_xor(cid)").as("witness_xor"))
-    per.join(broadcast(wit), Seq("qid"))
-      .crossJoin(broadcast(tot))
+    per
+      .withColumn("th", sum("hits").over(wTot))
+      .withColumn("tn", sum("n_results").over(wTot))
+      .join(broadcast(wit), Seq("qid"))
       .select(col("qid"),
         (col("n_results") === k).as("has_k_results"),
         (col("n_self") === 0).as("no_self_match"),
@@ -424,30 +435,47 @@ object Similarity {
     // DedupSimilaritySpec.
     "s07_semantic_survivors" -> ((s, dir) => {
       val pairs = semPairs(s, dir).select(col("id_a"), col("id_b"))
-      val surv = Dedup.keepRepresentatives(
-          embeddings(s, dir).select("vec_id", "label"), pairs, idCol = "vec_id")
-        .select(col("vec_id")).withColumn("__s", lit(1))
+      // r16 re-plan: the former shape built the survivor RELATION
+      // (corpus anti-join) and referenced it in three places — and
+      // Spark re-executes repeated subtrees, so the corpus scan + anti
+      // join ran 4× per call (measured: certified 1.73 s vs raw 0.49 s
+      // at sf0.1). The checks are reformulated on the DROP LIST —
+      // connectedComponents' output is a localCheckpoint/driver-local
+      // relation, so re-referencing it is free — with identical flag
+      // semantics: survivor ⟺ not dropped (the keepRepresentatives
+      // definition, asserted against it by the s07b twin and
+      // DedupSimilaritySpec's union-find check).
+      val drops = Dedup.connectedComponents(pairs)
+        .filter(col("label") < col("id"))
+        .select(col("id").as("vec_id")).withColumn("__d", lit(1))
       val all = embeddings(s, dir).select("vec_id")
       val paired = pairs.select(col("id_a").as("vec_id"))
         .unionByName(pairs.select(col("id_b").as("vec_id"))).distinct()
         .withColumn("__p", lit(1))
-      // one pass over the corpus annotated with paired/survivor bits
-      val annotated = all
+      // ONE pass over the corpus annotated with paired/dropped bits:
+      //   n_vectors               = |corpus|
+      //   unpaired && dropped     = a drop of a vertex no pair touches
+      //   survivor outside corpus = a drop-list id the corpus lacks
+      //     (the anti-join form's "phantom survivor" check, on the
+      //     relation that can actually produce one — drop ids come
+      //     from CC over the pair relation, corpus rows do not)
+      val annotated = all.withColumn("__a", lit(1))
         .join(paired, Seq("vec_id"), "left")
-        .join(surv, Seq("vec_id"), "left")
+        .join(drops, Seq("vec_id"), "full_outer")
+      // a pair survives whole iff NEITHER endpoint is on the drop list
       val pairBothKept = pairs
-        .join(surv.withColumnRenamed("vec_id", "id_a"), Seq("id_a"))
-        .join(surv.toDF("id_b", "__s2"), Seq("id_b"))
-        .agg(count(lit(1)).as("n_pairs_fully_kept"))
-      // coalesce: empty-relation sums are NULL, not 0 (see s06)
-      val phantom = surv.join(all.withColumn("__a", lit(1)), Seq("vec_id"), "left")
-        .agg(coalesce(sum(when(col("__a").isNull, 1).otherwise(0)), lit(0L))
-          .as("n_phantom"))
+        .join(drops.toDF("id_a", "__da"), Seq("id_a"), "left")
+        .join(drops.toDF("id_b", "__db"), Seq("id_b"), "left")
+        .agg(coalesce(sum(when(col("__da").isNull && col("__db").isNull, 1)
+          .otherwise(0)), lit(0L)).as("n_pairs_fully_kept"))
       annotated.agg(
-          count(lit(1)).as("n_vectors"),
-          coalesce(sum(when(col("__p").isNull && col("__s").isNull, 1)
-            .otherwise(0)), lit(0L)).as("n_unpaired_dropped"))
-        .crossJoin(pairBothKept).crossJoin(phantom)
+          coalesce(sum(when(col("__a").isNotNull, 1).otherwise(0)), lit(0L))
+            .as("n_vectors"),
+          coalesce(sum(when(col("__p").isNull && col("__d").isNotNull, 1)
+            .otherwise(0)), lit(0L)).as("n_unpaired_dropped"),
+          coalesce(sum(when(col("__a").isNull, 1).otherwise(0)), lit(0L))
+            .as("n_phantom"))
+        .crossJoin(pairBothKept)
         .select(col("n_vectors"),
           (col("n_pairs_fully_kept") === 0).as("no_pair_fully_kept"),
           (col("n_unpaired_dropped") === 0).as("unpaired_all_kept"),

@@ -25,12 +25,25 @@ object PlanDump {
     graft.operators.Similarity.prepareIndex(spark, dir)
     graft.operators.Dedup.prepareShingles(spark, dir)
     graft.operators.Relational.prepareStats(spark, dir)
+    // PLAN_EXEC=1: run each query through the noop sink first and dump
+    // the POST-execution plan — under AQE the initial plan neither
+    // shows exchange reuse (ReusedExchange dedup of repeated subtrees)
+    // nor final join strategies, so pre-execution Exchange/scan counts
+    // overstate what actually runs.
+    val exec = sys.env.get("PLAN_EXEC").contains("1")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan =
-        try fn(spark, dir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        catch { case e: Throwable => s"PLAN-ERROR: $e" }
+        try {
+          val df = fn(spark, dir)
+          // collect(), not a noop write: the write wraps the query in
+          // its own QueryExecution, leaving df.queryExecution (what we
+          // print) unexecuted — the adaptive plan would still be the
+          // initial one. Probe-only; results at the probe SF are small.
+          if (exec) { val _ = df.collect() }
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        } catch { case e: Throwable => s"PLAN-ERROR: $e" }
       Files.write(outDir.resolve(s"$name.txt"), plan.getBytes("UTF-8"))
       val ex = "Exchange".r.findAllIn(plan).length -
         "AQEShuffleRead".r.findAllIn(plan).length.min(0)
@@ -40,7 +53,7 @@ object PlanDump {
         f"shj=${cnt("ShuffledHashJoin")}%2d bnl=${cnt("BroadcastNestedLoop")}%2d " +
         f"sort=${cnt("\\bSort\\b")}%2d win=${cnt("Window")}%2d " +
         f"scan=${cnt("Scan parquet")}%2d agg=${cnt("HashAggregate")}%2d " +
-        f"obj=${cnt("ObjectHashAggregate")}%2d sortagg=${cnt("SortAggregate")}%2d")
+        f"obj=${cnt("ObjectHashAggregate")}%2d sortagg=${cnt("SortAggregate")}%2d reuse=${cnt("ReusedExchange")}%2d")
       val _ = ex
     }
     spark.stop()
