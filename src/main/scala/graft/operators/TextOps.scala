@@ -191,7 +191,20 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr("alpha_tokens(lower(text), 4)")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df counts the docs where the term OCCURS (tf > 0 — every tf row
+    // by construction, so the value is unchanged). The tf reference is
+    // load-bearing (r16): with the former count(lit(1)), per-branch
+    // column pruning dropped `tf` from THIS branch's aggregate, making
+    // the two tf subtrees non-identical — AQE could not reuse the
+    // exchange and the corpus tokenize + (doc_id, tok) aggregate ran
+    // TWICE per call (two separate ShuffleQueryStages in the executed
+    // plan). Referencing tf keeps both branches on the byte-identical
+    // subtree → one tokenize, one exchange, ReusedExchange for the
+    // second consumer. The two-level aggregate (not a count window
+    // over tok) stays: it is the skew-safe df shape — map-side
+    // combine, no single hot-token window partition at corpus scale.
+    val dfTab = tf.groupBy("tok")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     tf.join(dfTab, "tok")
       .crossJoin(broadcast(nDocs))
@@ -486,6 +499,16 @@ object TextOps {
         """zip_with(slice(__toks, 1, size(__toks) - 1),
                     slice(__toks, 2, size(__toks) - 1),
                     (a, b) -> concat(a, ' ', b))""")).as("pr"))
+    // (r16 probe, kept OUT: routing BOTH consumers through one
+    // (pr, doc_id) pre-aggregate would tokenize once instead of twice,
+    // but it REPLACES the second tokenize — a zero-exchange map stage —
+    // with a full shuffle of the per-doc bigram relation plus a second
+    // exchange into the doc aggregate; measured 1.78 → 2.04 s at sf0.1
+    // (OrderCostProbe, interleaved best-of-3). The two-pass shape
+    // keeps the occurrence stream exchange-free end to end: pass 1
+    // partial-aggs into the vocabulary-sized model, pass 2 joins the
+    // broadcast model and partial-aggs by doc — tokenize is cheap CPU,
+    // shuffles are the scarce resource, here AND at 100 TB.)
     val pc = pairs.groupBy("pr").agg(count(lit(1)).as("cp"))
     val cc = pc.withColumn("w1", substring_index(col("pr"), " ", 1))
       .groupBy("w1").agg(sum("cp").as("cw"))

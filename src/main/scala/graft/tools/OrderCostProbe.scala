@@ -65,6 +65,58 @@ object OrderCostProbe {
     ab("m07_byteEntropy") {
       graft.operators.Multimodal.byteEntropy(assets).orderBy("doc_id") } {
       graft.operators.Multimodal.byteEntropy(assets.orderBy("doc_id")) }
+    // Batch-2 A/Bs (same drift-immune interleaving): the pre-r16 shape
+    // is inlined as `before`, the registered operator is `after`.
+    // t13 NEGATIVE result, kept as the measurement record: `before` is
+    // the single-tokenize (pr, doc_id) pre-aggregate re-plan that was
+    // tried and REJECTED (1.78 two-pass vs 2.04 pre-agg — the saved
+    // tokenize pass costs less than the two exchanges the pre-agg
+    // adds); `after` is the registered two-pass shape that stays.
+    ab("t13_bigram") {
+      val pairs = docs
+        .withColumn("__toks", F.split(F.trim(F.lower(col("text"))), "\\s+"))
+        .select(col("doc_id"), F.explode(F.expr(
+          """zip_with(slice(__toks, 1, size(__toks) - 1),
+                      slice(__toks, 2, size(__toks) - 1),
+                      (a, b) -> concat(a, ' ', b))""")).as("pr"))
+      val pd = pairs.groupBy("pr", "doc_id").agg(F.count(F.lit(1)).as("c"))
+      val pc = pd.groupBy("pr").agg(F.sum("c").as("cp"))
+      val cc = pc.withColumn("w1", F.substring_index(col("pr"), " ", 1))
+        .groupBy("w1").agg(F.sum("cp").as("cw"))
+      val model = pc.withColumn("w1", F.substring_index(col("pr"), " ", 1))
+        .join(cc, "w1")
+        .withColumn("st", F.expr(
+          """CAST(round(ln(cw) * 1000000) AS BIGINT)
+             - CAST(round(ln(cp) * 1000000) AS BIGINT)"""))
+        .select("pr", "st")
+      pd.join(F.broadcast(model), "pr")
+        .groupBy("doc_id")
+        .agg(F.sum("c").as("n_bigrams"),
+          F.sum(col("st") * col("c")).as("sum_st"))
+        .withColumn("avg_surprisal",
+          col("sum_st").cast("double") / col("n_bigrams") / F.lit(1000000.0))
+        .select("doc_id", "n_bigrams", "sum_st", "avg_surprisal")
+    } { TextOps.bigramSurprisal(docs) }
+    // t06: per-branch pruning of `tf` made the two tf subtrees
+    // non-identical (no exchange reuse) — tokenize ran twice.
+    ab("t06_tfidf") {
+      graft.functions.AlphaTokens.register(spark)
+      val toks = docs.select(col("doc_id"),
+        F.explode(F.expr("alpha_tokens(lower(text), 4)")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("tf"))
+      val dfTab = tf.groupBy("tok").agg(F.count(F.lit(1)).as("df"))
+      val nDocs = docs.agg(F.count(F.lit(1)).as("n_docs"))
+      tf.join(dfTab, "tok")
+        .crossJoin(F.broadcast(nDocs))
+        .withColumn("idf", F.round(
+          F.log((col("n_docs") + F.lit(1.0)) / (col("df") + F.lit(1.0))), 6))
+        .withColumn("score", F.round(col("tf").cast("double") * col("idf"), 4))
+        .withColumn("rnk", F.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    } { TextOps.tfidfTopTerms(docs) }
     ab("q42_regex") {
       docs.withColumn("s_words",
           F.expr("regexp_extract_all(text, '\\\\bs[a-z]+', 0)"))
