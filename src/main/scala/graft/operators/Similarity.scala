@@ -435,47 +435,42 @@ object Similarity {
     // DedupSimilaritySpec.
     "s07_semantic_survivors" -> ((s, dir) => {
       val pairs = semPairs(s, dir).select(col("id_a"), col("id_b"))
-      // r16 re-plan: the former shape built the survivor RELATION
-      // (corpus anti-join) and referenced it in three places — and
-      // Spark re-executes repeated subtrees, so the corpus scan + anti
-      // join ran 4× per call (measured: certified 1.73 s vs raw 0.49 s
-      // at sf0.1). The checks are reformulated on the DROP LIST —
-      // connectedComponents' output is a localCheckpoint/driver-local
-      // relation, so re-referencing it is free — with identical flag
-      // semantics: survivor ⟺ not dropped (the keepRepresentatives
-      // definition, asserted against it by the s07b twin and
-      // DedupSimilaritySpec's union-find check).
-      val drops = Dedup.connectedComponents(pairs)
-        .filter(col("label") < col("id"))
-        .select(col("id").as("vec_id")).withColumn("__d", lit(1))
+      // (r16 probe, re-plans tried and REJECTED — S07CertProbe is the
+      // interleaved pinned-heap measurement record: this r15 anti-join
+      // shape 1.56 s, a drop-list form with the phantom check as a
+      // full_outer join 1.85 s (full outer has no broadcast plan, so
+      // the corpus rides a SortMergeJoin exchange + sort), and two
+      // drop-list forms with left joins + a |drops| − |drops ∩ corpus|
+      // phantom count 1.64–1.97 s (more per-call scalar jobs: the
+      // count gate, the |drops| aggregate). The hypothesis that the
+      // three `surv` references re-scan the corpus expensively is
+      // FALSE in practice: each is a column-pruned vec_id scan whose
+      // drop side AQE runtime-broadcasts — cheaper than the extra
+      // jobs any single-reference reformulation spends avoiding it.)
+      val surv = Dedup.keepRepresentatives(
+          embeddings(s, dir).select("vec_id", "label"), pairs, idCol = "vec_id")
+        .select(col("vec_id")).withColumn("__s", lit(1))
       val all = embeddings(s, dir).select("vec_id")
       val paired = pairs.select(col("id_a").as("vec_id"))
         .unionByName(pairs.select(col("id_b").as("vec_id"))).distinct()
         .withColumn("__p", lit(1))
-      // ONE pass over the corpus annotated with paired/dropped bits:
-      //   n_vectors               = |corpus|
-      //   unpaired && dropped     = a drop of a vertex no pair touches
-      //   survivor outside corpus = a drop-list id the corpus lacks
-      //     (the anti-join form's "phantom survivor" check, on the
-      //     relation that can actually produce one — drop ids come
-      //     from CC over the pair relation, corpus rows do not)
-      val annotated = all.withColumn("__a", lit(1))
+      // one pass over the corpus annotated with paired/survivor bits
+      val annotated = all
         .join(paired, Seq("vec_id"), "left")
-        .join(drops, Seq("vec_id"), "full_outer")
-      // a pair survives whole iff NEITHER endpoint is on the drop list
+        .join(surv, Seq("vec_id"), "left")
       val pairBothKept = pairs
-        .join(drops.toDF("id_a", "__da"), Seq("id_a"), "left")
-        .join(drops.toDF("id_b", "__db"), Seq("id_b"), "left")
-        .agg(coalesce(sum(when(col("__da").isNull && col("__db").isNull, 1)
-          .otherwise(0)), lit(0L)).as("n_pairs_fully_kept"))
+        .join(surv.withColumnRenamed("vec_id", "id_a"), Seq("id_a"))
+        .join(surv.toDF("id_b", "__s2"), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs_fully_kept"))
+      // coalesce: empty-relation sums are NULL, not 0 (see s06)
+      val phantom = surv.join(all.withColumn("__a", lit(1)), Seq("vec_id"), "left")
+        .agg(coalesce(sum(when(col("__a").isNull, 1).otherwise(0)), lit(0L))
+          .as("n_phantom"))
       annotated.agg(
-          coalesce(sum(when(col("__a").isNotNull, 1).otherwise(0)), lit(0L))
-            .as("n_vectors"),
-          coalesce(sum(when(col("__p").isNull && col("__d").isNotNull, 1)
-            .otherwise(0)), lit(0L)).as("n_unpaired_dropped"),
-          coalesce(sum(when(col("__a").isNull, 1).otherwise(0)), lit(0L))
-            .as("n_phantom"))
-        .crossJoin(pairBothKept)
+          count(lit(1)).as("n_vectors"),
+          coalesce(sum(when(col("__p").isNull && col("__s").isNull, 1)
+            .otherwise(0)), lit(0L)).as("n_unpaired_dropped"))
+        .crossJoin(pairBothKept).crossJoin(phantom)
         .select(col("n_vectors"),
           (col("n_pairs_fully_kept") === 0).as("no_pair_fully_kept"),
           (col("n_unpaired_dropped") === 0).as("unpaired_all_kept"),
