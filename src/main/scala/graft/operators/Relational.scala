@@ -966,7 +966,7 @@ object Relational {
     // design), q38 is mergeable but approximate (one-bucket error),
     // and THIS is exact, cannot OOM, AND never sorts a group: the
     // two-phase bucketed selection in [[exactPercentileSelect]] (two
-    // O(n) combinable scans + a row_number over only the ~n/65536-row
+    // O(n) combinable scans + a row_number over only the ~n/buckets-row
     // targeted buckets). Re-planned in r13 from a rank window over a
     // value-sorted partition — that form was exact and spill-safe but
     // serialized each group's sort into one task (2M rows/task on
@@ -2266,7 +2266,7 @@ object Relational {
     *  2. one histogram pass: each row lands in one of `buckets`
     *     equi-width buckets (the same codegen'd expression both
     *     passes), per-(key, bucket) counts shuffle ≤ |keys|·buckets
-    *     tiny long rows, and a cumulative sum over each key's ≤65536
+    *     tiny long rows, and a cumulative sum over each key's ≤`buckets`
     *     bucket rows locates, for every requested rank
     *     floor/ceil(p·(n−1)), the ONE bucket holding it and the rank's
     *     offset within it;
@@ -2308,8 +2308,17 @@ object Relational {
     * Output: (keyCol, n, <one column per requested percentile name>),
     * one row per key.
     */
+  // Default bucket count (r16): the picked values are rank-exact for
+  // ANY bucket count — the grid only sets how many rows pass 2 keeps
+  // per targeted rank (≈ max-group-size / buckets) against how large a
+  // per-task partial-agg hash pass 1 builds (|keys|·buckets entries).
+  // 65536 optimized the wrong side: pass-2's row_number runs over a
+  // single targeted bucket (spill-safe sort, fine at millions of rows)
+  // while pass-1's hash table is per-task memory on EVERY scan task.
+  // Measured at sf0.1 (Q55BucketProbe, interleaved, outputs asserted
+  // identical): 65536 → 2.01 s, 16384 → 1.28, 4096 → 1.03, 1024 → 1.12.
   def exactPercentileSelect(df: DataFrame, keyCol: String, vCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 65536,
+      ps: Seq[(String, Double)], buckets: Int = 4096,
       keyCount: Option[Long] = None): DataFrame = {
     val base = df.select(col(keyCol).as("k"), col(vCol).as("v"))
       .filter(col("v").isNotNull)
